@@ -1,0 +1,51 @@
+"""Module-level constants and record schema.
+
+TPU-native counterpart of the reference's module constants
+(reference: picovdb/pico_vdb.py:26-35). The HNSW_* knobs exist for API
+compatibility: the reference tunes a FAISS HNSW graph with them, while this
+framework maps them onto the exact fused-scan / IVF tiers (see
+`picovdb_tpu.engine` for the mapping).
+"""
+
+import numpy as np
+
+# Canonical storage dtype for vectors on host and device.
+Float = np.float32
+
+# Record keys (reference: picovdb/pico_vdb.py:31-33).
+K_ID = "_id_"
+K_VECTOR = "_vector_"
+K_METRICS = "_metrics_"
+
+# Compatibility knobs mirroring the reference's HNSW defaults
+# (reference: picovdb/pico_vdb.py:27-29). In this framework they are accepted
+# and mapped: `hnsw_ef_search`-style knobs scale the IVF `nprobe` when the
+# ANN tier is active, and are ignored by the exact tier.
+HNSW_M = 32
+HNSW_EFC = 40
+HNSW_EFS = 32
+
+# Extra candidates fetched under filters (reference: picovdb/pico_vdb.py:30).
+ADAPTIVE_BUFFER = 32
+
+# Default fraction threshold choosing argsort vs argpartition in the
+# reference (picovdb/pico_vdb.py:160-164). Kept as an accepted knob: the
+# fused device kernel has no such choice, but the value is still resolved and
+# exposed for introspection parity.
+ARGSORT_THRESHOLD = 0.2
+
+# Device-side padding granularity for the corpus row dimension. The corpus
+# capacity is padded up to a multiple of this so jit caches stay small while
+# MXU tiles stay aligned.
+ROW_PAD = 8192
+
+# Minimum padded query-batch size (sublane alignment for f32 is 8).
+MIN_QUERY_PAD = 8
+
+# Environment variable names (reference: picovdb/pico_vdb.py:152-164,180-187).
+ENV_ADAPTIVE_BUFFER = "PICOVDB_ADAPTIVE_BUFFER"
+ENV_ARGSORT_THRESHOLD = "PICOVDB_ARGSORT_THRESHOLD"
+ENV_FAISS_THREADS = "PICOVDB_FAISS_THREADS"  # accepted & ignored (no OpenMP here)
+# New TPU-specific env knobs (same kwarg -> env -> constant precedence).
+ENV_USE_PALLAS = "PICOVDB_USE_PALLAS"
+ENV_COMPUTE_DTYPE = "PICOVDB_COMPUTE_DTYPE"

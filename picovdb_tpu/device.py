@@ -1,0 +1,219 @@
+"""Device-resident corpus mirror and query dispatch.
+
+This is the TPU-native replacement for both the reference's NumPy score path
+(picovdb/pico_vdb.py:670-714) and its FAISS HNSW subsystem
+(picovdb/pico_vdb.py:171-212, 716-751, 866-921): the corpus lives in HBM as a
+fixed-capacity padded (cap, dim) float32 matrix plus a boolean active mask,
+mutated functionally (donated buffers, scatter updates) and queried by a
+single fused program (XLA exact scan or the Pallas kernel).
+
+Host state (ids, docs, free slots) remains authoritative — see
+`picovdb_tpu.engine`. The device mirror is synchronized lazily before a
+query, mirroring the reference's lazy FAISS rebuild
+(picovdb/pico_vdb.py:660-665): small mutation sets are scatter-applied,
+large ones trigger a full re-upload (the analog of incremental-vs-full
+rebuild at picovdb/pico_vdb.py:884-921).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import Float, MIN_QUERY_PAD, ROW_PAD
+from .utils import next_pow2, round_up
+from .ops.exact import make_exact_topk
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(vectors, idx, rows):
+    return vectors.at[idx].set(rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_mask(active, idx, vals):
+    return active.at[idx].set(vals)
+
+
+def _pad_rows(arr: np.ndarray, cap: int, fill=0) -> np.ndarray:
+    if arr.shape[0] == cap:
+        return arr
+    pad = cap - arr.shape[0]
+    widths = ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+class DeviceIndex:
+    """HBM-resident (cap, dim) corpus + active mask with bucketed query dispatch.
+
+    Single-device by default; when constructed with a mesh (see
+    `picovdb_tpu.parallel`), arrays are row-sharded and queries run through
+    the shard_map path with an ICI top-k merge.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        device=None,
+        mesh=None,
+        shard_axis: str = "shard",
+        compute_dtype: Optional[str] = None,
+        use_pallas: Optional[bool] = None,
+    ) -> None:
+        self.dim = dim
+        self.cap = 0
+        self.vectors = None  # jax.Array (cap, dim) float32
+        self.active = None  # jax.Array (cap,) bool
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        self.compute_dtype = compute_dtype
+        self._device = device if device is not None else jax.devices()[0]
+        platform = getattr(self._device, "platform", "cpu")
+        if use_pallas is None:
+            use_pallas = platform == "tpu"
+        self.use_pallas = use_pallas
+        # Introspection: how the last device synchronization was applied
+        # ("scatter" | "full" | None) — analog of the reference's
+        # `_last_faiss_rebuild_mode` ("incremental" | "full").
+        self.last_sync_mode: Optional[str] = None
+
+    # -- placement -----------------------------------------------------------
+
+    def _row_sharding(self):
+        if self.mesh is None:
+            return self._device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(self.shard_axis, None))
+
+    def _mask_sharding(self):
+        if self.mesh is None:
+            return self._device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P(self.shard_axis))
+
+    def _replicated(self):
+        if self.mesh is None:
+            return self._device
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return NamedSharding(self.mesh, P())
+
+    def _padded_cap(self, n: int) -> int:
+        cap = round_up(max(n, 1), ROW_PAD)
+        if self.mesh is not None:
+            nshards = self.mesh.shape[self.shard_axis]
+            cap = round_up(cap, ROW_PAD * nshards)
+        return cap
+
+    # -- synchronization -------------------------------------------------------
+
+    def full_upload(self, host_vectors: np.ndarray, active_np: np.ndarray) -> None:
+        """Upload the whole corpus, growing padded capacity as needed."""
+        n = host_vectors.shape[0]
+        cap = max(self.cap, self._padded_cap(n))
+        vecs = _pad_rows(np.ascontiguousarray(host_vectors, dtype=Float), cap)
+        mask = _pad_rows(np.ascontiguousarray(active_np, dtype=bool), cap)
+        self.vectors = jax.device_put(vecs, self._row_sharding())
+        self.active = jax.device_put(mask, self._mask_sharding())
+        self.cap = cap
+        self.last_sync_mode = "full"
+
+    def scatter(
+        self, idxs: np.ndarray, rows: Optional[np.ndarray], active_vals: np.ndarray
+    ) -> None:
+        """Apply a small mutation set in place (donated buffers, no host copy).
+
+        `rows` may be None for delete-only updates (mask clear); the vector
+        rows of deleted slots are then zeroed lazily on the next full upload,
+        which is safe because the mask excludes them from scoring.
+        """
+        if self.vectors is None:
+            raise RuntimeError("scatter before any upload")
+        n = idxs.shape[0]
+        if n == 0:
+            return
+        pad_n = next_pow2(n)
+        if pad_n != n:
+            pad_idx = np.concatenate([idxs, np.repeat(idxs[-1:], pad_n - n)])
+            pad_act = np.concatenate(
+                [active_vals, np.repeat(active_vals[-1:], pad_n - n)]
+            )
+        else:
+            pad_idx, pad_act = idxs, active_vals
+        dev_idx = jax.device_put(pad_idx.astype(np.int32), self._replicated())
+        if rows is not None:
+            if pad_n != n:
+                rows = np.concatenate([rows, np.repeat(rows[-1:], pad_n - n, axis=0)])
+            dev_rows = jax.device_put(
+                np.ascontiguousarray(rows, dtype=Float), self._replicated()
+            )
+            self.vectors = _scatter_rows(self.vectors, dev_idx, dev_rows)
+        dev_act = jax.device_put(pad_act.astype(bool), self._replicated())
+        self.active = _scatter_mask(self.active, dev_idx, dev_act)
+        self.last_sync_mode = "scatter"
+
+    # -- query -----------------------------------------------------------------
+
+    def query(
+        self,
+        qnorm: np.ndarray,
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Masked top-k over the device corpus.
+
+        Args:
+          qnorm: (Q, dim) float32 normalized queries (host).
+          k: requested candidates per query (clamped to capacity).
+          filter_mask: optional (size,) bool host mask (already ANDed with
+            active by the caller); None means "all active rows".
+
+        Returns (values, indices) as host NumPy, shapes (Q, k); padding
+        entries (fewer than k candidates) carry -inf values.
+        """
+        if self.vectors is None or self.cap == 0:
+            raise RuntimeError("query before any upload")
+        num_q = qnorm.shape[0]
+        q_pad = max(MIN_QUERY_PAD, next_pow2(num_q))
+        if q_pad != num_q:
+            padq = np.zeros((q_pad, self.dim), dtype=Float)
+            padq[:num_q] = qnorm
+            if self.dim:
+                padq[num_q:, 0] = 1.0
+            qnorm = padq
+        q_dev = jax.device_put(np.ascontiguousarray(qnorm, dtype=Float), self._replicated())
+
+        if filter_mask is None:
+            mask_dev = self.active
+        else:
+            m = _pad_rows(np.ascontiguousarray(filter_mask, dtype=bool), self.cap)
+            mask_dev = jax.device_put(m, self._mask_sharding())
+
+        k_eff = min(k, self.cap)
+        k_pad = min(next_pow2(k_eff), self.cap)
+
+        if self.mesh is not None:
+            from .parallel.sharded_query import make_sharded_topk
+
+            fn = make_sharded_topk(
+                self.mesh, self.shard_axis, k_pad, self.compute_dtype
+            )
+            vals, idxs = fn(q_dev, self.vectors, mask_dev)
+        elif self.use_pallas:
+            from .ops.pallas_scan import make_fused_topk
+
+            fn = make_fused_topk(k_pad, self.compute_dtype)
+            vals, idxs = fn(q_dev, self.vectors, mask_dev)
+        else:
+            fn = make_exact_topk(k_pad, self.compute_dtype)
+            vals, idxs = fn(q_dev, self.vectors, mask_dev)
+
+        vals = np.asarray(vals)[:num_q, :k_eff]
+        idxs = np.asarray(idxs)[:num_q, :k_eff]
+        return vals, idxs

@@ -1,0 +1,840 @@
+"""PicoVectorDB — the public engine, TPU-native.
+
+Capability parity with the reference engine (picovdb/pico_vdb.py:97-1011):
+upsert / query / query_one / get / get_all / get_by_id / delete / save /
+flush / count / capacity / size / stats / vacuum / rebuild_index /
+store_additional_data / get_additional_data / __len__, with the same record
+keys, zero-vector→e0 normalization, md5 content IDs, insert/update report
+dict, ValueError texts, DeprecationWarnings and PICOVDB_* env knobs.
+
+Architecture (deliberately different from the reference — see SURVEY.md §7):
+host state (ids, docs, id→slot map, free slots) is authoritative and guarded
+by a reader-writer lock; the corpus matrix is mirrored into device HBM as a
+padded (cap, dim) float32 array + boolean active mask and queried by one
+fused masked-top-k program (XLA exact scan, Pallas fused kernel, or the
+shard_map multi-chip path). Mutations mark the mirror dirty; the next query
+synchronizes it lazily — scatter for small change sets, full re-upload for
+large ones — governed by the same `faiss_incremental_threshold_ratio` knob
+the reference uses for its incremental-vs-full FAISS rebuild decision
+(picovdb/pico_vdb.py:884-921).
+
+Known deviations from the reference (documented intentionally):
+  * `capacity=` without `use_memmap=True` pre-allocates a fixed-capacity
+    in-RAM store. (The reference makes that configuration unusable: any
+    insert raises, picovdb/pico_vdb.py:441-442.)
+  * Multi-key dict `where` filters mean AND. (The reference crashes on them
+    by calling the dict, picovdb/pico_vdb.py:643-645.)
+  * In memmap mode `save()` flushes the on-disk store in place instead of
+    rewriting it through np.save (see picovdb_tpu/persistence.py docstring).
+  * Single-vector queries on an empty (or fully filtered-out) store return
+    `[]`. (The reference returns `[[]]` there — an early return that skips
+    its own single-query unwrapping, picovdb/pico_vdb.py:595-596, 672-673.)
+  * `vacuum()` compacts into an in-RAM array; a memmap store becomes RAM
+    until the next `save()` (the reference has the same effect via fancy
+    indexing, picovdb/pico_vdb.py:841).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import warnings
+from typing import Any, Callable, Literal, Optional, Union
+
+import numpy as np
+
+from .constants import (
+    ADAPTIVE_BUFFER,
+    ARGSORT_THRESHOLD,
+    ENV_ADAPTIVE_BUFFER,
+    ENV_ARGSORT_THRESHOLD,
+    ENV_COMPUTE_DTYPE,
+    ENV_USE_PALLAS,
+    Float,
+    HNSW_EFC,
+    HNSW_EFS,
+    HNSW_M,
+    K_ID,
+    K_METRICS,
+    K_VECTOR,
+)
+from .device import DeviceIndex
+from .filters import TagIndex, compile_where_mask
+from .locking import RWLock
+from . import persistence
+from .utils import (
+    hash_vec,
+    normalize_batch,
+    timed,
+    to_c_f32,
+)
+
+logger = logging.getLogger("picovdb_tpu")
+
+WhereArg = Optional[Union[dict, Callable[[dict], bool]]]
+
+
+class PicoVectorDB:
+    """Cosine-only vector DB with metadata persistence, on TPU.
+
+    Saves both a quick-load ids file and a full metadata file
+    (`<base>.ids.json` + `<base>.meta.json`), keeps the contiguous float32
+    matrix HBM-resident for fused similarity search, and supports optional
+    row-sharding across a TPU mesh.
+    """
+
+    def __init__(
+        self,
+        embedding_dim: int = 1024,
+        metric: Literal["cosine"] = "cosine",
+        storage_file: str = "picovdb",
+        use_memmap: bool = False,
+        capacity: Optional[int] = None,
+        no_faiss: bool = False,
+        faiss_threads: Optional[int] = None,
+        # ANN-tier tunables, accepted for API compatibility with the
+        # reference's FAISS HNSW knobs (picovdb/pico_vdb.py:114-121) and
+        # mapped onto the IVF tier (hnsw_ef_search ~ nprobe scaling).
+        hnsw_m: Optional[int] = None,
+        hnsw_ef_construction: Optional[int] = None,
+        ef_search_default: Optional[int] = None,
+        hnsw_ef_search_default: Optional[int] = None,
+        faiss_incremental_threshold_ratio: float = 0.2,
+        # Top-k tuning knobs (kwarg -> env -> constant precedence,
+        # reference: picovdb/pico_vdb.py:152-164).
+        adaptive_buffer: Optional[int] = None,
+        argsort_threshold: Optional[float] = None,
+        # --- TPU-native knobs (new in this framework) ---
+        device=None,
+        mesh=None,
+        shard_axis: str = "shard",
+        compute_dtype: Optional[str] = None,
+        use_pallas: Optional[bool] = None,
+        index: Literal["auto", "exact", "ivf"] = "auto",
+        ivf_nlist: Optional[int] = None,
+        ivf_nprobe: Optional[int] = None,
+    ) -> None:
+        self._rwlock = RWLock()
+        self.dim = int(embedding_dim)
+        self.metric = metric
+        self._path = storage_file
+        self._use_memmap = bool(use_memmap)
+        self._capacity = capacity
+
+        # host-authoritative parallel state ----------------------------------
+        self._host_vectors: np.ndarray = np.empty((0, self.dim), dtype=Float)
+        self._ids: list[Optional[str]] = []
+        self._docs: list[Optional[dict]] = []
+        self._free: list[int] = []
+        self._id2idx: dict[str, int] = {}
+        self._additional: dict[str, Any] = {}
+        self._active_indices: np.ndarray = np.empty(0, dtype=np.int64)
+        self._active_mask: np.ndarray = np.empty(0, dtype=bool)
+        self._tag_index = TagIndex()
+
+        # knob resolution: kwarg -> env -> constant ---------------------------
+        ab_env = os.getenv(ENV_ADAPTIVE_BUFFER)
+        thr_env = os.getenv(ENV_ARGSORT_THRESHOLD)
+        self._adaptive_buffer: int = (
+            int(adaptive_buffer)
+            if adaptive_buffer is not None
+            else (int(ab_env) if ab_env is not None else ADAPTIVE_BUFFER)
+        )
+        # Accepted for introspection parity; the fused kernel replaces the
+        # argsort/argpartition choice (reference: picovdb/pico_vdb.py:698-713).
+        self._argsort_threshold: float = (
+            float(argsort_threshold)
+            if argsort_threshold is not None
+            else (float(thr_env) if thr_env is not None else ARGSORT_THRESHOLD)
+        )
+        up_env = os.getenv(ENV_USE_PALLAS)
+        if use_pallas is None and up_env is not None:
+            use_pallas = up_env not in ("0", "false", "False", "")
+        cd_env = os.getenv(ENV_COMPUTE_DTYPE)
+        if compute_dtype is None and cd_env:
+            compute_dtype = cd_env
+
+        # ANN knobs (stored resolved, reference: picovdb/pico_vdb.py:146-151)
+        self._hnsw_m = int(hnsw_m) if hnsw_m is not None else HNSW_M
+        self._hnsw_efc = (
+            int(hnsw_ef_construction) if hnsw_ef_construction is not None else HNSW_EFC
+        )
+        if hnsw_ef_search_default is not None:
+            self._ef_search = int(hnsw_ef_search_default)
+        elif ef_search_default is not None:
+            self._ef_search = int(ef_search_default)
+        else:
+            self._ef_search = HNSW_EFS
+        # faiss_threads governed OpenMP in the reference; there is no host
+        # thread pool here. Accepted (and env honored) for compatibility.
+        _ = faiss_threads, os.getenv("PICOVDB_FAISS_THREADS")
+
+        self._incr_threshold_ratio = float(faiss_incremental_threshold_ratio)
+        self._index_kind = "exact" if no_faiss or index == "exact" else index
+        self._ivf_nlist = ivf_nlist
+        self._ivf_nprobe = ivf_nprobe
+        self._ivf = None  # built lazily by the ANN tier (ops/ivf.py)
+
+        # device mirror --------------------------------------------------------
+        self._dev = DeviceIndex(
+            self.dim,
+            device=device,
+            mesh=mesh,
+            shard_axis=shard_axis,
+            compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
+        )
+
+        # dirty tracking (device mirror out of sync with host state)
+        self._dirty: bool = False
+        self._pending_add: set[int] = set()
+        self._pending_remove: set[int] = set()
+
+        # introspection (reference analogs: _last_topk_strategy/_last_k_eff
+        # picovdb/pico_vdb.py:165-167, _last_faiss_rebuild_mode :203-204)
+        self._last_topk_strategy: Optional[str] = None
+        self._last_k_eff: Optional[int] = None
+        self._last_sync_mode: Optional[str] = None
+
+        self._load_or_init()
+
+    # ------------------------------------------------------------------
+    # Persistence
+    # ------------------------------------------------------------------
+
+    @timed("load")
+    def _load_or_init(self) -> None:
+        if persistence.exists(self._path):
+            logger.info("Loading existing DB …")
+            self._ids = persistence.load_ids(self._path)
+            count = len(self._ids)
+            self._host_vectors = persistence.load_vectors(
+                self._path, count, self.dim, self._use_memmap
+            )
+            if (
+                self._host_vectors.ndim != 2
+                or self._host_vectors.shape[1] != self.dim
+            ):
+                raise ValueError(
+                    f"stored vectors have shape {self._host_vectors.shape}; "
+                    f"expected (*, {self.dim}) — wrong embedding_dim for this "
+                    f"store?"
+                )
+            self._docs, self._additional = persistence.load_meta(self._path, count)
+            if len(self._docs) < count:
+                self._docs = list(self._docs) + [None] * (count - len(self._docs))
+            for i, (_id, doc) in enumerate(zip(self._ids, self._docs)):
+                if doc is None:
+                    self._free.append(i)
+                elif _id is not None:
+                    self._id2idx[_id] = i
+            self._active_mask = np.zeros(count, dtype=bool)
+            if self._id2idx:
+                self._active_indices = np.fromiter(
+                    self._id2idx.values(), dtype=np.int64
+                )
+                self._active_mask[self._active_indices] = True
+            else:
+                self._active_indices = np.empty(0, dtype=np.int64)
+            self._tag_index.resize(count)
+            # Eager device upload mirrors the reference's FAISS
+            # load-or-rebuild in the constructor (picovdb/pico_vdb.py:260-283).
+            if self._id2idx:
+                self._dev.full_upload(self._host_vectors, self._active_mask)
+                self._last_sync_mode = "full"
+            self._dirty = False
+            logger.info(
+                "Loaded %d active / %d total vectors", len(self._id2idx), count
+            )
+        else:
+            if self._capacity is not None:
+                cap = int(self._capacity)
+                if self._use_memmap:
+                    self._host_vectors = persistence.create_memmap(
+                        self._path, cap, self.dim
+                    )
+                else:
+                    self._host_vectors = np.zeros((cap, self.dim), dtype=Float)
+                self._ids = [None] * cap
+                self._docs = [None] * cap
+                self._free = list(range(cap))
+                self._active_mask = np.zeros(cap, dtype=bool)
+                self._tag_index.resize(cap)
+            else:
+                self._ids, self._docs = [], []
+                self._host_vectors = np.empty((0, self.dim), dtype=Float)
+                self._active_mask = np.empty(0, dtype=bool)
+            self._active_indices = np.empty(0, dtype=np.int64)
+            logger.info("No persisted data – fresh DB")
+            self._dirty = False
+
+    def size(self) -> int:
+        """Deprecated: returns total slots (including deleted placeholders)."""
+        warnings.warn(
+            "size() is deprecated: use count() for active items; "
+            "capacity() returns total slots.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        with self._rwlock.read_lock():
+            return len(self._ids)
+
+    def capacity(self) -> int:
+        """Total slots including deleted placeholders (`count()` for active)."""
+        with self._rwlock.read_lock():
+            return len(self._ids)
+
+    def count(self) -> int:
+        """Number of active (non-deleted) items."""
+        with self._rwlock.read_lock():
+            return len(self._id2idx)
+
+    def __len__(self) -> int:
+        with self._rwlock.read_lock():
+            return len(self._id2idx)
+
+    @timed("save")
+    def save(self) -> None:
+        """Persist atomically (tmp files + os.replace), overwriting existing."""
+        with self._rwlock.write_lock():
+            if self._dirty:
+                self._sync_device_locked()
+            ann_blob = self._ivf.to_blob() if self._ivf is not None else None
+            persistence.save_atomic(
+                self._path,
+                self._ids,
+                self._docs,
+                self._additional,
+                self._host_vectors,
+                self.dim,
+                ann_blob=ann_blob,
+            )
+
+    def flush(self) -> None:
+        """If using memmap, flush changes to disk. No-op otherwise."""
+        with self._rwlock.read_lock():
+            if self._use_memmap and isinstance(self._host_vectors, np.memmap):
+                self._host_vectors.flush()
+
+    # ------------------------------------------------------------------
+    # Mutators
+    # ------------------------------------------------------------------
+
+    def upsert(self, items: list[dict[str, Any]]) -> dict[str, list[str]]:
+        """Insert or update items; returns {"update": [...], "insert": [...]}.
+
+        Each item carries `_vector_` (1-D, length dim) plus arbitrary
+        metadata; `_id_` defaults to the md5 of the normalized vector bytes
+        (reference: picovdb/pico_vdb.py:403-498).
+        """
+        with self._rwlock.write_lock():
+            report: dict[str, list[str]] = {"update": [], "insert": []}
+            if not items:
+                return report
+            # Pass 1: validate and collect raw vectors, then normalize as one
+            # vectorized batch (the reference normalizes per item in Python).
+            raws = []
+            for item in items:
+                vec_raw = np.ascontiguousarray(item[K_VECTOR], dtype=Float)
+                if vec_raw.ndim != 1:
+                    raise ValueError(
+                        f"upsert vector must be 1D with length {self.dim}; "
+                        f"got shape {tuple(vec_raw.shape)}"
+                    )
+                if vec_raw.shape[0] != self.dim:
+                    raise ValueError(
+                        f"upsert vector dim mismatch: expected {self.dim}, "
+                        f"got {vec_raw.shape[0]}"
+                    )
+                raws.append(vec_raw)
+            norm = normalize_batch(np.stack(raws))
+
+            new_vecs: list[np.ndarray] = []
+            new_ids: list[str] = []
+            new_docs: list[dict] = []
+            new_active: list[int] = []
+            touched_idx: list[int] = []
+            touched_docs: list[dict] = []
+            for j, item in enumerate(items):
+                vec = norm[j]
+                meta = {k: v for k, v in item.items() if k != K_VECTOR}
+                item_id = (
+                    meta.get(K_ID) if meta.get(K_ID) is not None else hash_vec(vec)
+                )
+                meta[K_ID] = item_id
+                if item_id in self._id2idx:
+                    idx = self._id2idx[item_id]
+                    self._host_vectors[idx] = vec
+                    self._docs[idx] = meta
+                    report["update"].append(item_id)
+                    self._pending_add.add(idx)
+                    touched_idx.append(idx)
+                    touched_docs.append(meta)
+                else:
+                    if self._free:
+                        idx = self._free.pop()
+                        self._host_vectors[idx] = vec
+                        self._ids[idx] = item_id
+                        self._docs[idx] = meta
+                        new_active.append(idx)
+                        self._pending_add.add(idx)
+                        touched_idx.append(idx)
+                        touched_docs.append(meta)
+                    else:
+                        if self._capacity is not None:
+                            raise ValueError("Database capacity exceeded")
+                        new_vecs.append(vec)
+                        new_ids.append(item_id)
+                        new_docs.append(meta)
+                        idx = len(self._ids) + len(new_ids) - 1
+                        new_active.append(idx)
+                    self._id2idx[item_id] = idx
+                    report["insert"].append(item_id)
+            # bulk append ------------------------------------------------------
+            if new_vecs:
+                stacked = np.stack(new_vecs)
+                if not self._ids:
+                    self._host_vectors = to_c_f32(stacked)
+                else:
+                    if self._use_memmap and isinstance(
+                        self._host_vectors, np.memmap
+                    ):
+                        logger.warning(
+                            "Appending to a memmapped file converts it to an "
+                            "in-memory numpy array, doubling memory usage. For "
+                            "large datasets, consider pre-allocating capacity "
+                            "or using a different growth strategy."
+                        )
+                    self._host_vectors = to_c_f32(
+                        np.vstack([self._host_vectors, stacked])
+                    )
+                start = len(self._ids)
+                self._ids.extend(new_ids)
+                self._docs.extend(new_docs)
+                self._active_mask = np.concatenate(
+                    [self._active_mask, np.zeros(len(new_ids), dtype=bool)]
+                )
+                self._tag_index.resize(len(self._ids))
+                for off, (i_doc) in enumerate(new_docs):
+                    touched_idx.append(start + off)
+                    touched_docs.append(i_doc)
+                for i in range(start, len(self._ids)):
+                    self._pending_add.add(i)
+            # active bookkeeping -------------------------------------------------
+            if new_active:
+                na = np.asarray(new_active, dtype=np.int64)
+                self._active_indices = (
+                    np.append(self._active_indices, na)
+                    if self._active_indices.size
+                    else na
+                )
+                self._active_mask[na] = True
+            if touched_idx:
+                self._tag_index.update_rows(touched_idx, touched_docs)
+            self._dirty = True
+            return report
+
+    def delete(self, ids: list[str]) -> list[str]:
+        """Soft-delete vectors by ID; returns the IDs actually deleted."""
+        with self._rwlock.write_lock():
+            removed: list[str] = []
+            removed_idxs: list[int] = []
+            for _id in ids:
+                idx = self._id2idx.pop(_id, None)
+                if idx is not None:
+                    self._docs[idx] = None
+                    self._host_vectors[idx].fill(0)
+                    self._free.append(idx)
+                    removed_idxs.append(idx)
+                    removed.append(_id)
+            if removed_idxs:
+                to_remove = np.asarray(removed_idxs, dtype=np.int64)
+                if self._active_indices.size:
+                    mask = ~np.isin(self._active_indices, to_remove)
+                    self._active_indices = self._active_indices[mask]
+                self._active_mask[to_remove] = False
+                self._tag_index.clear_rows(removed_idxs)
+                for idx in removed_idxs:
+                    self._pending_remove.add(idx)
+                    self._pending_add.discard(idx)
+                self._dirty = True
+            return removed
+
+    def store_additional_data(self, **kwargs) -> None:
+        """Store non-searchable auxiliary data persisted in the meta file."""
+        with self._rwlock.write_lock():
+            self._additional.update(kwargs)
+
+    def get_additional_data(self) -> dict[str, Any]:
+        """Auxiliary data previously stored via `store_additional_data`."""
+        with self._rwlock.read_lock():
+            return self._additional
+
+    def vacuum(self) -> None:
+        """Compact the store: drop deleted slots, rebuild maps and the mirror."""
+        with self._rwlock.write_lock():
+            if not self._free:
+                return
+            active = sorted(self._id2idx.values())
+            self._host_vectors = to_c_f32(np.asarray(self._host_vectors)[active])
+            self._ids = [self._ids[i] for i in active]
+            self._docs = [self._docs[i] for i in active]
+            self._id2idx = {id_: i for i, id_ in enumerate(self._ids)}
+            n = len(self._ids)
+            self._active_indices = np.arange(n, dtype=np.int64)
+            self._active_mask = np.ones(n, dtype=bool)
+            self._free = []
+            self._tag_index.reset()
+            self._tag_index.resize(n)
+            self._pending_add.clear()
+            self._pending_remove.clear()
+            if n:
+                self._dev.full_upload(self._host_vectors, self._active_mask)
+                self._last_sync_mode = "full"
+            self._rebuild_ann()
+            self._dirty = False
+
+    def rebuild_index(self) -> None:
+        """Force a full device mirror refresh (+ ANN rebuild) immediately."""
+        with self._rwlock.write_lock():
+            if len(self._ids):
+                self._dev.full_upload(self._host_vectors, self._active_mask)
+                self._last_sync_mode = "full"
+            self._pending_add.clear()
+            self._pending_remove.clear()
+            self._rebuild_ann()
+            self._dirty = False
+
+    # ------------------------------------------------------------------
+    # Query
+    # ------------------------------------------------------------------
+
+    @timed("query")
+    def query(
+        self,
+        query_vecs: np.ndarray,
+        top_k: int = 10,
+        better_than: Optional[float] = None,
+        where: WhereArg = None,
+        ids: Optional[list[str]] = None,
+        ef_search: Optional[int] = None,
+        hnsw_ef_search: Optional[int] = None,
+    ) -> Union[list[list[dict[str, Any]]], list[dict[str, Any]]]:
+        """Cosine top-k query (single vector or batch).
+
+        Heavy math runs on device over an immutable snapshot of the corpus;
+        filters compile to a boolean slot mask applied inside the scan
+        (reference behavior: picovdb/pico_vdb.py:539-775). `ef_search` /
+        `hnsw_ef_search` scale the ANN tier's probe width when active and are
+        ignored by the exact tiers.
+        """
+        raw = np.ascontiguousarray(query_vecs, dtype=Float)
+        if raw.ndim == 1:
+            if raw.shape[0] != self.dim:
+                raise ValueError(
+                    f"query vector dim mismatch: expected {self.dim}, "
+                    f"got {raw.shape[0]}"
+                )
+            is_single = True
+            vecs2d = raw[None, :]
+        elif raw.ndim == 2:
+            if raw.shape[1] != self.dim:
+                raise ValueError(
+                    f"query vectors dim mismatch: expected last dim {self.dim}, "
+                    f"got {raw.shape[1]}"
+                )
+            is_single = False
+            vecs2d = raw
+        else:
+            raise ValueError(
+                f"query expects 1D or 2D array with last dim {self.dim}; "
+                f"got shape {tuple(raw.shape)}"
+            )
+        num_q = vecs2d.shape[0]
+        vecs = normalize_batch(vecs2d)
+
+        # Lazy device synchronization (write lock), mirroring the reference's
+        # lazy FAISS rebuild upgrade (picovdb/pico_vdb.py:660-665).
+        with self._rwlock.read_lock():
+            needs_sync = self._dirty
+        if needs_sync:
+            with self._rwlock.write_lock():
+                if self._dirty:
+                    self._sync_device_locked()
+
+        with self._rwlock.read_lock():
+            if not self._id2idx:
+                return [] if is_single else [[] for _ in range(num_q)]
+            filtered = ids is not None or where is not None
+            filter_mask: Optional[np.ndarray] = None
+            if filtered:
+                filter_mask = self._build_filter_mask(where, ids)
+                n_cand = int(filter_mask.sum())
+                if n_cand == 0:
+                    return [] if is_single else [[] for _ in range(num_q)]
+            else:
+                n_cand = len(self._id2idx)
+            base = top_k + self._adaptive_buffer if filtered else top_k
+            k_eff = min(base, n_cand)
+            self._last_k_eff = int(k_eff)
+            vals, idxs = self._dispatch_query(
+                vecs, k_eff, filter_mask, ef_search, hnsw_ef_search
+            )
+            ids_ref = self._ids
+            docs_ref = list(self._docs)
+
+        # Assembly outside the lock on snapshots (reference:
+        # picovdb/pico_vdb.py:752-775). The device arrays are immutable, so
+        # the scores/indices are a consistent snapshot by construction.
+        where_callable = callable(where)
+        results_batch: list[list[dict[str, Any]]] = []
+        n_slots = len(ids_ref)
+        for qi in range(num_q):
+            results: list[dict[str, Any]] = []
+            for idx, score in zip(idxs[qi], vals[qi]):
+                idx = int(idx)
+                if idx < 0 or idx >= n_slots:
+                    continue
+                if score == float("-inf") or np.isnan(score):
+                    continue
+                doc = docs_ref[idx]
+                if doc is None:
+                    continue
+                if better_than is not None and score < better_than:
+                    continue
+                if where_callable and not where(doc):
+                    continue
+                results.append({**doc, K_METRICS: float(score)})
+                if len(results) == top_k:
+                    break
+            results_batch.append(results)
+        return results_batch[0] if is_single else results_batch
+
+    def query_one(
+        self,
+        query_vec: np.ndarray,
+        top_k: int = 10,
+        better_than: Optional[float] = None,
+        where: WhereArg = None,
+        ids: Optional[list[str]] = None,
+        ef_search: Optional[int] = None,
+        hnsw_ef_search: Optional[int] = None,
+    ) -> list[dict[str, Any]]:
+        """Convenience method for single-vector queries."""
+        return self.query(  # type: ignore[return-value]
+            query_vec,
+            top_k=top_k,
+            better_than=better_than,
+            where=where,
+            ids=ids,
+            ef_search=ef_search,
+            hnsw_ef_search=hnsw_ef_search,
+        )
+
+    # ------------------------------------------------------------------
+    # Getters / stats
+    # ------------------------------------------------------------------
+
+    def get(
+        self, ids: Union[str, list[str]], include_vector: bool = False
+    ) -> Union[Optional[dict[str, Any]], list[dict[str, Any]]]:
+        """Get records by ID or IDs (missing IDs are skipped in list form)."""
+        with self._rwlock.read_lock():
+            if isinstance(ids, str):
+                idx = self._id2idx.get(ids)
+                if idx is None:
+                    return None
+                return self._record(idx, ids, include_vector)
+            out: list[dict[str, Any]] = []
+            for _id in ids:
+                idx = self._id2idx.get(_id)
+                if idx is not None:
+                    out.append(self._record(idx, _id, include_vector))
+            return out
+
+    def _record(self, idx: int, _id: str, include_vector: bool) -> dict[str, Any]:
+        meta = self._docs[idx] or {K_ID: _id}
+        rec = dict(meta)
+        if include_vector:
+            rec[K_VECTOR] = np.array(self._host_vectors[idx], dtype=Float)
+        return rec
+
+    def get_by_id(
+        self, sid: str, include_vector: bool = False
+    ) -> Optional[dict[str, Any]]:
+        """Deprecated: use `get(sid)` instead."""
+        warnings.warn(
+            "get_by_id() is deprecated: use get(id) or get([ids])",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.get(sid, include_vector=include_vector)  # type: ignore
+
+    def get_all(
+        self, include_vector: bool = False, include_deleted: bool = False
+    ) -> list[dict[str, Any]]:
+        """All records; deleted slots appear as `{_id_}` placeholders when
+        `include_deleted=True` (reference: picovdb/pico_vdb.py:976-1011)."""
+        with self._rwlock.read_lock():
+            docs: list[dict[str, Any]] = []
+            if include_deleted:
+                for _id, doc in zip(self._ids, self._docs):
+                    if doc is not None:
+                        rec = dict(doc)
+                        rec[K_ID] = _id
+                        if include_vector:
+                            idx = self._id2idx[_id]
+                            rec[K_VECTOR] = np.array(
+                                self._host_vectors[idx], dtype=Float
+                            )
+                        docs.append(rec)
+                    else:
+                        docs.append({K_ID: _id})
+            else:
+                for idx in self._active_indices.tolist():
+                    _id = self._ids[idx]
+                    doc = self._docs[idx]
+                    if _id is None or doc is None:
+                        continue
+                    rec = dict(doc)
+                    rec[K_ID] = _id
+                    if include_vector:
+                        rec[K_VECTOR] = np.array(
+                            self._host_vectors[idx], dtype=Float
+                        )
+                    docs.append(rec)
+            return docs
+
+    def stats(self) -> dict[str, Any]:
+        """Database statistics, including on-disk file sizes and device info."""
+        with self._rwlock.read_lock():
+            active = len(self._id2idx)
+            total = len(self._ids)
+            return {
+                "active": active,
+                "deleted": total - active,
+                "total": total,
+                "dim": self.dim,
+                # Back-compat key: truthy when an ANN acceleration tier exists.
+                "faiss": self._index_kind != "exact" and self._ivf is not None,
+                "memmap": self._use_memmap,
+                "file_sizes": persistence.file_sizes(self._path),
+                # TPU-native extras
+                "device": str(self._dev._device),
+                "device_capacity": self._dev.cap,
+                "index_kind": self._index_kind,
+                "sharded": self._dev.mesh is not None,
+                "last_sync_mode": self._last_sync_mode,
+                "last_topk_strategy": self._last_topk_strategy,
+            }
+
+    # ------------------------------------------------------------------
+    # Internals
+    # ------------------------------------------------------------------
+
+    def _build_filter_mask(
+        self, where: WhereArg, ids: Optional[list[str]]
+    ) -> np.ndarray:
+        """Compile ids/where prefilters to one boolean slot mask."""
+        if ids is not None:
+            mask = np.zeros(len(self._ids), dtype=bool)
+            for s in ids:
+                idx = self._id2idx.get(s)
+                if idx is not None:
+                    mask[idx] = True
+        else:
+            mask = self._active_mask.copy()
+        if where is not None:
+            wmask = compile_where_mask(
+                where, self._docs, self._active_mask, self._tag_index
+            )
+            mask &= wmask
+        return mask
+
+    def _dispatch_query(self, vecs, k_eff, filter_mask, ef_search, hnsw_ef_search):
+        """Route to the ANN tier (unfiltered) or the exact fused scan."""
+        use_ann = (
+            self._ivf is not None
+            and filter_mask is None
+            and self._index_kind != "exact"
+        )
+        if use_ann:
+            ef = (
+                int(hnsw_ef_search)
+                if hnsw_ef_search is not None
+                else int(ef_search) if ef_search is not None else self._ef_search
+            )
+            vals, idxs = self._ivf.search(vecs, k_eff, ef, self._dev)
+            self._last_topk_strategy = "ivf"
+            return vals, idxs
+        vals, idxs = self._dev.query(vecs, k_eff, filter_mask)
+        if self._dev.mesh is not None:
+            self._last_topk_strategy = "sharded_scan"
+        elif self._dev.use_pallas:
+            self._last_topk_strategy = "pallas_fused"
+        else:
+            self._last_topk_strategy = "xla_topk"
+        return vals, idxs
+
+    def _sync_device_locked(self) -> None:
+        """Apply pending mutations to the device mirror (caller holds write lock).
+
+        Small change sets scatter in place; large ones re-upload, using the
+        `faiss_incremental_threshold_ratio` knob exactly as the reference's
+        incremental-vs-full rebuild decision (picovdb/pico_vdb.py:884-921).
+        """
+        size = len(self._ids)
+        if size == 0:
+            self._dirty = False
+            return
+        changed = sorted(self._pending_add | self._pending_remove)
+        dev_rows = self._dev.cap
+        need_full = (
+            self._dev.vectors is None
+            or size > dev_rows
+            or not changed  # unknown change set -> be safe
+        )
+        if not need_full:
+            ratio = len(changed) / float(max(1, min(size, dev_rows)))
+            need_full = ratio > max(0.0, self._incr_threshold_ratio)
+        if need_full:
+            self._dev.full_upload(
+                np.asarray(self._host_vectors[:size]), self._active_mask
+            )
+            self._last_sync_mode = "full"
+        else:
+            idxs = np.asarray(changed, dtype=np.int64)
+            rows = np.ascontiguousarray(
+                np.asarray(self._host_vectors)[idxs], dtype=Float
+            )
+            self._dev.scatter(idxs, rows, self._active_mask[idxs])
+            self._last_sync_mode = "incremental"
+        self._pending_add.clear()
+        self._pending_remove.clear()
+        if self._index_kind == "ivf" or self._ivf is not None:
+            self._rebuild_ann()
+        self._dirty = False
+
+    def _rebuild_ann(self) -> None:
+        """(Re)build the IVF ANN tier when enabled and worthwhile."""
+        if self._index_kind == "exact":
+            self._ivf = None
+            return
+        try:
+            from .ops.ivf import IVFIndex, should_build
+
+            n_active = len(self._id2idx)
+            if self._index_kind == "ivf" or (
+                self._index_kind == "auto" and should_build(n_active)
+            ):
+                self._ivf = IVFIndex.build(
+                    np.asarray(self._host_vectors[: len(self._ids)]),
+                    self._active_mask,
+                    nlist=self._ivf_nlist,
+                    dim=self.dim,
+                )
+            else:
+                self._ivf = None
+        except Exception:  # pragma: no cover - ANN tier is optional
+            logger.warning("ANN tier build failed; staying exact", exc_info=True)
+            self._ivf = None

@@ -1,0 +1,65 @@
+"""Exact masked cosine top-k via XLA (`dot` + `lax.top_k`).
+
+TPU-native replacement for the reference's NumPy GEMM + argpartition/argsort
+path (picovdb/pico_vdb.py:670-714): one fused-by-XLA program computing
+`scores = Q @ V.T`, masking inactive / filtered-out rows to -inf, and
+selecting top-k on device. Static shapes throughout; callers bucket (Q, k)
+so the jit cache stays small.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def exact_topk(queries, vectors, mask, k: int, compute_dtype=None):
+    """Masked exact top-k.
+
+    Args:
+      queries: (Q, dim) normalized query batch.
+      vectors: (cap, dim) normalized corpus (padded rows are masked off).
+      mask: (cap,) bool — active AND filter mask.
+      k: static number of results per query (k <= cap).
+      compute_dtype: optional dtype for the GEMM inputs (e.g. bfloat16);
+        accumulation stays float32.
+
+    Returns:
+      (values, indices): (Q, k) float32 scores and (Q, k) int32 slot indices.
+      Masked-off rows never surface unless fewer than k candidates exist, in
+      which case padding entries carry -inf scores (host assembly drops them).
+    """
+    if compute_dtype is not None:
+        q = queries.astype(compute_dtype)
+        v = vectors.astype(compute_dtype)
+    else:
+        q = queries
+        v = vectors
+    scores = jax.lax.dot_general(
+        q,
+        v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.where(mask[None, :], scores, NEG_INF)
+    values, indices = jax.lax.top_k(scores, k)
+    return values, indices.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=256)
+def make_exact_topk(k: int, compute_dtype_name: str | None = None):
+    """Build a jitted exact-top-k closure for a static k / compute dtype.
+
+    Device placement follows the (committed) input arrays, so the same
+    closure serves CPU tests and TPU production.
+    """
+    compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
+
+    def fn(queries, vectors, mask):
+        return exact_topk(queries, vectors, mask, k, compute_dtype)
+
+    return jax.jit(fn)

@@ -1,0 +1,161 @@
+"""Persistence: atomic JSON+npy checkpoints, byte-compatible with the reference.
+
+File layout per store (reference: picovdb/pico_vdb.py:42-51, 330-393):
+  <base>.ids.json   — JSON list of ids (None for never-used slots)
+  <base>.vecs.npy   — (size, dim) float32 matrix
+  <base>.meta.json  — {"embedding_dim", "data": [docs], "additional_data": {}}
+  <base>.vecs.npy.ivf.npz — optional ANN sidecar (this framework's IVF tier,
+                            counterpart of the reference's .faiss sidecar)
+
+Saves are atomic: tmp files + os.replace, with straggler cleanup on failure
+(reference: picovdb/pico_vdb.py:342-393). Memmap stores flush in place
+instead of rewriting the vectors file (the vectors file *is* the store); the
+reference's np.save-over-memmap would both copy the whole corpus and write an
+npy header the reference's own raw-memmap loader cannot skip, so here memmap
+files are proper .npy files handled via np.lib.format.open_memmap, with a
+raw-memmap fallback for headerless files.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+from .constants import Float
+from .utils import ids_path, meta_path, vecs_path, to_c_f32
+
+logger = logging.getLogger("picovdb_tpu")
+
+_NPY_MAGIC = b"\x93NUMPY"
+
+
+def exists(base: str) -> bool:
+    return os.path.exists(ids_path(base)) and os.path.exists(vecs_path(base))
+
+
+def load_ids(base: str) -> list:
+    with open(ids_path(base), "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def load_meta(base: str, count: int) -> tuple[list, dict]:
+    mpath = meta_path(base)
+    if os.path.exists(mpath):
+        with open(mpath, "r", encoding="utf-8") as f:
+            meta_json = json.load(f)
+        docs = meta_json.get("data", [None] * count)
+        additional = meta_json.get("additional_data", {})
+        return docs, additional
+    return [None] * count, {}
+
+
+def load_vectors(base: str, count: int, dim: int, use_memmap: bool) -> np.ndarray:
+    vpath = vecs_path(base)
+    if not use_memmap:
+        return to_c_f32(np.load(vpath))
+    # Memmap path: prefer npy-aware memmap; fall back to raw (headerless)
+    # files as produced by the reference's fresh-capacity mode
+    # (picovdb/pico_vdb.py:286-296).
+    with open(vpath, "rb") as f:
+        magic = f.read(6)
+    if magic == _NPY_MAGIC:
+        mm = np.lib.format.open_memmap(vpath, mode="r+")
+        if mm.dtype != Float or mm.ndim != 2 or mm.shape[1] != dim:
+            raise ValueError(
+                f"memmap vectors file has shape {mm.shape} dtype {mm.dtype}; "
+                f"expected (*, {dim}) {np.dtype(Float).name}"
+            )
+        return mm
+    return np.memmap(vpath, dtype=Float, mode="r+", shape=(count, dim))
+
+
+def create_memmap(base: str, capacity: int, dim: int) -> np.ndarray:
+    """Pre-allocate a (capacity, dim) on-disk npy store (fresh-DB memmap mode)."""
+    return np.lib.format.open_memmap(
+        vecs_path(base), mode="w+", dtype=Float, shape=(capacity, dim)
+    )
+
+
+def save_atomic(
+    base: str,
+    ids: list,
+    docs: list,
+    additional: dict,
+    vectors: np.ndarray,
+    embedding_dim: int,
+    ann_blob: Optional[dict] = None,
+) -> None:
+    """Atomically persist ids/vectors/meta (+ optional ANN sidecar)."""
+    ids_file, vfile, mfile = ids_path(base), vecs_path(base), meta_path(base)
+    tmp_ids = f"{ids_file}.tmp"
+    tmp_vecs_base = f"{base}.vecs.tmp"  # np.save appends .npy
+    tmp_vecs = f"{tmp_vecs_base}.npy"
+    tmp_meta = f"{mfile}.tmp"
+    ann_file = f"{vfile}.ivf.npz"
+    tmp_ann = f"{ann_file}.tmp"
+    vectors_is_memmap = isinstance(vectors, np.memmap)
+    try:
+        with open(tmp_ids, "w", encoding="utf-8") as f:
+            json.dump(ids, f, ensure_ascii=False)
+
+        if vectors_is_memmap:
+            vectors.flush()
+        else:
+            np.save(tmp_vecs_base, vectors)
+
+        meta_json = {
+            "embedding_dim": embedding_dim,
+            "data": docs,
+            "additional_data": additional,
+        }
+        with open(tmp_meta, "w", encoding="utf-8") as f:
+            json.dump(meta_json, f, ensure_ascii=False)
+
+        if ann_blob is not None:
+            with open(tmp_ann, "wb") as f:
+                np.savez(f, **ann_blob)
+
+        os.replace(tmp_ids, ids_file)
+        if not vectors_is_memmap:
+            os.replace(tmp_vecs, vfile)
+        os.replace(tmp_meta, mfile)
+        if ann_blob is not None:
+            os.replace(tmp_ann, ann_file)
+        logger.info("Saved %d vectors", len(ids))
+    finally:
+        for tmp in (tmp_ids, tmp_vecs, tmp_meta, tmp_ann):
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+
+def load_ann(base: str) -> Optional[dict]:
+    path = f"{vecs_path(base)}.ivf.npz"
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:
+        logger.warning("Failed to read ANN sidecar; will rebuild")
+        return None
+
+
+def file_sizes(base: str) -> dict[str, int]:
+    """On-disk size per store file (reference: picovdb/pico_vdb.py:804-819)."""
+    out: dict[str, int] = {}
+    paths = [ids_path(base), meta_path(base), vecs_path(base),
+             f"{vecs_path(base)}.ivf.npz"]
+    for p in paths:
+        try:
+            if os.path.exists(p):
+                out[os.path.basename(p)] = os.path.getsize(p)
+        except OSError:
+            pass
+    return out

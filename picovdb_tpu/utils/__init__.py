@@ -1,0 +1,128 @@
+"""Host-side utilities: paths, hashing, normalization, timing.
+
+Behavioral counterpart of the reference's utility section
+(reference: picovdb/pico_vdb.py:42-94), re-implemented vectorized: the
+reference normalizes and hashes one vector at a time inside a Python loop;
+here whole batches are normalized with one NumPy pass so bulk upserts stay
+host-cheap before the device transfer.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import logging
+import time
+
+import numpy as np
+
+from ..constants import Float
+
+logger = logging.getLogger("picovdb_tpu")
+
+
+# --- persistence path naming (reference: picovdb/pico_vdb.py:42-51) ---------
+
+def ids_path(base: str) -> str:
+    return f"{base}.ids.json"
+
+
+def meta_path(base: str) -> str:
+    return f"{base}.meta.json"
+
+
+def vecs_path(base: str) -> str:
+    return f"{base}.vecs.npy"
+
+
+def ann_path(base: str) -> str:
+    """On-disk ANN index sidecar (counterpart of `<base>.vecs.npy.faiss`)."""
+    return f"{base}.vecs.npy.ivf.npz"
+
+
+# --- hashing -----------------------------------------------------------------
+
+def hash_vec(v: np.ndarray) -> str:
+    """Content ID: md5 hex of the vector's bytes (reference: pico_vdb.py:54-55)."""
+    return hashlib.md5(np.ascontiguousarray(v).tobytes()).hexdigest()
+
+
+def hash_rows(mat: np.ndarray) -> list:
+    """md5 hex per row of a C-contiguous 2-D matrix."""
+    mat = np.ascontiguousarray(mat)
+    return [hashlib.md5(row.tobytes()).hexdigest() for row in mat]
+
+
+# --- normalization -----------------------------------------------------------
+
+def normalize(v: np.ndarray) -> np.ndarray:
+    """Zero-safe L2 normalization of a single vector.
+
+    The zero vector maps deterministically to the first basis vector e0
+    (reference: picovdb/pico_vdb.py:58-68).
+    """
+    vec = np.asarray(v, dtype=Float)
+    n = float(np.linalg.norm(vec))
+    if n == 0.0:
+        out = np.zeros_like(vec, dtype=Float)
+        if out.size:
+            out.flat[0] = Float(1.0)
+        return out
+    return (vec / n).astype(Float, copy=False)
+
+
+def normalize_batch(mat: np.ndarray) -> np.ndarray:
+    """Zero-safe L2 normalization of a (N, dim) batch in one vectorized pass.
+
+    Rows of all zeros map to e0, matching `normalize` and the reference's
+    query-side batch handling (picovdb/pico_vdb.py:583-591).
+    """
+    mat = np.ascontiguousarray(mat, dtype=Float)
+    if mat.ndim != 2:
+        raise ValueError(f"normalize_batch expects 2-D input; got {mat.shape}")
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    zero = norms[:, 0] == 0.0
+    if np.any(zero):
+        mat = mat.copy()
+        mat[zero] = 0.0
+        if mat.shape[1]:
+            mat[zero, 0] = 1.0
+        norms = np.where(zero[:, None], 1.0, norms)
+    return (mat / norms).astype(Float, copy=False)
+
+
+def to_c_f32(a: np.ndarray) -> np.ndarray:
+    """C-contiguous float32 view/copy (reference: picovdb/pico_vdb.py:71-73)."""
+    return np.ascontiguousarray(a, dtype=Float)
+
+
+# --- timing ------------------------------------------------------------------
+
+def timed(name: str):
+    """DEBUG-level wall-time logging decorator (reference: pico_vdb.py:81-94).
+
+    Logs "<name> took X ms" at DEBUG level on the "picovdb_tpu" logger.
+    """
+
+    def decorator(func):
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs):
+            start = time.perf_counter()
+            result = func(*args, **kwargs)
+            end = time.perf_counter()
+            logger.debug("%s took %.4f ms", name, (end - start) * 1000)
+            return result
+
+        return wrapper
+
+    return decorator
+
+
+def next_pow2(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (int(n - 1).bit_length())
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

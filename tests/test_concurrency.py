@@ -1,0 +1,128 @@
+"""RWLock semantics and snapshot-isolated reads under concurrent writers.
+
+Mirrors tests/test_task9_rwlock.py, test_task10_apply_rwlocks.py and
+test_task11_snapshot_reads.py of the reference. Real threads, no mocks.
+"""
+
+import threading
+import time
+
+import numpy as np
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+from picovdb_tpu.locking import RWLock
+from conftest import make_items
+
+
+def test_readers_coexist():
+    lock = RWLock()
+    inside = []
+    barrier = threading.Barrier(3)
+
+    def reader():
+        with lock.read_lock():
+            barrier.wait(timeout=5)  # all three readers inside at once
+            inside.append(1)
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=5)
+    assert len(inside) == 3
+
+
+def test_writer_excludes_readers():
+    lock = RWLock()
+    order = []
+    writer_in = threading.Event()
+
+    def writer():
+        with lock.write_lock():
+            writer_in.set()
+            time.sleep(0.1)
+            order.append("w")
+
+    def reader():
+        writer_in.wait(timeout=5)
+        with lock.read_lock():
+            order.append("r")
+
+    tw = threading.Thread(target=writer)
+    tr = threading.Thread(target=reader)
+    tw.start()
+    tr.start()
+    tw.join(timeout=5)
+    tr.join(timeout=5)
+    assert order == ["w", "r"]
+
+
+def test_writer_excludes_writer():
+    lock = RWLock()
+    counter = {"v": 0, "max": 0}
+
+    def writer():
+        for _ in range(50):
+            with lock.write_lock():
+                counter["v"] += 1
+                counter["max"] = max(counter["max"], counter["v"])
+                counter["v"] -= 1
+
+    threads = [threading.Thread(target=writer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert counter["max"] == 1
+
+
+def test_queries_stable_under_concurrent_writes(db_path, rng):
+    """Concurrent upserts/deletes never corrupt query results: every returned
+    hit is internally consistent (id present, score finite, doc is a dict)."""
+    dim = 16
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    items, vecs = make_items(rng, 200, dim)
+    db.upsert(items)
+
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        w_rng = np.random.default_rng(1)
+        while not stop.is_set():
+            try:
+                v = w_rng.normal(size=dim).astype(np.float32)
+                db.upsert([{K_ID: f"w{i % 50}", K_VECTOR: v, "gen": i}])
+                if i % 3 == 0:
+                    db.delete([f"id{i % 200}"])
+                i += 1
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    def reader():
+        while not stop.is_set():
+            try:
+                res = db.query(vecs[3], top_k=5)
+                for r in res:
+                    assert isinstance(r[K_ID], str)
+                    assert np.isfinite(r["_metrics_"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    tw = threading.Thread(target=writer)
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    tw.start()
+    for t in readers:
+        t.start()
+    time.sleep(1.5)
+    stop.set()
+    tw.join(timeout=10)
+    for t in readers:
+        t.join(timeout=10)
+    assert not errors, errors
+    # store still coherent afterwards
+    res = db.query(vecs[4], top_k=3)
+    assert res

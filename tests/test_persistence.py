@@ -1,0 +1,154 @@
+"""Persistence: atomic saves, crash safety, memmap mode, capacity ceiling.
+
+Mirrors tests/test_more.py:271-293 (atomic save failure) and
+tests/test_memmap_capacity.py of the reference, plus byte-compatibility with
+the reference's on-disk format.
+"""
+
+import json
+import os
+from unittest.mock import patch
+
+import numpy as np
+import pytest
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+from picovdb_tpu.utils import ids_path, meta_path, vecs_path
+from conftest import make_items
+
+
+def test_save_writes_three_files(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, _ = make_items(rng, 5, 8)
+    db.upsert(items)
+    db.save()
+    assert os.path.exists(ids_path(db_path))
+    assert os.path.exists(vecs_path(db_path))
+    assert os.path.exists(meta_path(db_path))
+    # no stray tmp files
+    d = os.path.dirname(db_path)
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+
+
+def test_save_failure_preserves_old_files(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 5, 8)
+    db.upsert(items)
+    db.save()
+    old_ids = open(ids_path(db_path)).read()
+
+    db.upsert([{K_ID: "extra", K_VECTOR: rng.normal(size=8).astype(np.float32)}])
+    with patch("os.replace", side_effect=OSError("disk full")):
+        with pytest.raises(OSError):
+            db.save()
+    # old files intact, tmp files cleaned up
+    assert open(ids_path(db_path)).read() == old_ids
+    d = os.path.dirname(db_path)
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    # retry succeeds
+    db.save()
+    db2 = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    assert db2.count() == 6
+
+
+def test_on_disk_format_matches_reference_schema(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, _ = make_items(rng, 4, 8, extra=lambda i: {"n": i})
+    db.upsert(items)
+    db.store_additional_data(k="v")
+    db.save()
+    ids = json.load(open(ids_path(db_path)))
+    assert ids == [f"id{i}" for i in range(4)]
+    meta = json.load(open(meta_path(db_path)))
+    assert set(meta.keys()) == {"embedding_dim", "data", "additional_data"}
+    assert meta["embedding_dim"] == 8
+    assert meta["data"][2]["n"] == 2
+    assert meta["data"][2][K_ID] == "id2"
+    assert meta["additional_data"] == {"k": "v"}
+    vecs = np.load(vecs_path(db_path))
+    assert vecs.dtype == np.float32
+    assert vecs.shape == (4, 8)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-6)
+
+
+def test_load_reference_written_store(db_path, rng):
+    """A store written externally in the reference's format loads directly."""
+    ids = ["a", "b", None]
+    vecs = rng.normal(size=(3, 8)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[2] = 0
+    docs = [{K_ID: "a", "x": 1}, {K_ID: "b", "x": 2}, None]
+    with open(ids_path(db_path), "w") as f:
+        json.dump(ids, f)
+    np.save(vecs_path(db_path)[:-4], vecs)
+    with open(meta_path(db_path), "w") as f:
+        json.dump({"embedding_dim": 8, "data": docs, "additional_data": {"z": 9}}, f)
+
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    assert db.count() == 2
+    assert db.capacity() == 3
+    assert db._free == [2]
+    assert db.get_additional_data() == {"z": 9}
+    res = db.query(vecs[0], top_k=1)
+    assert res[0][K_ID] == "a"
+
+
+def test_memmap_capacity_preallocation(db_path, rng):
+    db = PicoVectorDB(
+        embedding_dim=8, storage_file=db_path, use_memmap=True, capacity=10
+    )
+    assert db.capacity() == 10
+    assert db.count() == 0
+    items, vecs = make_items(rng, 10, 8)
+    db.upsert(items)
+    assert db.count() == 10
+    with pytest.raises(ValueError, match="capacity exceeded"):
+        db.upsert([{K_ID: "over", K_VECTOR: rng.normal(size=8).astype(np.float32)}])
+    # delete frees a slot; insert succeeds again
+    db.delete(["id0"])
+    db.upsert([{K_ID: "over", K_VECTOR: rng.normal(size=8).astype(np.float32)}])
+    assert db.count() == 10
+
+
+def test_memmap_flush_and_reload(db_path, rng):
+    db = PicoVectorDB(
+        embedding_dim=8, storage_file=db_path, use_memmap=True, capacity=6
+    )
+    items, vecs = make_items(rng, 4, 8)
+    db.upsert(items)
+    db.query(vecs[0])  # force device sync, exercise memmap reads
+    db.save()
+    db.flush()
+    db2 = PicoVectorDB(
+        embedding_dim=8, storage_file=db_path, use_memmap=True, capacity=6
+    )
+    assert db2.count() == 4
+    assert db2.capacity() == 6
+    res = db2.query(vecs[1], top_k=1)
+    assert res[0][K_ID] == "id1"
+
+
+def test_fixed_capacity_without_memmap(db_path, rng):
+    """Deviation from the reference (documented in engine.py): capacity
+    without memmap pre-allocates a usable fixed-size store."""
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path, capacity=5)
+    items, _ = make_items(rng, 5, 8)
+    db.upsert(items)
+    assert db.count() == 5
+    with pytest.raises(ValueError, match="capacity exceeded"):
+        db.upsert([{K_ID: "x", K_VECTOR: np.ones(8, dtype=np.float32)}])
+
+
+def test_reload_then_mutate_then_query(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 8, 8)
+    db.upsert(items)
+    db.save()
+    db2 = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    v = rng.normal(size=8).astype(np.float32)
+    db2.upsert([{K_ID: "late", K_VECTOR: v}])
+    res = db2.query(v, top_k=1)
+    assert res[0][K_ID] == "late"
+    db2.delete(["id7"])
+    res2 = db2.query(vecs[7], top_k=8)
+    assert all(r[K_ID] != "id7" for r in res2)

@@ -1,0 +1,132 @@
+"""`where` / `ids` prefilter correctness and dict-vs-callable parity.
+
+Mirrors tests/test_task18_prefilter.py and test_task34_prefilter.py of the
+reference; also covers this framework's vectorized tag-index fast path
+(picovdb_tpu/filters.py) against the naive loop.
+"""
+
+import numpy as np
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS, K_VECTOR
+from picovdb_tpu.filters import TagIndex, compile_where_mask
+from conftest import make_items
+
+
+def _db(db_path, rng, n=60, dim=16):
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    items, vecs = make_items(
+        rng, n, dim, extra=lambda i: {"tag": i % 3, "group": f"g{i % 5}"}
+    )
+    db.upsert(items)
+    return db, vecs
+
+
+def test_dict_eq_filter(db_path, rng):
+    db, vecs = _db(db_path, rng)
+    res = db.query(vecs[0], top_k=10, where={"tag": 1})
+    assert res
+    assert all(r["tag"] == 1 for r in res)
+
+
+def test_dict_in_filter(db_path, rng):
+    db, vecs = _db(db_path, rng)
+    res = db.query(vecs[0], top_k=20, where={"group": {"$in": ["g0", "g2"]}})
+    assert res
+    assert all(r["group"] in ("g0", "g2") for r in res)
+
+
+def test_dict_vs_callable_parity(db_path, rng):
+    db, vecs = _db(db_path, rng)
+    r_dict = db.query(vecs[7], top_k=8, where={"tag": 2})
+    r_call = db.query(vecs[7], top_k=8, where=lambda d: d.get("tag") == 2)
+    assert [r[K_ID] for r in r_dict] == [r[K_ID] for r in r_call]
+    assert np.allclose(
+        [r[K_METRICS] for r in r_dict], [r[K_METRICS] for r in r_call], rtol=1e-6
+    )
+
+
+def test_multikey_dict_is_and(db_path, rng):
+    db, vecs = _db(db_path, rng)
+    res = db.query(vecs[0], top_k=30, where={"tag": 0, "group": "g0"})
+    assert res
+    assert all(r["tag"] == 0 and r["group"] == "g0" for r in res)
+    r_call = db.query(
+        vecs[0], top_k=30, where=lambda d: d["tag"] == 0 and d["group"] == "g0"
+    )
+    assert [r[K_ID] for r in res] == [r[K_ID] for r in r_call]
+
+
+def test_ids_prefilter(db_path, rng):
+    db, vecs = _db(db_path, rng)
+    subset = ["id3", "id17", "id42", "missing"]
+    res = db.query(vecs[3], top_k=10, ids=subset)
+    got = [r[K_ID] for r in res]
+    assert got[0] == "id3"
+    assert set(got) <= {"id3", "id17", "id42"}
+    assert len(got) == 3
+
+
+def test_ids_and_where_combined(db_path, rng):
+    db, vecs = _db(db_path, rng)
+    subset = [f"id{i}" for i in range(30)]
+    res = db.query(vecs[0], top_k=30, ids=subset, where={"tag": 1})
+    assert res
+    for r in res:
+        assert r["tag"] == 1
+        assert int(r[K_ID][2:]) < 30
+
+
+def test_filter_no_matches_returns_empty(db_path, rng):
+    db, vecs = _db(db_path, rng)
+    assert db.query(vecs[0], top_k=5, where={"tag": 99}) == []
+    assert db.query(vecs[:2], top_k=5, where={"tag": 99}) == [[], []]
+    assert db.query(vecs[0], top_k=5, ids=["missing"]) == []
+
+
+def test_filter_after_delete(db_path, rng):
+    db, vecs = _db(db_path, rng, n=12)
+    db.delete(["id0", "id3", "id6", "id9"])  # all tag 0
+    res = db.query(vecs[0], top_k=12, where={"tag": 0})
+    assert res == []
+
+
+def test_filter_mask_matches_naive_loop(db_path, rng):
+    db, _ = _db(db_path, rng, n=40)
+    active = db._active_mask
+    docs = db._docs
+    for where in ({"tag": 1}, {"group": {"$in": ["g1", "g3"]}}, {"tag": 0, "group": "g0"}):
+        fast = compile_where_mask(where, docs, active, db._tag_index)
+        naive = compile_where_mask(where, docs, active, None)
+        np.testing.assert_array_equal(fast, naive)
+
+
+def test_tag_index_tracks_mutations(db_path, rng):
+    db, vecs = _db(db_path, rng, n=10)
+    # build the column
+    db.query(vecs[0], top_k=10, where={"tag": 1})
+    # mutate: delete one tag-1 item, retag another
+    db.delete(["id1"])
+    v = rng.normal(size=16).astype(np.float32)
+    db.upsert([{K_ID: "id4", K_VECTOR: v, "tag": 1, "group": "gX"}])
+    res = db.query(v, top_k=10, where={"tag": 1})
+    got = {r[K_ID] for r in res}
+    assert "id1" not in got
+    assert "id4" in got
+
+
+def test_where_with_missing_key(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 6, 8, extra=lambda i: ({"tag": 1} if i % 2 else {}))
+    db.upsert(items)
+    res = db.query(vecs[0], top_k=6, where={"tag": 1})
+    assert {r[K_ID] for r in res} == {"id1", "id3", "id5"}
+
+
+def test_unhashable_where_value(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(
+        rng, 4, 8, extra=lambda i: {"tags": [i, i + 1]}
+    )
+    db.upsert(items)
+    res = db.query(vecs[0], top_k=4, where={"tags": [1, 2]})
+    assert [r[K_ID] for r in res] == ["id1"]

@@ -1,0 +1,123 @@
+"""Multi-device row-sharded queries on a virtual 8-device CPU mesh.
+
+New capability with no reference counterpart (SURVEY.md §2 "Parallelism"):
+the corpus is row-sharded over a `jax.sharding.Mesh`, per-shard top-k
+candidates merge over the (virtual) interconnect, and results must match the
+single-device engine exactly.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS
+from picovdb_tpu.parallel import make_mesh
+from picovdb_tpu.parallel.sharded_query import make_sharded_topk
+from picovdb_tpu.utils import normalize_batch
+from conftest import make_items
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["shard"] == len(jax.devices())
+    mesh2 = make_mesh(dp=2)
+    assert mesh2.shape["dp"] == 2
+    assert mesh2.shape["shard"] == len(jax.devices()) // 2
+
+
+def test_sharded_topk_matches_single_device(rng):
+    mesh = make_mesh()
+    nsh = mesh.shape["shard"]
+    n, dim, k = 64 * nsh, 16, 7
+    vectors = normalize_batch(rng.normal(size=(n, dim)).astype(np.float32))
+    queries = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = rng.random(n) > 0.25
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    v = jax.device_put(vectors, NamedSharding(mesh, P("shard", None)))
+    m = jax.device_put(mask, NamedSharding(mesh, P("shard")))
+    q = jax.device_put(queries, NamedSharding(mesh, P()))
+
+    fn = make_sharded_topk(mesh, "shard", k)
+    vals, idxs = fn(q, v, m)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+
+    scores = queries @ vectors.T
+    scores = np.where(mask[None, :], scores, -np.inf)
+    order = np.argsort(-scores, axis=1)[:, :k]
+    ovals = np.take_along_axis(scores, order, axis=1)
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+    # returned indices score identically to the oracle's
+    for qi in range(8):
+        np.testing.assert_allclose(
+            scores[qi][idxs[qi]], ovals[qi], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_sharded_engine_matches_unsharded(db_path, rng):
+    dim = 16
+    items, vecs = make_items(rng, 150, dim, extra=lambda i: {"tag": i % 3})
+
+    db1 = PicoVectorDB(embedding_dim=dim, storage_file=db_path + "_single")
+    db1.upsert(items)
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_sharded", mesh=make_mesh()
+    )
+    db2.upsert(items)
+
+    qs = rng.normal(size=(4, dim)).astype(np.float32)
+    r1 = db1.query(qs, top_k=6)
+    r2 = db2.query(qs, top_k=6)
+    assert db2._last_topk_strategy == "sharded_scan"
+    for a, b in zip(r1, r2):
+        assert [x[K_ID] for x in a] == [x[K_ID] for x in b]
+        np.testing.assert_allclose(
+            [x[K_METRICS] for x in a], [x[K_METRICS] for x in b], rtol=1e-5
+        )
+
+
+def test_sharded_engine_mutations_and_filters(db_path, rng):
+    dim = 16
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=make_mesh()
+    )
+    items, vecs = make_items(rng, 100, dim, extra=lambda i: {"tag": i % 2})
+    db.upsert(items)
+    db.delete(["id3", "id5"])
+    v = rng.normal(size=dim).astype(np.float32)
+    db.upsert([{K_ID: "late", "_vector_": v, "tag": 0}])
+
+    res = db.query(v, top_k=3)
+    assert res[0][K_ID] == "late"
+    resf = db.query(v, top_k=10, where={"tag": 1})
+    assert all(r["tag"] == 1 for r in resf)
+    assert all(r[K_ID] not in ("id3", "id5") for r in resf)
+
+
+def test_dp_plus_shard_mesh(rng):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    mesh = make_mesh(dp=2)
+    nsh = mesh.shape["shard"]
+    n, dim, k = 32 * nsh, 16, 5
+    vectors = normalize_batch(rng.normal(size=(n, dim)).astype(np.float32))
+    queries = normalize_batch(rng.normal(size=(16, dim)).astype(np.float32))
+    mask = np.ones(n, dtype=bool)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    v = jax.device_put(vectors, NamedSharding(mesh, P("shard", None)))
+    m = jax.device_put(mask, NamedSharding(mesh, P("shard")))
+    q = jax.device_put(queries, NamedSharding(mesh, P("dp", None)))
+
+    fn = make_sharded_topk(mesh, "shard", k)
+    vals, idxs = fn(q, v, m)
+    scores = queries @ vectors.T
+    order = np.argsort(-scores, axis=1)[:, :k]
+    ovals = np.take_along_axis(scores, order, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-5, atol=1e-6)

@@ -1,0 +1,156 @@
+"""Device-mirror synchronization (lazy, incremental vs full) and tuning knobs.
+
+Analogs of the reference's FAISS lazy-rebuild tests
+(tests/test_task12_faiss_dirty_flag.py, test_task36_faiss_incremental_threshold.py)
+and knob-precedence tests (test_task48_tuning_knobs.py): the device mirror
+plays the role the FAISS index played.
+"""
+
+import numpy as np
+import pytest
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+from picovdb_tpu.constants import ADAPTIVE_BUFFER
+from conftest import make_items
+
+
+def test_sync_exactly_once_per_dirty_epoch(db_path, rng, monkeypatch):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 20, 8)
+    db.upsert(items)
+    assert db._dirty
+
+    calls = {"n": 0}
+    orig = db._sync_device_locked
+
+    def spy():
+        calls["n"] += 1
+        orig()
+
+    monkeypatch.setattr(db, "_sync_device_locked", spy)
+    db.query(vecs[0])
+    assert calls["n"] == 1
+    assert not db._dirty
+    db.query(vecs[1])
+    db.query(vecs[2])
+    assert calls["n"] == 1  # clean epoch: no further syncs
+    db.delete(["id0"])
+    assert db._dirty
+    db.query(vecs[3])
+    assert calls["n"] == 2
+
+
+def test_incremental_vs_full_threshold(db_path, rng):
+    db = PicoVectorDB(
+        embedding_dim=8, storage_file=db_path, faiss_incremental_threshold_ratio=0.2
+    )
+    items, vecs = make_items(rng, 100, 8)
+    db.upsert(items)
+    db.query(vecs[0])
+    assert db._last_sync_mode == "full"  # first upload
+
+    # small change set -> incremental scatter
+    v = rng.normal(size=8).astype(np.float32)
+    db.upsert([{K_ID: "id0", K_VECTOR: v}])
+    db.query(vecs[0])
+    assert db._last_sync_mode == "incremental"
+
+    # large change set (>20%) -> full upload
+    big = [
+        {K_ID: f"id{i}", K_VECTOR: rng.normal(size=8).astype(np.float32)}
+        for i in range(40)
+    ]
+    db.upsert(big)
+    db.query(vecs[0])
+    assert db._last_sync_mode == "full"
+
+
+def test_incremental_sync_correctness(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 50, 8)
+    db.upsert(items)
+    db.query(vecs[0])  # establish mirror
+    # update one vector to point at a new direction; delete another
+    target = rng.normal(size=8).astype(np.float32)
+    db.upsert([{K_ID: "id10", K_VECTOR: target}])
+    db.delete(["id11"])
+    res = db.query(target, top_k=2)
+    assert res[0][K_ID] == "id10"
+    assert db._last_sync_mode == "incremental"
+    assert all(r[K_ID] != "id11" for r in res)
+
+
+def test_adaptive_buffer_kwarg_env_precedence(db_path, monkeypatch):
+    monkeypatch.setenv("PICOVDB_ADAPTIVE_BUFFER", "7")
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    assert db._adaptive_buffer == 7
+    db2 = PicoVectorDB(embedding_dim=8, storage_file=db_path + "b", adaptive_buffer=3)
+    assert db2._adaptive_buffer == 3
+    monkeypatch.delenv("PICOVDB_ADAPTIVE_BUFFER")
+    db3 = PicoVectorDB(embedding_dim=8, storage_file=db_path + "c")
+    assert db3._adaptive_buffer == ADAPTIVE_BUFFER
+
+
+def test_argsort_threshold_knob_accepted(db_path, monkeypatch):
+    monkeypatch.setenv("PICOVDB_ARGSORT_THRESHOLD", "0.5")
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    assert db._argsort_threshold == 0.5
+    db2 = PicoVectorDB(
+        embedding_dim=8, storage_file=db_path + "b", argsort_threshold=0.9
+    )
+    assert db2._argsort_threshold == 0.9
+
+
+def test_last_k_eff_reflects_filters(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path, adaptive_buffer=4)
+    items, vecs = make_items(rng, 30, 8, extra=lambda i: {"tag": i % 2})
+    db.upsert(items)
+    db.query(vecs[0], top_k=5)
+    assert db._last_k_eff == 5  # unfiltered: k_eff == top_k
+    db.query(vecs[0], top_k=5, where={"tag": 0})
+    assert db._last_k_eff == 9  # top_k + adaptive_buffer
+    db.query(vecs[0], top_k=5, ids=["id1", "id2", "id3"])
+    assert db._last_k_eff == 3  # clamped to candidate count
+
+
+def test_last_topk_strategy_recorded(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 10, 8)
+    db.upsert(items)
+    db.query(vecs[0])
+    assert db._last_topk_strategy in (
+        "xla_topk",
+        "pallas_fused",
+        "sharded_scan",
+        "ivf",
+    )
+
+
+def test_filters_fill_top_k_under_adaptive_buffer(db_path, rng):
+    """With a filter that keeps half the corpus, top_k results still fill."""
+    db = PicoVectorDB(embedding_dim=16, storage_file=db_path)
+    items, vecs = make_items(rng, 80, 16, extra=lambda i: {"tag": i % 2})
+    db.upsert(items)
+    res = db.query(vecs[0], top_k=10, where={"tag": 0})
+    assert len(res) == 10
+    assert all(r["tag"] == 0 for r in res)
+
+
+def test_compat_knobs_accepted(db_path):
+    """Reference-only FAISS knobs are accepted without error."""
+    db = PicoVectorDB(
+        embedding_dim=8,
+        storage_file=db_path,
+        no_faiss=True,
+        faiss_threads=2,
+        hnsw_m=16,
+        hnsw_ef_construction=100,
+        ef_search_default=64,
+        hnsw_ef_search_default=96,
+    )
+    assert db._ef_search == 96  # new name wins over legacy
+    assert db._index_kind == "exact"  # no_faiss disables the ANN tier
+    db2 = PicoVectorDB(
+        embedding_dim=8, storage_file=db_path + "b", ef_search_default=48
+    )
+    assert db2._ef_search == 48
