@@ -166,7 +166,7 @@ class DeviceIndex:
         k: int,
         filter_mask: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Masked top-k over the device corpus.
+        """Masked top-k over the device corpus (blocking).
 
         Args:
           qnorm: (Q, dim) float32 normalized queries (host).
@@ -177,17 +177,47 @@ class DeviceIndex:
         Returns (values, indices) as host NumPy, shapes (Q, k); padding
         entries (fewer than k candidates) carry -inf values.
         """
+        vals, idxs, num_q, k_eff = self.query_async(qnorm, k, filter_mask)
+        vals = np.asarray(vals)[:num_q, :k_eff]
+        idxs = np.asarray(idxs)[:num_q, :k_eff]
+        return vals, idxs
+
+    def query_async(
+        self,
+        qnorm: np.ndarray,
+        k: int,
+        filter_mask: Optional[np.ndarray] = None,
+    ):
+        """Dispatch a masked top-k; returns device arrays without blocking.
+
+        Returns (vals_dev, idxs_dev, num_q, k_eff): callers slice
+        `np.asarray(...)[:num_q, :k_eff]` when they need the results, letting
+        throughput paths pipeline several dispatches ahead of host fetches
+        (hides host<->device round-trip latency).
+
+        `qnorm` may be raw (normalization happens on device, fused into the
+        scan) and may already be a device-resident jax.Array — the serving
+        path for query embeddings produced by an upstream on-TPU model — in
+        which case no host->device transfer happens at all.
+        """
         if self.vectors is None or self.cap == 0:
             raise RuntimeError("query before any upload")
         num_q = qnorm.shape[0]
         q_pad = max(MIN_QUERY_PAD, next_pow2(num_q))
-        if q_pad != num_q:
-            padq = np.zeros((q_pad, self.dim), dtype=Float)
-            padq[:num_q] = qnorm
-            if self.dim:
-                padq[num_q:, 0] = 1.0
-            qnorm = padq
-        q_dev = jax.device_put(np.ascontiguousarray(qnorm, dtype=Float), self._replicated())
+        if isinstance(qnorm, np.ndarray):
+            if q_pad != num_q:
+                padq = np.zeros((q_pad, self.dim), dtype=Float)
+                padq[:num_q] = qnorm
+                qnorm = padq
+            q_dev = jax.device_put(
+                np.ascontiguousarray(qnorm, dtype=Float), self._replicated()
+            )
+        else:
+            q_dev = qnorm.astype(jnp.float32)
+            if q_pad != num_q:
+                q_dev = jnp.pad(q_dev, ((0, q_pad - num_q), (0, 0)))
+            if self.mesh is not None:
+                q_dev = jax.device_put(q_dev, self._replicated())
 
         if filter_mask is None:
             mask_dev = self.active
@@ -214,6 +244,4 @@ class DeviceIndex:
             fn = make_exact_topk(k_pad, self.compute_dtype)
             vals, idxs = fn(q_dev, self.vectors, mask_dev)
 
-        vals = np.asarray(vals)[:num_q, :k_eff]
-        idxs = np.asarray(idxs)[:num_q, :k_eff]
-        return vals, idxs
+        return vals, idxs, num_q, k_eff

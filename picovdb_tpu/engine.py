@@ -131,6 +131,7 @@ class PicoVectorDB:
         self._active_indices: np.ndarray = np.empty(0, dtype=np.int64)
         self._active_mask: np.ndarray = np.empty(0, dtype=bool)
         self._tag_index = TagIndex()
+        self._ids_np: Optional[np.ndarray] = None  # lazy cache for query_columnar
 
         # knob resolution: kwarg -> env -> constant ---------------------------
         ab_env = os.getenv(ENV_ADAPTIVE_BUFFER)
@@ -431,6 +432,7 @@ class PicoVectorDB:
                 self._active_mask[na] = True
             if touched_idx:
                 self._tag_index.update_rows(touched_idx, touched_docs)
+            self._ids_np = None
             self._dirty = True
             return report
 
@@ -480,6 +482,7 @@ class PicoVectorDB:
             self._ids = [self._ids[i] for i in active]
             self._docs = [self._docs[i] for i in active]
             self._id2idx = {id_: i for i, id_ in enumerate(self._ids)}
+            self._ids_np = None
             n = len(self._ids)
             self._active_indices = np.arange(n, dtype=np.int64)
             self._active_mask = np.ones(n, dtype=bool)
@@ -551,7 +554,9 @@ class PicoVectorDB:
                 f"got shape {tuple(raw.shape)}"
             )
         num_q = vecs2d.shape[0]
-        vecs = normalize_batch(vecs2d)
+        # Normalization happens on device, fused into the scan
+        # (ops/exact.py:normalize_on_device); the host only validates.
+        vecs = to_c_f32(vecs2d)
 
         # Lazy device synchronization (write lock), mirroring the reference's
         # lazy FAISS rebuild upgrade (picovdb/pico_vdb.py:660-665).
@@ -586,16 +591,25 @@ class PicoVectorDB:
         # Assembly outside the lock on snapshots (reference:
         # picovdb/pico_vdb.py:752-775). The device arrays are immutable, so
         # the scores/indices are a consistent snapshot by construction.
+        results_batch = self._assemble(
+            vals, idxs, docs_ref, top_k, better_than, where
+        )
+        return results_batch[0] if is_single else results_batch
+
+    def _assemble(
+        self, vals, idxs, docs_ref, top_k, better_than, where
+    ) -> list[list[dict[str, Any]]]:
+        """Materialize result dicts from device (scores, slot ids)."""
         where_callable = callable(where)
         results_batch: list[list[dict[str, Any]]] = []
-        n_slots = len(ids_ref)
-        for qi in range(num_q):
+        n_slots = len(docs_ref)
+        neg_inf = float("-inf")
+        for qi in range(vals.shape[0]):
             results: list[dict[str, Any]] = []
-            for idx, score in zip(idxs[qi], vals[qi]):
-                idx = int(idx)
+            for idx, score in zip(idxs[qi].tolist(), vals[qi].tolist()):
                 if idx < 0 or idx >= n_slots:
                     continue
-                if score == float("-inf") or np.isnan(score):
+                if score == neg_inf or score != score:  # -inf or NaN
                     continue
                 doc = docs_ref[idx]
                 if doc is None:
@@ -604,11 +618,11 @@ class PicoVectorDB:
                     continue
                 if where_callable and not where(doc):
                     continue
-                results.append({**doc, K_METRICS: float(score)})
+                results.append({**doc, K_METRICS: score})
                 if len(results) == top_k:
                     break
             results_batch.append(results)
-        return results_batch[0] if is_single else results_batch
+        return results_batch
 
     def query_one(
         self,
@@ -630,6 +644,159 @@ class PicoVectorDB:
             ef_search=ef_search,
             hnsw_ef_search=hnsw_ef_search,
         )
+
+    def query_batched(
+        self,
+        query_vecs: np.ndarray,
+        top_k: int = 10,
+        better_than: Optional[float] = None,
+        where: WhereArg = None,
+        ids: Optional[list[str]] = None,
+        batch_size: int = 1024,
+    ) -> list[list[dict[str, Any]]]:
+        """Throughput-mode batch query (new in this framework).
+
+        Splits a large (Q, dim) batch into device-sized chunks, dispatches
+        ALL chunks asynchronously, then assembles results chunk by chunk —
+        device compute for chunk i+1 overlaps host assembly and transfer
+        latency for chunk i. Same result contract as `query` with a 2-D
+        input. Use this for offline / high-QPS serving paths.
+
+        `query_vecs` may be a device-resident jax.Array (e.g. embeddings
+        produced by an upstream on-TPU model): no host->device transfer
+        happens and normalization stays fused on device.
+        """
+        if isinstance(query_vecs, np.ndarray) or not hasattr(
+            query_vecs, "devices"
+        ):
+            vecs = np.ascontiguousarray(query_vecs, dtype=Float)
+        else:
+            vecs = query_vecs  # device-resident
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(
+                f"query_batched expects a 2D array with last dim {self.dim}; "
+                f"got shape {tuple(vecs.shape)}"
+            )
+        num_q = vecs.shape[0]
+
+        with self._rwlock.read_lock():
+            needs_sync = self._dirty
+        if needs_sync:
+            with self._rwlock.write_lock():
+                if self._dirty:
+                    self._sync_device_locked()
+
+        with self._rwlock.read_lock():
+            if not self._id2idx:
+                return [[] for _ in range(num_q)]
+            filtered = ids is not None or where is not None
+            filter_mask = self._build_filter_mask(where, ids) if filtered else None
+            n_cand = (
+                int(filter_mask.sum()) if filter_mask is not None
+                else len(self._id2idx)
+            )
+            if n_cand == 0:
+                return [[] for _ in range(num_q)]
+            base = top_k + self._adaptive_buffer if filtered else top_k
+            k_eff = min(base, n_cand)
+            self._last_k_eff = int(k_eff)
+            pending = []
+            for start in range(0, num_q, batch_size):
+                chunk = vecs[start : start + batch_size]
+                pending.append(self._dev.query_async(chunk, k_eff, filter_mask))
+            docs_ref = list(self._docs)
+
+        out: list[list[dict[str, Any]]] = []
+        for vals_dev, idxs_dev, nq, ke in pending:
+            vals = np.asarray(vals_dev)[:nq, :ke]
+            idxs = np.asarray(idxs_dev)[:nq, :ke]
+            out.extend(
+                self._assemble(vals, idxs, docs_ref, top_k, better_than, where)
+            )
+        return out
+
+    def query_columnar(
+        self,
+        query_vecs,
+        top_k: int = 10,
+        better_than: Optional[float] = None,
+        where: WhereArg = None,
+        ids: Optional[list[str]] = None,
+        batch_size: int = 8192,
+    ):
+        """Serving-mode batch query returning columnar results (new here).
+
+        Returns `(ids, scores)`: an (Q, top_k) object array of string IDs
+        (None marks missing/filtered positions) and an (Q, top_k) float32
+        score matrix. Skips per-hit dict materialization — the high-QPS
+        serving contract; fetch metadata afterwards with `get(ids)`.
+        Accepts host or device-resident query arrays like `query_batched`.
+        """
+        if isinstance(query_vecs, np.ndarray) or not hasattr(
+            query_vecs, "devices"
+        ):
+            vecs = np.ascontiguousarray(query_vecs, dtype=Float)
+        else:
+            vecs = query_vecs
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(
+                f"query_columnar expects a 2D array with last dim {self.dim}; "
+                f"got shape {tuple(vecs.shape)}"
+            )
+        num_q = vecs.shape[0]
+
+        with self._rwlock.read_lock():
+            needs_sync = self._dirty
+        if needs_sync:
+            with self._rwlock.write_lock():
+                if self._dirty:
+                    self._sync_device_locked()
+
+        empty_ids = np.full((num_q, top_k), None, dtype=object)
+        empty_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
+        with self._rwlock.read_lock():
+            if not self._id2idx:
+                return empty_ids, empty_scores
+            filtered = ids is not None or where is not None
+            filter_mask = self._build_filter_mask(where, ids) if filtered else None
+            n_cand = (
+                int(filter_mask.sum()) if filter_mask is not None
+                else len(self._id2idx)
+            )
+            if n_cand == 0:
+                return empty_ids, empty_scores
+            k_eff = min(top_k, n_cand)
+            pending = []
+            for start in range(0, num_q, batch_size):
+                chunk = vecs[start : start + batch_size]
+                pending.append(self._dev.query_async(chunk, k_eff, filter_mask))
+            ids_arr = self._ids_array()
+            docs_len = len(self._docs)
+
+        out_ids = np.full((num_q, top_k), None, dtype=object)
+        out_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
+        row = 0
+        for vals_dev, idxs_dev, nq, ke in pending:
+            vals = np.asarray(vals_dev)[:nq, :ke]
+            idxs = np.asarray(idxs_dev)[:nq, :ke]
+            valid = np.isfinite(vals) & (idxs >= 0) & (idxs < docs_len)
+            if better_than is not None:
+                valid &= vals >= better_than
+            safe_idx = np.where(valid, idxs, 0)
+            mapped = ids_arr[safe_idx]
+            mapped[~valid] = None
+            out_ids[row : row + nq, :ke] = mapped
+            out_scores[row : row + nq, :ke] = np.where(valid, vals, -np.inf)
+            row += nq
+        return out_ids, out_scores
+
+    def _ids_array(self) -> np.ndarray:
+        """Cached object-dtype mirror of `_ids` for vectorized id mapping."""
+        cached = self._ids_np
+        if cached is None or len(cached) != len(self._ids):
+            self._ids_np = np.asarray(self._ids, dtype=object)
+            cached = self._ids_np
+        return cached
 
     # ------------------------------------------------------------------
     # Getters / stats

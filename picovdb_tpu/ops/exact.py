@@ -17,6 +17,22 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 
+def normalize_on_device(q):
+    """Zero-safe L2 normalization on device (zero rows -> e0).
+
+    Device-side counterpart of utils.normalize_batch (reference query-side
+    normalization: picovdb/pico_vdb.py:583-591); runs fused under jit so
+    query batches never need a host normalization pass. Idempotent for
+    already-normalized inputs.
+    """
+    norms = jnp.linalg.norm(q, axis=1, keepdims=True)
+    zero = norms == 0.0
+    col0 = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1) == 0
+    q = jnp.where(zero & col0, 1.0, q)
+    norms = jnp.where(zero, 1.0, norms)
+    return (q / norms).astype(jnp.float32)
+
+
 def exact_topk(queries, vectors, mask, k: int, compute_dtype=None):
     """Masked exact top-k.
 
@@ -51,15 +67,19 @@ def exact_topk(queries, vectors, mask, k: int, compute_dtype=None):
 
 
 @functools.lru_cache(maxsize=256)
-def make_exact_topk(k: int, compute_dtype_name: str | None = None):
+def make_exact_topk(k: int, compute_dtype_name: str | None = None,
+                    normalize: bool = True):
     """Build a jitted exact-top-k closure for a static k / compute dtype.
 
-    Device placement follows the (committed) input arrays, so the same
-    closure serves CPU tests and TPU production.
+    Queries are L2-normalized on device by default (idempotent for
+    pre-normalized inputs). Device placement follows the (committed) input
+    arrays, so the same closure serves CPU tests and TPU production.
     """
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
 
     def fn(queries, vectors, mask):
+        if normalize:
+            queries = normalize_on_device(queries)
         return exact_topk(queries, vectors, mask, k, compute_dtype)
 
     return jax.jit(fn)

@@ -1,4 +1,4 @@
-"""Fused Pallas scan: blocked MXU scoring + on-chip running top-k selection.
+"""Fused Pallas scan: blocked MXU scoring + on-chip packed-key top-k.
 
 This kernel is the first-party TPU-native replacement for the reference's
 two search engines at once (SURVEY.md §2 "Native components"):
@@ -6,22 +6,28 @@ two search engines at once (SURVEY.md §2 "Native components"):
   * the NumPy GEMM + argpartition path (picovdb/pico_vdb.py:683-713), and
   * the FAISS HNSW C++ index (picovdb/pico_vdb.py:171-212, 716-751),
 
-with exact (recall 1.0) results. It never materializes the (Q, N) score
-matrix in HBM: the corpus streams through VMEM in (BLOCK_N, dim) tiles, each
-tile is scored against the resident query tile on the MXU, masked
-(active ∧ filter) on the VPU, and merged into a running per-query top-k that
-lives in the VMEM-resident output block for the whole corpus sweep — the
-classic Pallas reduction pattern (output block constant along the inner grid
-dimension). Only (Q, k) values + indices ever travel back to HBM.
+at exact-scan recall. It never materializes the (Q, N) score matrix in HBM:
+the corpus streams through VMEM in (BLOCK_N, dim) tiles, each tile is scored
+against the resident query tile on the MXU, masked (active ∧ filter) on the
+VPU, and reduced to a per-tile top-k which is merged into a running top-k
+living in the VMEM-resident output blocks for the whole corpus sweep (the
+classic Pallas reduction pattern — outputs constant along the inner grid
+dim). Only (Q, k) values + indices ever travel back to HBM.
+
+Top-k selection uses a *packed sortable key*: the score's float32 bits are
+transformed to a monotonic int32 ordering key, the low `lane_bits` are
+replaced by the lane index, and each selection round is then a single
+max-reduction (value and index recovered from the same key) plus one
+mask-out pass — 2 VPU passes per round instead of the 4-5 a naive
+max/argmax/gather ladder needs. Replacing mantissa low bits quantizes
+scores by ~2^-13 relative (≈1e-4, below the MXU's own f32 matmul noise);
+callers that need exact scores re-score the k winners outside the kernel
+(`rescore_exact`), which `make_fused_topk` does by default.
 
 Grid layout: (q_tiles, n_tiles) with the corpus dimension innermost, so the
 query tile stays resident across the sweep and each corpus tile is DMA'd
-exactly once per query tile (Pallas double-buffers the stream).
-
-HBM traffic per query tile ≈ corpus bytes — the speed-of-light floor for an
-exact scan. The select-max merge ladder costs ~3·k passes over
-(QT, k+BLOCK_N) per tile against 2·QT·BLOCK_N·dim MXU FLOPs (≈2% overhead
-at dim=1024, k=16).
+exactly once per query tile (Pallas double-buffers the stream). HBM traffic
+per query tile ≈ corpus bytes — the speed-of-light floor for an exact scan.
 """
 
 from __future__ import annotations
@@ -34,7 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float(np.finfo(np.float32).min)  # in-kernel sentinel
+NEG_INF = float(np.finfo(np.float32).min)  # in-kernel score sentinel
+KEY_MIN = -(2**31)  # packed-key sentinel (below any real key); plain int so
+# importing this module never touches a JAX backend.
 
 # Tile sizes: QT queries x BN corpus rows per grid step. For dim=1024 f32:
 # QT*dim*4 (Q tile) + 2*BN*dim*4 (double-buffered V tile) + QT*BN*4 (scores)
@@ -43,9 +51,49 @@ DEFAULT_QT = 256
 DEFAULT_BN = 512
 
 
+def _to_sortable(bits_i32):
+    """float32 bits -> int32 whose integer order matches float order."""
+    return jnp.where(bits_i32 >= 0, bits_i32, bits_i32 ^ jnp.int32(0x7FFFFFFF))
+
+
+def _from_sortable(key_i32):
+    """Inverse of `_to_sortable` (low index bits must be cleared first)."""
+    return jnp.where(key_i32 >= 0, key_i32, key_i32 ^ jnp.int32(0x7FFFFFFF))
+
+
+def _small_merge(run_vals, run_idx, new_vals, new_idx, k):
+    """Merge two (qt, k) candidate sets into the top-k (small select ladder)."""
+    vals = jnp.concatenate([run_vals, new_vals], axis=1)  # (qt, 2k)
+    idx = jnp.concatenate([run_idx, new_idx], axis=1)
+    qt = vals.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+    def body(j, carry):
+        work, ovals, oidx = carry
+        mx = jnp.max(work, axis=1)
+        amx = jnp.argmax(work, axis=1).astype(jnp.int32)
+        at = col == amx[:, None]
+        sel = jnp.sum(jnp.where(at, idx, 0), axis=1).astype(jnp.int32)
+        here = col_k == j
+        ovals = jnp.where(here, mx[:, None], ovals)
+        oidx = jnp.where(here, sel[:, None], oidx)
+        work = jnp.where(at, NEG_INF, work)
+        return work, ovals, oidx
+
+    init = (
+        vals,
+        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.zeros((qt, k), jnp.int32),
+    )
+    _, ovals, oidx = jax.lax.fori_loop(0, k, body, init,
+                                       unroll=(k if k <= 32 else 1))
+    return ovals, oidx
+
+
 def _scan_kernel(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int, bn: int,
-                 compute_dtype):
-    """One grid step: score a corpus tile and merge into the running top-k."""
+                 lane_bits: int, compute_dtype):
+    """One grid step: score a corpus tile, packed-key top-k, running merge."""
     b = pl.program_id(1)
 
     @pl.when(b == 0)
@@ -65,42 +113,43 @@ def _scan_kernel(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int, bn: int,
         preferred_element_type=jnp.float32,
     )  # (QT, BN)
     mask = m_ref[...]  # (1, BN) int32: 1 = candidate
-    scores = jnp.where(mask > 0, scores, NEG_INF)
 
     qt = scores.shape[0]
-    base = b * bn
-    tile_idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    low_mask = jnp.int32((1 << lane_bits) - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    bits = pltpu.bitcast(scores, jnp.int32)
+    keys = (_to_sortable(bits) & ~low_mask) | lane
+    keys = jnp.where(mask > 0, keys, jnp.int32(KEY_MIN))
 
-    # Candidate pool: running top-k ++ this tile's scores.
-    work = jnp.concatenate([vals_ref[...], scores], axis=1)  # (QT, k+BN)
-    idx_mat = jnp.concatenate([idx_ref[...], tile_idx], axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
 
-    # Select-max ladder: k rounds of (rowmax, argmax, mask-out); round j's
-    # winner is placed into column j via vectorized selects (no dynamic lane
-    # stores, which Mosaic does not support).
+    # Packed-key select ladder: each round, one max-reduction recovers both
+    # the (quantized) best score and its lane; one select masks it out.
     def body(j, carry):
-        work, vals, idx = carry
-        mx = jnp.max(work, axis=1)
-        amx = jnp.argmax(work, axis=1).astype(jnp.int32)
-        at_max = col == amx[:, None]
-        sel = jnp.sum(jnp.where(at_max, idx_mat, 0), axis=1).astype(jnp.int32)
+        keys, tvals, tidx = carry
+        m = jnp.max(keys, axis=1, keepdims=True)  # (QT, 1); 2-D for bitcast
+        amx = m & low_mask
+        approx = pltpu.bitcast(_from_sortable(m & ~low_mask), jnp.float32)
+        # Rounds past the number of unmasked candidates select the KEY_MIN
+        # sentinel, whose bit pattern unpacks to NaN — pin those to NEG_INF
+        # so the running merge stays NaN-free.
+        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
         here = col_k == j
-        vals = jnp.where(here, mx[:, None], vals)
-        idx = jnp.where(here, sel[:, None], idx)
-        work = jnp.where(at_max, NEG_INF, work)
-        return work, vals, idx
+        tvals = jnp.where(here, approx, tvals)
+        tidx = jnp.where(here, amx, tidx)
+        keys = jnp.where(keys == m, jnp.int32(KEY_MIN), keys)
+        return keys, tvals, tidx
 
     init = (
-        work,
-        jnp.full((qt, k), NEG_INF, dtype=jnp.float32),
-        jnp.zeros((qt, k), dtype=jnp.int32),
+        keys,
+        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.zeros((qt, k), jnp.int32),
     )
-    # Mosaic only supports unroll=1 or full unroll in kernel fori_loops;
-    # fully unroll for small k (better ILP), loop for large k.
-    _, vals, idx = jax.lax.fori_loop(0, k, body, init,
-                                     unroll=(k if k <= 32 else 1))
+    _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
+                                               unroll=(k if k <= 32 else 1))
+    tile_idx = tile_idx + b * bn  # globalize slot ids
+
+    vals, idx = _small_merge(vals_ref[...], idx_ref[...], tile_vals, tile_idx, k)
     vals_ref[...] = vals
     idx_ref[...] = idx
 
@@ -111,11 +160,12 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
 
     Args:
       queries: (Q, dim) f32, Q a multiple of 8 (callers pad).
-      vectors: (cap, dim) f32, cap a multiple of 512 (callers pad to ROW_PAD).
+      vectors: (cap, dim) f32, cap a multiple of the block size.
       mask: (cap,) bool — active AND filter mask.
       k: static k (<= cap).
-    Returns (values (Q, k) f32, indices (Q, k) int32); padding entries carry
-    -inf values (callers treat them as misses).
+    Returns (values (Q, k) f32, indices (Q, k) int32). Values are quantized
+    to ~1e-4 relative by the packed key (see module docstring); use
+    `rescore_exact` for exact scores. Padding entries carry -inf.
     """
     num_q, dim = queries.shape
     cap = vectors.shape[0]
@@ -126,12 +176,13 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
     n_tiles = cap // bn
     q_tiles = num_q // qt
     k_run = min(k, bn)
+    lane_bits = max(1, int(bn - 1).bit_length())
 
     mask2d = mask.reshape(1, cap).astype(jnp.int32)
 
     grid = (q_tiles, n_tiles)
     vals, idxs = pl.pallas_call(
-        functools.partial(_scan_kernel, k=k_run, bn=bn,
+        functools.partial(_scan_kernel, k=k_run, bn=bn, lane_bits=lane_bits,
                           compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
@@ -153,27 +204,56 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
             jax.ShapeDtypeStruct((num_q, k_run), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_q * cap * dim + 3 * k_run * num_q * cap,
+            flops=2 * num_q * cap * dim + 2 * k_run * num_q * cap,
             bytes_accessed=cap * dim * 4 * q_tiles + num_q * dim * 4,
             transcendentals=0,
         ),
     )(queries, vectors, mask2d)
 
-    # Contract parity with the XLA exact path: padding entries are -inf.
     vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
     return vals, idxs
 
 
+def rescore_exact(queries, vectors, vals, idxs):
+    """Replace quantized kernel scores with exact f32 dot products.
+
+    Gathers the k winning rows per query and recomputes q·v in float32 on
+    the VPU (higher precision than the batched MXU matmul), preserving -inf
+    padding markers and re-sorting by the exact scores.
+    """
+    gathered = jnp.take(vectors, idxs, axis=0)  # (Q, k, dim)
+    exact = jnp.einsum(
+        "qd,qkd->qk", queries, gathered,
+        preferred_element_type=jnp.float32,
+    )
+    exact = jnp.where(jnp.isneginf(vals), -jnp.inf, exact)
+    order = jnp.argsort(-exact, axis=1)
+    return jnp.take_along_axis(exact, order, axis=1), jnp.take_along_axis(
+        idxs, order, axis=1
+    )
+
+
 @functools.lru_cache(maxsize=256)
 def make_fused_topk(k: int, compute_dtype_name: str | None = None,
-                    interpret: bool = False):
+                    interpret: bool = False, rescore: bool = True,
+                    normalize: bool = True):
     """Jitted fused-top-k closure for a static k (shapes retrace as needed)."""
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
+
+    def impl(queries, vectors, mask):
+        if normalize:
+            from .exact import normalize_on_device
+
+            queries = normalize_on_device(queries)
+        vals, idxs = fused_topk(queries, vectors, mask, k, compute_dtype)
+        if rescore:
+            vals, idxs = rescore_exact(queries, vectors, vals, idxs)
+        return vals, idxs
 
     def fn(queries, vectors, mask):
         if interpret:
             with pltpu.force_tpu_interpret_mode():
-                return fused_topk(queries, vectors, mask, k, compute_dtype)
-        return fused_topk(queries, vectors, mask, k, compute_dtype)
+                return impl(queries, vectors, mask)
+        return impl(queries, vectors, mask)
 
     return jax.jit(fn)

@@ -31,7 +31,8 @@ _CACHE = {}
 
 
 def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
-                      dp_axis: str = "dp", use_pallas: bool = False):
+                      dp_axis: str = "dp", use_pallas: bool = False,
+                      normalize: bool = True):
     """Build a jitted sharded masked-top-k for a static k.
 
     Signature of the returned fn: (queries (Q, dim) [dp-sharded if dp>1],
@@ -39,15 +40,17 @@ def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
     (values (Q, k) f32, indices (Q, k) int32 global slot ids).
     """
     key = (id(mesh), mesh.shape_tuple, shard_axis, k, compute_dtype_name,
-           dp_axis, use_pallas)
+           dp_axis, use_pallas, normalize)
     fn = _CACHE.get(key)
     if fn is None:
-        fn = _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas)
+        fn = _build(mesh, shard_axis, k, compute_dtype_name, dp_axis,
+                    use_pallas, normalize)
         _CACHE[key] = fn
     return fn
 
 
-def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas):
+def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
+           normalize):
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     has_dp = dp_axis in mesh.shape and mesh.shape[dp_axis] > 1
     q_spec = P(dp_axis, None) if has_dp else P()
@@ -73,6 +76,10 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas):
     )
 
     def merged(q, v, m):
+        if normalize:
+            from ..ops.exact import normalize_on_device
+
+            q = normalize_on_device(q)
         vals, idx = mapped(q, v, m)  # (Q, shards * k_local)
         k_final = min(k, vals.shape[1])
         top_vals, order = jax.lax.top_k(vals, k_final)

@@ -1,0 +1,117 @@
+"""Fused Pallas scan kernel vs NumPy oracle (interpret mode on CPU).
+
+Differential strategy per SURVEY.md §4 implication (b): Pallas kernel vs
+jnp reference vs NumPy oracle. On CPU the kernel runs in Mosaic interpret
+mode; the same code path compiles on TPU (exercised by bench.py).
+"""
+
+import numpy as np
+import pytest
+
+from picovdb_tpu.ops.pallas_scan import make_fused_topk, rescore_exact, fused_topk
+from picovdb_tpu.ops.exact import make_exact_topk
+from picovdb_tpu.utils import normalize_batch
+
+# Packed-key selection quantizes scores by ~2^-13 relative before the exact
+# rescore; index-level agreement is asserted only where the oracle's scores
+# are separated by more than that.
+QUANT = 3e-4
+
+
+def oracle(queries, vectors, mask, k):
+    scores = queries @ vectors.T
+    scores = np.where(mask[None, :], scores, -np.inf)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(scores, order, axis=1), order, scores
+
+
+@pytest.mark.parametrize(
+    "cap,dim,k,q,density",
+    [
+        (1024, 128, 4, 8, 1.0),
+        (2048, 128, 10, 16, 0.7),
+        (1536, 256, 33, 8, 0.5),
+    ],
+)
+def test_fused_topk_matches_oracle(rng, cap, dim, k, q, density):
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(q, dim)).astype(np.float32))
+    mask = rng.random(cap) < density
+
+    fn = make_fused_topk(k, None, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, V, mask))
+    ovals, oidx, scores = oracle(Q, V, mask, k)
+
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+    for qi in range(q):
+        # every returned index scores as well as the oracle's at that rank
+        got = scores[qi][idx[qi]]
+        got = np.where(np.isneginf(vals[qi]), -np.inf, got)
+        np.testing.assert_allclose(got, ovals[qi], rtol=1e-5, atol=1e-6)
+        strict = np.diff(ovals[qi]) < -QUANT
+        same = idx[qi] == oidx[qi]
+        assert (same[1:] | ~strict).all()
+
+
+def test_fused_topk_underfilled_rows(rng):
+    """Fewer candidates than k: padding entries are -inf, real ones exact."""
+    cap, dim, k = 1024, 128, 16
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = np.zeros(cap, dtype=bool)
+    mask[:5] = True
+
+    fn = make_fused_topk(k, None, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, V, mask))
+    assert np.isneginf(vals[:, 5:]).all()
+    ovals, oidx, _ = oracle(Q, V, mask, 5)
+    np.testing.assert_allclose(vals[:, :5], ovals, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx[:, :5], oidx)
+
+
+def test_fused_topk_all_masked(rng):
+    cap, dim, k = 1024, 128, 4
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = np.zeros(cap, dtype=bool)
+    fn = make_fused_topk(k, None, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, V, mask))
+    assert np.isneginf(vals).all()
+
+
+def test_fused_matches_xla_path(rng):
+    """The two device paths agree (the engine treats them interchangeably)."""
+    cap, dim, k = 2048, 64, 8
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(16, dim)).astype(np.float32))
+    mask = rng.random(cap) > 0.4
+    pv, pi = map(np.asarray, make_fused_topk(k, None, interpret=True)(Q, V, mask))
+    xv, xi = map(np.asarray, make_exact_topk(k)(Q, V, mask))
+    np.testing.assert_allclose(pv, xv, rtol=1e-5, atol=1e-6)
+    # same candidate set wherever scores are distinct
+    scores = Q @ V.T
+    for qi in range(16):
+        np.testing.assert_allclose(
+            scores[qi][pi[qi]], scores[qi][xi[qi]], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_bf16_compute_with_rescore(rng):
+    """bf16 scoring + exact rescore: scores exact, selection near-exact."""
+    cap, dim, k = 1024, 128, 8
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = np.ones(cap, dtype=bool)
+    fn = make_fused_topk(k, "bfloat16", interpret=True)
+    vals, idx = map(np.asarray, fn(Q, V, mask))
+    ovals, oidx, scores = oracle(Q, V, mask, k)
+    # rescore makes returned scores exact f32 for whatever was selected
+    for qi in range(8):
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idx[qi]], rtol=1e-5, atol=1e-6
+        )
+    # selection recall under bf16 noise stays high at this scale
+    recall = np.mean(
+        [len(set(idx[qi]) & set(oidx[qi])) / k for qi in range(8)]
+    )
+    assert recall >= 0.85
