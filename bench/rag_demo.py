@@ -1,0 +1,114 @@
+"""Text-RAG demo: chunk -> embed -> index -> query (+ self-retrieval check).
+
+Counterpart of the reference's text demos (bench/st_embedding.py,
+bench/local_embedding_index.py, bench/local_embedding_query.py,
+bench/hf_upserts.py, bench/hf_query.py) without their network/model
+downloads: embeds with the dependency-free HashingEmbedder by default, the
+on-TPU FlaxMeanPoolEncoder with --embedder flax, or sentence-transformers
+with --embedder st when installed. The self-retrieval pass mirrors the
+reference's recall-style mismatch counting (bench/hf_query.py:38-52).
+
+Usage:
+  python bench/rag_demo.py [--text path/to/book.txt] [--chunk 256]
+                           [--embedder hashing|flax|st] [--query "..."]
+"""
+
+import argparse
+import time
+
+import set_path  # noqa: F401
+from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS, K_VECTOR
+
+SAMPLE = """
+The archive keeps every observation the station has ever made: pressure
+readings from the pass, snow depth at the tree line, the slow migration of
+the glacier's terminus year over year. Researchers query it by similarity,
+not by key. A question about avalanche conditions in late spring pulls up
+field notes from three different decades. The index does not care when a
+note was written; it cares what the note is about.
+
+Down in the valley the weather is a different animal entirely. Rain shadows
+carve dry channels through otherwise soaked terrain, and the vineyard crews
+read humidity off the morning fog instead of any instrument. Their notes
+talk about budbreak, frost fans, and the smell of the soil after the first
+warm week. When the archive answers a valley question with a mountain note,
+someone files a correction, and the embeddings drift a little closer to the
+truth.
+
+Shipping manifests are the archive's third voice. Crates of instruments
+come up the switchback road twice a season: anemometers, radiosondes, spare
+solar panels, and once, famously, a crate of lemons mislabeled as optical
+filters. The manifest notes are terse and full of part numbers, nothing
+like the field journals, and the index learned quickly to keep them apart.
+
+The station cook keeps a log too. Bread rises slower at altitude; stews
+want an extra hour; the espresso machine needs a different grind when the
+front comes through. Nobody planned for the cook's log to enter the
+archive, but the researchers kept asking it questions — what did we eat
+during the storm of September? — and the answers kept being useful.
+"""
+
+
+def chunk_text(text: str, size: int):
+    text = " ".join(text.split())
+    return [text[i : i + size] for i in range(0, len(text), size) if text[i : i + size].strip()]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--text", help="path to a .txt corpus (default: built-in sample)")
+    p.add_argument("--chunk", type=int, default=256)
+    p.add_argument("--embedder", choices=["hashing", "flax", "st"], default="hashing")
+    p.add_argument("--dim", type=int, default=384)
+    p.add_argument("--query", default="what does the index do with questions")
+    p.add_argument("--topk", type=int, default=3)
+    args = p.parse_args()
+
+    text = open(args.text, encoding="utf-8").read() if args.text else SAMPLE
+    chunks = chunk_text(text, args.chunk)
+    print(f"{len(chunks)} chunks of ~{args.chunk} chars")
+
+    if args.embedder == "hashing":
+        from picovdb_tpu.models import HashingEmbedder
+
+        emb = HashingEmbedder(dim=args.dim)
+    elif args.embedder == "flax":
+        from picovdb_tpu.models import FlaxMeanPoolEncoder
+
+        emb = FlaxMeanPoolEncoder(dim=args.dim)
+    else:
+        from picovdb_tpu.models.torch_st import TorchSentenceEmbedder
+
+        emb = TorchSentenceEmbedder()
+        args.dim = emb.dim
+
+    t0 = time.perf_counter()
+    vecs = emb.embed(chunks)
+    print(f"embedding: {time.perf_counter() - t0:.2f} s")
+
+    db = PicoVectorDB(embedding_dim=args.dim, storage_file="rag_demo_db")
+    db.upsert(
+        [
+            {K_ID: f"chunk{i}", K_VECTOR: vecs[i], "text": chunks[i]}
+            for i in range(len(chunks))
+        ]
+    )
+    db.save()
+
+    res = db.query(emb.embed([args.query])[0], top_k=args.topk)
+    print(f"\nquery: {args.query!r}")
+    for r in res:
+        print(f"  {r[K_METRICS]:.3f} {r[K_ID]}: {r['text'][:90]}…")
+
+    # self-retrieval: each chunk's own embedding must rank itself first
+    # (the reference's mismatch counter, bench/hf_query.py:38-52)
+    mismatches = 0
+    results = db.query_batched(vecs, top_k=1)
+    for i, hits in enumerate(results):
+        if not hits or hits[0][K_ID] != f"chunk{i}":
+            mismatches += 1
+    print(f"\nself-retrieval mismatches: {mismatches}/{len(chunks)}")
+
+
+if __name__ == "__main__":
+    main()

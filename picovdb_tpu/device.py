@@ -225,8 +225,11 @@ class DeviceIndex:
             m = _pad_rows(np.ascontiguousarray(filter_mask, dtype=bool), self.cap)
             mask_dev = jax.device_put(m, self._mask_sharding())
 
+        # Dispatch with the exact k: the fused kernel's selection cost is
+        # linear in k (2 VPU passes per rank), so pow2 bucketing would cost
+        # up to ~60% extra selection work for a marginally smaller jit cache.
         k_eff = min(k, self.cap)
-        k_pad = min(next_pow2(k_eff), self.cap)
+        k_pad = k_eff
 
         if self.mesh is not None:
             from .parallel.sharded_query import make_sharded_topk

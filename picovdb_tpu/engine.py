@@ -332,11 +332,14 @@ class PicoVectorDB:
             report: dict[str, list[str]] = {"update": [], "insert": []}
             if not items:
                 return report
-            # Pass 1: validate and collect raw vectors, then normalize as one
-            # vectorized batch (the reference normalizes per item in Python).
-            raws = []
-            for item in items:
-                vec_raw = np.ascontiguousarray(item[K_VECTOR], dtype=Float)
+            # Pass 1: validate into one preallocated (n, dim) buffer, then
+            # normalize as a single vectorized batch. (The reference
+            # normalizes per item in Python, picovdb/pico_vdb.py:412-422;
+            # np.stack over 100k tiny arrays costs ~10 s on one core, row
+            # assignment into a buffer ~0.3 s.)
+            buf = np.empty((len(items), self.dim), dtype=Float)
+            for j, item in enumerate(items):
+                vec_raw = np.asarray(item[K_VECTOR], dtype=Float)
                 if vec_raw.ndim != 1:
                     raise ValueError(
                         f"upsert vector must be 1D with length {self.dim}; "
@@ -347,10 +350,10 @@ class PicoVectorDB:
                         f"upsert vector dim mismatch: expected {self.dim}, "
                         f"got {vec_raw.shape[0]}"
                     )
-                raws.append(vec_raw)
-            norm = normalize_batch(np.stack(raws))
+                buf[j] = vec_raw
+            norm = normalize_batch(buf)
 
-            new_vecs: list[np.ndarray] = []
+            new_rows: list[int] = []  # rows of `norm` appended at the end
             new_ids: list[str] = []
             new_docs: list[dict] = []
             new_active: list[int] = []
@@ -384,7 +387,7 @@ class PicoVectorDB:
                     else:
                         if self._capacity is not None:
                             raise ValueError("Database capacity exceeded")
-                        new_vecs.append(vec)
+                        new_rows.append(j)
                         new_ids.append(item_id)
                         new_docs.append(meta)
                         idx = len(self._ids) + len(new_ids) - 1
@@ -392,8 +395,8 @@ class PicoVectorDB:
                     self._id2idx[item_id] = idx
                     report["insert"].append(item_id)
             # bulk append ------------------------------------------------------
-            if new_vecs:
-                stacked = np.stack(new_vecs)
+            if new_rows:
+                stacked = norm[new_rows] if len(new_rows) != len(items) else norm
                 if not self._ids:
                     self._host_vectors = to_c_f32(stacked)
                 else:
