@@ -243,6 +243,26 @@ class PicoVectorDB:
             if self._id2idx:
                 self._dev.full_upload(self._host_vectors, self._active_mask)
                 self._last_sync_mode = "full"
+            # ANN sidecar: reuse the persisted index when it still matches,
+            # else retrain (the reference's read_index-or-rebuild behavior,
+            # picovdb/pico_vdb.py:260-283).
+            if self._index_kind != "exact" and self._id2idx:
+                blob = persistence.load_ann(self._path)
+                if blob is not None:
+                    try:
+                        from .ops.ivf import IVFIndex
+
+                        self._ivf = IVFIndex.from_blob(
+                            blob, np.asarray(self._host_vectors),
+                            self._active_mask, self.dim,
+                        )
+                    except Exception:
+                        self._ivf = None
+                if self._ivf is None and self._index_kind == "ivf":
+                    logger.warning(
+                        "ANN sidecar missing or stale; rebuilding"
+                    )
+                    self._rebuild_ann()
             self._dirty = False
             logger.info(
                 "Loaded %d active / %d total vectors", len(self._id2idx), count
@@ -994,14 +1014,21 @@ class PicoVectorDB:
             from .ops.ivf import IVFIndex, should_build
 
             n_active = len(self._id2idx)
-            if self._index_kind == "ivf" or (
-                self._index_kind == "auto" and should_build(n_active)
+            if n_active and (
+                self._index_kind == "ivf"
+                or (self._index_kind == "auto" and should_build(n_active))
             ):
+                warm = (
+                    self._ivf._host_blob["centroids"]
+                    if self._ivf is not None and self._ivf._host_blob
+                    else None
+                )
                 self._ivf = IVFIndex.build(
                     np.asarray(self._host_vectors[: len(self._ids)]),
                     self._active_mask,
                     nlist=self._ivf_nlist,
                     dim=self.dim,
+                    warm_centroids=warm,
                 )
             else:
                 self._ivf = None

@@ -1,0 +1,143 @@
+"""IVF-flat ANN tier: k-means layout, probed search, engine integration.
+
+Differential strategy mirrors the reference's FAISS-vs-NumPy parity test
+(tests/test_task14_faiss_vs_numpy_results.py): the ANN tier must match the
+exact path at high recall on clusterable data, degrade gracefully at low
+nprobe, persist and reload through the sidecar, and respect the ef_search
+knob mapping.
+"""
+
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+from picovdb_tpu.ops.ivf import IVFIndex, default_nlist, ef_to_nprobe
+from picovdb_tpu.utils import normalize_batch
+from conftest import make_items
+
+
+def clustered_data(rng, n, dim, n_clusters=16, spread=0.15):
+    """Synthetic clusterable corpus (random data doesn't cluster in high dim)."""
+    centers = normalize_batch(
+        rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    )
+    labels = rng.integers(0, n_clusters, size=n)
+    pts = centers[labels] + spread * rng.normal(size=(n, dim)).astype(np.float32)
+    return normalize_batch(pts), labels
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    """IVF's pallas kernel runs interpreted on the CPU test mesh."""
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_ivf_build_and_exact_recall(rng):
+    n, dim, k = 3000, 64, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    ivf = IVFIndex.build(vectors, mask, nlist=32, dim=dim)
+
+    queries = vectors[:16] + 0.01 * rng.normal(size=(16, dim)).astype(np.float32)
+    vals, slots = ivf.search(normalize_batch(queries), k, ef=64, dev=None)
+    assert vals.shape == (16, k) and slots.shape == (16, k)
+
+    # oracle over the full corpus
+    scores = normalize_batch(queries) @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(slots[i]) & set(oidx[i])) / k for i in range(16)]
+    )
+    assert recall >= 0.9, recall  # ef=64 -> nprobe=32 = all lists -> exact
+
+
+def test_ivf_nprobe_tradeoff(rng):
+    n, dim, k = 3000, 64, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    ivf = IVFIndex.build(vectors, mask, nlist=32, dim=dim)
+    queries = normalize_batch(
+        vectors[:8] + 0.01 * rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    scores = queries @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+
+    recalls = {}
+    for ef in (2, 64):
+        vals, slots = ivf.search(queries, k, ef=ef, dev=None)
+        recalls[ef] = np.mean(
+            [len(set(slots[i]) & set(oidx[i])) / k for i in range(8)]
+        )
+    assert recalls[64] >= recalls[2]
+    assert recalls[64] >= 0.9
+
+
+def test_ivf_respects_active_mask(rng):
+    n, dim = 1000, 32
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    mask[::2] = False  # half deleted
+    ivf = IVFIndex.build(vectors, mask, nlist=8, dim=dim)
+    q = normalize_batch(vectors[1][None])
+    vals, slots = ivf.search(q, 20, ef=16, dev=None)
+    live = slots[0][np.isfinite(vals[0])]
+    assert all(s % 2 == 1 for s in live), live  # only odd (active) slots
+
+
+def test_ef_to_nprobe_mapping():
+    assert ef_to_nprobe(2, 100) == 1
+    assert ef_to_nprobe(32, 100) == 16
+    assert ef_to_nprobe(10_000, 100) == 100
+    assert default_nlist(100_000) == int(2 * np.sqrt(100_000))
+
+
+def test_engine_ivf_integration(db_path, rng):
+    dim = 32
+    vectors, labels = clustered_data(rng, 600, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    db.upsert(
+        [
+            {K_ID: f"id{i}", K_VECTOR: vectors[i], "c": int(labels[i])}
+            for i in range(600)
+        ]
+    )
+    res = db.query(vectors[42], top_k=5, hnsw_ef_search=16)
+    assert db._last_topk_strategy == "ivf"
+    assert res[0][K_ID] == "id42"
+
+    # filtered queries bypass the ANN tier for exactness (same policy as the
+    # reference's faiss_ok gate, picovdb/pico_vdb.py:667-668)
+    resf = db.query(vectors[42], top_k=5, where={"c": int(labels[42])})
+    assert db._last_topk_strategy != "ivf"
+    assert all(r["c"] == int(labels[42]) for r in resf)
+
+    # deletions are respected after the lazy resync
+    db.delete(["id42"])
+    res2 = db.query(vectors[42], top_k=5)
+    assert all(r[K_ID] != "id42" for r in res2)
+
+
+def test_engine_ivf_sidecar_roundtrip(db_path, rng):
+    dim = 32
+    vectors, _ = clustered_data(rng, 400, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    db.upsert([{K_ID: f"id{i}", K_VECTOR: vectors[i]} for i in range(400)])
+    db.query(vectors[0], top_k=1)  # force sync + ANN build
+    db.save()
+    import os
+
+    assert os.path.exists(db_path + ".vecs.npy.ivf.npz")
+
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    assert db2._ivf is not None  # loaded from sidecar, no retrain
+    res = db2.query(vectors[7], top_k=1)
+    assert res[0][K_ID] == "id7"
+    assert db2._last_topk_strategy == "ivf"
