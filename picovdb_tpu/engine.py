@@ -622,8 +622,25 @@ class PicoVectorDB:
     def _assemble(
         self, vals, idxs, docs_ref, top_k, better_than, where
     ) -> list[list[dict[str, Any]]]:
-        """Materialize result dicts from device (scores, slot ids)."""
+        """Materialize result dicts from device (scores, slot ids).
+
+        Uses the native C++ loop (picovdb_tpu/native/hostops.cpp, ~10x the
+        Python loop) whenever no callable `where` needs re-applying.
+        """
         where_callable = callable(where)
+        if not where_callable:
+            from . import hostops
+
+            ext = hostops.get()
+            if ext is not None:
+                return ext.assemble(
+                    np.ascontiguousarray(vals, dtype=np.float32),
+                    np.ascontiguousarray(idxs, dtype=np.int32),
+                    docs_ref,
+                    K_METRICS,
+                    int(top_k),
+                    float(better_than) if better_than is not None else None,
+                )
         results_batch: list[list[dict[str, Any]]] = []
         n_slots = len(docs_ref)
         neg_inf = float("-inf")
