@@ -315,8 +315,13 @@ class PicoVectorDB:
             return len(self._id2idx)
 
     @timed("save")
-    def save(self) -> None:
-        """Persist atomically (tmp files + os.replace), overwriting existing."""
+    def save(self, shards: Optional[int] = None) -> None:
+        """Persist atomically (tmp files + os.replace), overwriting existing.
+
+        `shards=N` writes the matrix as N row-contiguous files (multi-host
+        layout, new in this framework); default keeps the reference's
+        single-file format. Loading auto-detects either.
+        """
         with self._rwlock.write_lock():
             if self._dirty:
                 self._sync_device_locked()
@@ -329,6 +334,7 @@ class PicoVectorDB:
                 self._host_vectors,
                 self.dim,
                 ann_blob=ann_blob,
+                n_shards=shards,
             )
 
     def flush(self) -> None:
@@ -911,6 +917,19 @@ class PicoVectorDB:
                         )
                     docs.append(rec)
             return docs
+
+    def profile_trace(self, log_dir: str):
+        """Context manager capturing a device profile around queries.
+
+        TPU counterpart of the reference's DEBUG timing logs (SURVEY.md §5
+        "Tracing"): wraps `jax.profiler.trace`, so kernel-level timelines of
+        whatever runs inside the block land in `log_dir` for TensorBoard /
+        xprof. Host-side op timings remain on the "picovdb_tpu" logger at
+        DEBUG level.
+        """
+        import jax
+
+        return jax.profiler.trace(log_dir)
 
     def stats(self) -> dict[str, Any]:
         """Database statistics, including on-disk file sizes and device info."""

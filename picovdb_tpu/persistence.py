@@ -34,7 +34,9 @@ _NPY_MAGIC = b"\x93NUMPY"
 
 
 def exists(base: str) -> bool:
-    return os.path.exists(ids_path(base)) and os.path.exists(vecs_path(base))
+    if not os.path.exists(ids_path(base)):
+        return False
+    return os.path.exists(vecs_path(base)) or bool(find_shards(base))
 
 
 def load_ids(base: str) -> list:
@@ -55,6 +57,10 @@ def load_meta(base: str, count: int) -> tuple[list, dict]:
 
 def load_vectors(base: str, count: int, dim: int, use_memmap: bool) -> np.ndarray:
     vpath = vecs_path(base)
+    if not os.path.exists(vpath):
+        sharded = load_vectors_sharded(base, dim)
+        if sharded is not None:
+            return sharded
     if not use_memmap:
         return to_c_f32(np.load(vpath))
     # Memmap path: prefer npy-aware memmap; fall back to raw (headerless)
@@ -88,8 +94,13 @@ def save_atomic(
     vectors: np.ndarray,
     embedding_dim: int,
     ann_blob: Optional[dict] = None,
+    n_shards: Optional[int] = None,
 ) -> None:
-    """Atomically persist ids/vectors/meta (+ optional ANN sidecar)."""
+    """Atomically persist ids/vectors/meta (+ optional ANN sidecar).
+
+    With `n_shards`, vectors are written as per-shard files (multi-host
+    layout) and a stale single-file matrix is removed — and vice versa.
+    """
     ids_file, vfile, mfile = ids_path(base), vecs_path(base), meta_path(base)
     tmp_ids = f"{ids_file}.tmp"
     tmp_vecs_base = f"{base}.vecs.tmp"  # np.save appends .npy
@@ -102,7 +113,9 @@ def save_atomic(
         with open(tmp_ids, "w", encoding="utf-8") as f:
             json.dump(ids, f, ensure_ascii=False)
 
-        if vectors_is_memmap:
+        if n_shards is not None and n_shards > 1:
+            save_vectors_sharded(base, np.asarray(vectors), n_shards)
+        elif vectors_is_memmap:
             vectors.flush()
         else:
             np.save(tmp_vecs_base, vectors)
@@ -120,8 +133,16 @@ def save_atomic(
                 np.savez(f, **ann_blob)
 
         os.replace(tmp_ids, ids_file)
-        if not vectors_is_memmap:
+        if n_shards is not None and n_shards > 1:
+            if os.path.exists(vfile):
+                os.remove(vfile)  # stale single-file matrix
+        elif not vectors_is_memmap:
             os.replace(tmp_vecs, vfile)
+            for stale in find_shards(base):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         os.replace(tmp_meta, mfile)
         if ann_blob is not None:
             os.replace(tmp_ann, ann_file)
@@ -133,6 +154,57 @@ def save_atomic(
                     os.remove(tmp)
                 except OSError:
                     pass
+
+
+def shard_path(base: str, i: int, n: int) -> str:
+    return f"{base}.vecs.shard{i:03d}of{n:03d}.npy"
+
+
+def save_vectors_sharded(base: str, vectors: np.ndarray, n_shards: int) -> list:
+    """Write the matrix as n_shards row-contiguous npy files (atomic each).
+
+    Multi-host layout (SURVEY.md §7.6): shard i holds rows
+    [i*ceil(N/n) : (i+1)*ceil(N/n)), matching a row-sharded Mesh so each
+    host of a pod can load only its own shard. Returns the final paths.
+    """
+    n = vectors.shape[0]
+    per = -(-n // n_shards) if n else 0
+    paths = []
+    for i in range(n_shards):
+        final = shard_path(base, i, n_shards)
+        tmp_base = f"{final[:-4]}.tmp"
+        np.save(tmp_base, np.ascontiguousarray(vectors[i * per : (i + 1) * per]))
+        os.replace(f"{tmp_base}.npy", final)
+        paths.append(final)
+    return paths
+
+
+def find_shards(base: str) -> list:
+    """Existing shard files for `base`, in order; [] when none."""
+    d = os.path.dirname(base) or "."
+    prefix = os.path.basename(base) + ".vecs.shard"
+    try:
+        names = sorted(
+            f for f in os.listdir(d)
+            if f.startswith(prefix) and f.endswith(".npy")
+        )
+    except OSError:
+        return []
+    return [os.path.join(d, f) for f in names]
+
+
+def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
+    """Concatenate shard files into one (N, dim) matrix; None when absent."""
+    paths = find_shards(base)
+    if not paths:
+        return None
+    parts = [np.load(p) for p in paths]
+    for p, arr in zip(paths, parts):
+        if arr.ndim != 2 or arr.shape[1] != dim:
+            raise ValueError(
+                f"shard {p} has shape {arr.shape}; expected (*, {dim})"
+            )
+    return to_c_f32(np.concatenate(parts, axis=0)) if len(parts) > 1 else to_c_f32(parts[0])
 
 
 def load_ann(base: str) -> Optional[dict]:

@@ -152,3 +152,28 @@ def test_reload_then_mutate_then_query(db_path, rng):
     db2.delete(["id7"])
     res2 = db2.query(vecs[7], top_k=8)
     assert all(r[K_ID] != "id7" for r in res2)
+
+
+def test_sharded_save_and_reload(db_path, rng):
+    """New capability: per-shard vector files (multi-host layout)."""
+    import glob
+
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 25, 8)
+    db.upsert(items)
+    db.save(shards=4)
+    shard_files = sorted(glob.glob(db_path + ".vecs.shard*.npy"))
+    assert len(shard_files) == 4
+    assert not os.path.exists(db_path + ".vecs.npy")
+
+    db2 = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    assert db2.count() == 25
+    res = db2.query(vecs[9], top_k=1)
+    assert res[0][K_ID] == "id9"
+
+    # switching back to single-file removes stale shards
+    db2.save()
+    assert os.path.exists(db_path + ".vecs.npy")
+    assert not glob.glob(db_path + ".vecs.shard*.npy")
+    db3 = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    assert db3.count() == 25
