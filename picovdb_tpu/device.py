@@ -63,13 +63,21 @@ class DeviceIndex:
         shard_axis: str = "shard",
         compute_dtype: Optional[str] = None,
         use_pallas: Optional[bool] = None,
+        storage_dtype: Optional[str] = None,
     ) -> None:
         self.dim = dim
         self.cap = 0
-        self.vectors = None  # jax.Array (cap, dim) float32
+        self.vectors = None  # jax.Array (cap, dim) in storage_dtype
         self.active = None  # jax.Array (cap,) bool
         self.mesh = mesh
         self.shard_axis = shard_axis
+        # bfloat16 storage halves HBM residency and sweep traffic; scoring
+        # accumulates in f32 and the winners are exact-rescored against the
+        # same storage, so ranking error stays ~1e-3 (guard band absorbs
+        # boundary flips). Host persistence remains float32 either way.
+        self.storage_dtype = storage_dtype or "float32"
+        if compute_dtype is None and self.storage_dtype == "bfloat16":
+            compute_dtype = "bfloat16"
         self.compute_dtype = compute_dtype
         self._device = device if device is not None else jax.devices()[0]
         platform = getattr(self._device, "platform", "cpu")
@@ -113,11 +121,21 @@ class DeviceIndex:
 
     # -- synchronization -------------------------------------------------------
 
+    def _storage_np_dtype(self):
+        if self.storage_dtype == "float32":
+            return Float
+        import ml_dtypes  # ships with jax
+
+        return np.dtype(getattr(ml_dtypes, self.storage_dtype))
+
     def full_upload(self, host_vectors: np.ndarray, active_np: np.ndarray) -> None:
         """Upload the whole corpus, growing padded capacity as needed."""
         n = host_vectors.shape[0]
         cap = max(self.cap, self._padded_cap(n))
-        vecs = _pad_rows(np.ascontiguousarray(host_vectors, dtype=Float), cap)
+        sdt = self._storage_np_dtype()
+        vecs = _pad_rows(
+            np.ascontiguousarray(np.asarray(host_vectors).astype(sdt)), cap
+        )
         mask = _pad_rows(np.ascontiguousarray(active_np, dtype=bool), cap)
         self.vectors = jax.device_put(vecs, self._row_sharding())
         self.active = jax.device_put(mask, self._mask_sharding())
@@ -151,7 +169,10 @@ class DeviceIndex:
             if pad_n != n:
                 rows = np.concatenate([rows, np.repeat(rows[-1:], pad_n - n, axis=0)])
             dev_rows = jax.device_put(
-                np.ascontiguousarray(rows, dtype=Float), self._replicated()
+                np.ascontiguousarray(
+                    np.asarray(rows).astype(self._storage_np_dtype())
+                ),
+                self._replicated(),
             )
             self.vectors = _scatter_rows(self.vectors, dev_idx, dev_rows)
         dev_act = jax.device_put(pad_act.astype(bool), self._replicated())

@@ -109,6 +109,7 @@ class PicoVectorDB:
         mesh=None,
         shard_axis: str = "shard",
         compute_dtype: Optional[str] = None,
+        storage_dtype: Optional[str] = None,
         use_pallas: Optional[bool] = None,
         index: Literal["auto", "exact", "ivf"] = "auto",
         ivf_nlist: Optional[int] = None,
@@ -184,6 +185,7 @@ class PicoVectorDB:
             shard_axis=shard_axis,
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
+            storage_dtype=storage_dtype,
         )
 
         # dirty tracking (device mirror out of sync with host state)

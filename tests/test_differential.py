@@ -98,3 +98,27 @@ def test_scores_are_cosine(db_path, rng):
     by_id = {r[K_ID]: r[K_METRICS] for r in res}
     assert by_id["a"] == pytest.approx(1.0, abs=1e-5)
     assert by_id["b"] == pytest.approx(cos_ab, abs=1e-5)
+
+
+def test_bf16_storage_mode(db_path, rng):
+    """bfloat16 device storage: same winners as f32 on separable data,
+    scores within bf16 tolerance (new capability, no reference analog)."""
+    dim, n = 32, 150
+    items, vecs = make_items(rng, n, dim)
+    db32 = PicoVectorDB(embedding_dim=dim, storage_file=db_path + "_f32")
+    db16 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_bf16",
+        storage_dtype="bfloat16",
+    )
+    db32.upsert(items)
+    db16.upsert(items)
+    res32 = db32.query(vecs[5], top_k=1)
+    res16 = db16.query(vecs[5], top_k=1)
+    assert res16[0][K_ID] == res32[0][K_ID] == "id5"
+    assert abs(res16[0][K_METRICS] - 1.0) < 5e-3
+    # persistence stays float32 regardless of device storage
+    db16.save()
+    import numpy as _np
+
+    stored = _np.load(db_path + "_bf16.vecs.npy")
+    assert stored.dtype == _np.float32
