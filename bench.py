@@ -39,6 +39,8 @@ def main() -> int:
     p.add_argument("--batch-size", type=int, default=8192)
     p.add_argument("--recall-sample", type=int, default=64)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--storage-dtype", default=None,
+                   help="device storage dtype (e.g. bfloat16)")
     p.add_argument("--check", action="store_true",
                    help="exit nonzero unless recall@10 >= 0.99")
     args = p.parse_args()
@@ -55,7 +57,8 @@ def main() -> int:
 
     with tempfile.TemporaryDirectory() as tmp:
         db = PicoVectorDB(
-            embedding_dim=args.dim, storage_file=f"{tmp}/bench", index="exact"
+            embedding_dim=args.dim, storage_file=f"{tmp}/bench", index="exact",
+            storage_dtype=args.storage_dtype
         )
         t0 = time.perf_counter()
         db.upsert(
@@ -135,7 +138,8 @@ def main() -> int:
         json.dumps(
             {
                 "metric": f"serving_batch_qps_{args.n}x{args.dim}d_"
-                          f"top{args.topk}_exact_recall{recall:.3f}",
+                          f"top{args.topk}_exact_recall{recall:.3f}"
+                          + (f"_{args.storage_dtype}" if args.storage_dtype else ""),
                 "value": round(serving_qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(serving_qps / baseline_qps, 2),

@@ -262,6 +262,9 @@ class DeviceIndex:
         elif self.use_pallas:
             from .ops.pallas_scan import make_fused_topk
 
+            # Under bf16 storage the rescore itself reads bf16 rows, so
+            # recall floors at ~0.994 regardless of guard width (measured:
+            # guard 4 vs 16 identical recall, 2.3x slower) — keep guard=4.
             fn = make_fused_topk(k_pad, self.compute_dtype)
             vals, idxs = fn(q_dev, self.vectors, mask_dev)
         else:

@@ -141,3 +141,49 @@ def test_engine_ivf_sidecar_roundtrip(db_path, rng):
     res = db2.query(vectors[7], top_k=1)
     assert res[0][K_ID] == "id7"
     assert db2._last_topk_strategy == "ivf"
+
+
+def test_corrupt_sidecar_triggers_rebuild(db_path, rng):
+    """Corrupt/missing ANN sidecar self-heals, like the reference's FAISS
+    load fallback (tests/test_task15_faiss_persist_load_safely.py)."""
+    dim = 32
+    vectors, _ = clustered_data(rng, 300, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    db.upsert([{K_ID: f"id{i}", K_VECTOR: vectors[i]} for i in range(300)])
+    db.query(vectors[0], top_k=1)
+    db.save()
+    with open(db_path + ".vecs.npy.ivf.npz", "wb") as f:
+        f.write(b"garbage not a zipfile")
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    res = db2.query(vectors[3], top_k=1)
+    assert res[0][K_ID] == "id3"
+
+
+def test_stale_sidecar_after_mutation_retrains(db_path, rng):
+    dim = 32
+    vectors, _ = clustered_data(rng, 200, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    db.upsert([{K_ID: f"id{i}", K_VECTOR: vectors[i]} for i in range(200)])
+    db.query(vectors[0], top_k=1)
+    db.save()
+    # mutate the store files out-of-band: delete an id from ids/meta
+    import json as _json
+
+    ids = _json.load(open(db_path + ".ids.json"))
+    meta = _json.load(open(db_path + ".meta.json"))
+    meta["data"][5] = None
+    _json.dump(ids, open(db_path + ".ids.json", "w"))
+    _json.dump(meta, open(db_path + ".meta.json", "w"))
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    assert db2.count() == 199
+    res = db2.query(vectors[6], top_k=3)
+    assert res[0][K_ID] == "id6"
+    assert all(r[K_ID] != "id5" for r in res)

@@ -115,3 +115,15 @@ def test_bf16_compute_with_rescore(rng):
         [len(set(idx[qi]) & set(oidx[qi])) / k for qi in range(8)]
     )
     assert recall >= 0.85
+
+
+def test_fused_topk_odd_dim(rng):
+    """Non-128-multiple dims: blocks fall back to full-array width."""
+    cap, dim, k = 1024, 100, 5
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = np.ones(cap, dtype=bool)
+    fn = make_fused_topk(k, None, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, V, mask))
+    ovals, oidx, _ = oracle(Q, V, mask, k)
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
