@@ -16,11 +16,23 @@ from contextlib import contextmanager
 
 
 class RWLock:
+    """Readers-coexist / writer-excludes lock.
+
+    Unlike the reference's `_RWLock`, this one detects the classic
+    self-deadlock (requesting the write lock while the same thread holds a
+    read lock) and raises instead of hanging — the suite's stand-in for the
+    race detectors the reference lacks (SURVEY.md §5 "Race detection").
+    """
+
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._readers = 0
         self._writer = False
+        self._local = threading.local()
+
+    def _read_depth(self) -> int:
+        return getattr(self._local, "read_depth", 0)
 
     @contextmanager
     def read_lock(self):
@@ -43,14 +55,21 @@ class RWLock:
             while self._writer:
                 self._cond.wait()
             self._readers += 1
+        self._local.read_depth = self._read_depth() + 1
 
     def release_read(self) -> None:
+        self._local.read_depth = max(0, self._read_depth() - 1)
         with self._cond:
             self._readers -= 1
             if self._readers == 0:
                 self._cond.notify_all()
 
     def acquire_write(self) -> None:
+        if self._read_depth() > 0:
+            raise RuntimeError(
+                "deadlock: write lock requested while this thread holds a "
+                "read lock"
+            )
         with self._cond:
             while self._writer or self._readers > 0:
                 self._cond.wait()

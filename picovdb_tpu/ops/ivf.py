@@ -138,17 +138,29 @@ class IVFIndex:
         vecs = np.ascontiguousarray(np.asarray(host_vectors)[act_rows],
                                     dtype=Float)
         dev_vecs = jax.device_put(vecs)
-        dev_mask = jax.device_put(np.ones(n_active, dtype=bool))
+        rng = np.random.default_rng(seed)
         if warm_centroids is not None and warm_centroids.shape == (nlist, dim):
             init = jax.device_put(np.ascontiguousarray(warm_centroids, Float))
             train_iters = max(0, min(iters, 2))  # refresh only; 0 = as saved
         else:
-            rng = np.random.default_rng(seed)
             pick = rng.choice(n_active, size=nlist, replace=False)
             init = dev_vecs[jnp.asarray(pick)]
             train_iters = iters
-        centroids = _kmeans(dev_vecs, dev_mask, init, nlist=nlist,
-                            iters=train_iters)
+        if train_iters:
+            # Train on a sample (the standard IVF recipe): Lloyd converges on
+            # ~50 points per list, so huge corpora don't pay full-sweep cost
+            # per iteration. Final assignment still uses every row.
+            n_train = min(n_active, max(nlist * 50, 10_000))
+            if n_train < n_active:
+                tr = np.sort(rng.choice(n_active, size=n_train, replace=False))
+                train_vecs = dev_vecs[jnp.asarray(tr)]
+            else:
+                train_vecs = dev_vecs
+            train_mask = jax.device_put(np.ones(train_vecs.shape[0], bool))
+            centroids = _kmeans(train_vecs, train_mask, init, nlist=nlist,
+                                iters=train_iters)
+        else:
+            centroids = init
         assign = np.asarray(_assign(dev_vecs, centroids))
 
         # cluster-contiguous reorder + tile padding

@@ -126,3 +126,25 @@ def test_queries_stable_under_concurrent_writes(db_path, rng):
     # store still coherent afterwards
     res = db.query(vecs[4], top_k=3)
     assert res
+
+
+def test_write_under_read_lock_raises():
+    """Self-deadlock detection (new: SURVEY.md §5 race-detection stand-in)."""
+    import pytest
+
+    lock = RWLock()
+    with lock.read_lock():
+        with pytest.raises(RuntimeError, match="deadlock"):
+            lock.acquire_write()
+    # after releasing the read lock, writing works
+    with lock.write_lock():
+        pass
+
+
+def test_reentrant_read_lock_allowed():
+    lock = RWLock()
+    with lock.read_lock():
+        with lock.read_lock():
+            pass
+    with lock.write_lock():
+        pass
