@@ -256,7 +256,11 @@ class DeviceIndex:
             from .parallel.sharded_query import make_sharded_topk
 
             fn = make_sharded_topk(
-                self.mesh, self.shard_axis, k_pad, self.compute_dtype
+                self.mesh,
+                self.shard_axis,
+                k_pad,
+                self.compute_dtype,
+                use_pallas=self.use_pallas,
             )
             vals, idxs = fn(q_dev, self.vectors, mask_dev)
         elif self.use_pallas:

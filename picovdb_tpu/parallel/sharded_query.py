@@ -60,9 +60,15 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
         rows_local = v.shape[0]
         k_local = min(k, rows_local)
         if use_pallas:
-            from ..ops.pallas_scan import fused_topk
+            from ..ops.pallas_scan import fused_topk, rescore_exact
 
-            vals, idx = fused_topk(q, v, m, k_local, compute_dtype)
+            # guard + exact rescore against local rows, mirroring
+            # make_fused_topk: packed-key quantization must not leak into
+            # the cross-shard merge.
+            k_sel = min(k_local + 4, rows_local)
+            vals, idx = fused_topk(q, v, m, k_sel, compute_dtype)
+            vals, idx = rescore_exact(q, v, vals, idx)
+            vals, idx = vals[:, :k_local], idx[:, :k_local]
         else:
             vals, idx = exact_topk(q, v, m, k_local, compute_dtype)
         base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
@@ -73,6 +79,10 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
         mesh=mesh,
         in_specs=(q_spec, P(shard_axis, None), P(shard_axis)),
         out_specs=(P(out_q, shard_axis), P(out_q, shard_axis)),
+        # pallas_call outputs carry no varying-mesh-axes metadata yet; the
+        # out_specs above declare the sharding explicitly, so the check is
+        # safe to skip on the kernel path.
+        check_vma=not use_pallas,
     )
 
     def merged(q, v, m):
