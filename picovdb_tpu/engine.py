@@ -610,7 +610,12 @@ class PicoVectorDB:
                     return [] if is_single else [[] for _ in range(num_q)]
             else:
                 n_cand = len(self._id2idx)
-            base = top_k + self._adaptive_buffer if filtered else top_k
+            # Over-fetch is only needed when assembly can still reject hits:
+            # callable `where` is re-applied there (reference semantics,
+            # picovdb/pico_vdb.py:769), while dict/ids filters are already
+            # exact device-side masks. Selection cost is linear in k, so
+            # don't pay the buffer when nothing can be rejected.
+            base = top_k + self._adaptive_buffer if callable(where) else top_k
             k_eff = min(base, n_cand)
             self._last_k_eff = int(k_eff)
             vals, idxs = self._dispatch_query(
@@ -745,7 +750,7 @@ class PicoVectorDB:
             )
             if n_cand == 0:
                 return [[] for _ in range(num_q)]
-            base = top_k + self._adaptive_buffer if filtered else top_k
+            base = top_k + self._adaptive_buffer if callable(where) else top_k
             k_eff = min(base, n_cand)
             self._last_k_eff = int(k_eff)
             pending = []

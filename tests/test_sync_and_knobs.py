@@ -107,7 +107,11 @@ def test_last_k_eff_reflects_filters(db_path, rng):
     db.upsert(items)
     db.query(vecs[0], top_k=5)
     assert db._last_k_eff == 5  # unfiltered: k_eff == top_k
+    # dict filters are exact device-side masks: no over-fetch needed
     db.query(vecs[0], top_k=5, where={"tag": 0})
+    assert db._last_k_eff == 5
+    # callable where is re-applied during assembly -> adaptive buffer
+    db.query(vecs[0], top_k=5, where=lambda d: d["tag"] == 0)
     assert db._last_k_eff == 9  # top_k + adaptive_buffer
     db.query(vecs[0], top_k=5, ids=["id1", "id2", "id3"])
     assert db._last_k_eff == 3  # clamped to candidate count
