@@ -44,13 +44,12 @@ NEG_INF = float(np.finfo(np.float32).min)  # in-kernel score sentinel
 KEY_MIN = -(2**31)  # packed-key sentinel (below any real key); plain int so
 # importing this module never touches a JAX backend.
 
-# Tile sizes: QT queries x BN corpus rows per grid step. For dim=1024 f32:
-# QT*dim*4 (Q tile) + 2*BN*dim*4 (double-buffered V tile) + QT*BN*4 (scores)
-# + QT*BN*4 (keys) ≈ 1 + 8 + 1 + 1 = 11 MB of ~16 MB VMEM. Measured on
-# v5e: (256, 1024) beats (256, 512) by ~35% (fewer grid cells / DMAs);
-# (512, 1024) and (256, 2048) exceed VMEM.
+# Tile sizes: QT queries x BN corpus rows per grid step. BN is a ceiling;
+# the actual block is chosen per (dim, dtype, k) by `_pick_bn`'s VMEM budget
+# model — e.g. dim=1024 f32 lands on 1024 (measured 35% over 512 on v5e),
+# bf16 storage or smaller dims unlock 2048.
 DEFAULT_QT = 256
-DEFAULT_BN = 1024
+DEFAULT_BN = 2048
 
 
 def _to_sortable(bits_i32):
@@ -156,6 +155,29 @@ def _scan_kernel(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int, bn: int,
     idx_ref[...] = idx
 
 
+def _pick_bn(dim: int, qt: int, k: int, v_itemsize: int, cap: int,
+             bn_max: int) -> int:
+    """Largest corpus block fitting the VMEM budget (fewer blocks = fewer
+    grid cells and DMA setups; measured +35% at dim=1024 going 512->1024).
+
+    Budget model: query tile + double-buffered corpus tile + scores + packed
+    keys, against ~13 MB of the ~16 MB VMEM (headroom for the ladder's loop
+    carries — k > 16 ladders additionally cap at 512, where the unrolled
+    carry allocations were measured to blow the scoped-vmem stack).
+    """
+    budget = 13 * 2**20
+    q_bytes = qt * dim * 4
+    for bn in (2048, 1024, 512, 256, 128):
+        if bn > bn_max or bn > cap or cap % bn:
+            continue
+        if k > 16 and bn > 512:
+            continue
+        use = q_bytes + 2 * bn * dim * v_itemsize + 2 * qt * bn * 4
+        if use <= budget:
+            return bn
+    return cap if cap % 128 else 128
+
+
 def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
                qt: int = DEFAULT_QT, bn: int = DEFAULT_BN):
     """Exact masked cosine top-k over the corpus, fused in one Pallas kernel.
@@ -172,16 +194,7 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
     num_q, dim = queries.shape
     cap = vectors.shape[0]
     qt = min(qt, num_q)
-    if k > 16 and bn > 512:
-        bn = 512  # large-k ladders exceed the VMEM stack at bn=1024
-    bn = min(bn, cap)
-    if cap % bn:
-        for cand in (1024, 512, 256, 128):
-            if cand <= bn and cap % cand == 0:
-                bn = cand
-                break
-        else:
-            bn = cap
+    bn = _pick_bn(dim, qt, k, vectors.dtype.itemsize, cap, bn)
     assert cap % bn == 0, (cap, bn)
     assert num_q % qt == 0, (num_q, qt)
     n_tiles = cap // bn
