@@ -34,7 +34,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000)
     p.add_argument("--dim", type=int, default=1024)
-    p.add_argument("--queries", type=int, default=8192)
+    p.add_argument("--queries", type=int, default=32768)
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=8192)
     p.add_argument("--recall-sample", type=int, default=64)

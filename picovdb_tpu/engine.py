@@ -759,6 +759,7 @@ class PicoVectorDB:
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask))
             docs_ref = list(self._docs)
 
+        _start_host_copies(pending)
         out: list[list[dict[str, Any]]] = []
         for vals_dev, idxs_dev, nq, ke in pending:
             vals = np.asarray(vals_dev)[:nq, :ke]
@@ -826,6 +827,7 @@ class PicoVectorDB:
             ids_arr = self._ids_array()
             docs_len = len(self._docs)
 
+        _start_host_copies(pending)
         out_ids = np.full((num_q, top_k), None, dtype=object)
         out_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
         row = 0
@@ -1078,3 +1080,13 @@ class PicoVectorDB:
         except Exception:  # pragma: no cover - ANN tier is optional
             logger.warning("ANN tier build failed; staying exact", exc_info=True)
             self._ivf = None
+
+def _start_host_copies(pending) -> None:
+    """Kick off async device->host copies for all pending result chunks so
+    the per-chunk transfer round trips overlap instead of serializing."""
+    for vals_dev, idxs_dev, _, _ in pending:
+        for arr in (vals_dev, idxs_dev):
+            try:
+                arr.copy_to_host_async()
+            except Exception:  # pragma: no cover
+                return
