@@ -387,6 +387,7 @@ class PicoVectorDB:
             new_active: list[int] = []
             touched_idx: list[int] = []
             touched_docs: list[dict] = []
+            pending_pos: dict[str, int] = {}  # id -> position in new_rows
             for j, item in enumerate(items):
                 vec = norm[j]
                 meta = {k: v for k, v in item.items() if k != K_VECTOR}
@@ -396,12 +397,22 @@ class PicoVectorDB:
                 meta[K_ID] = item_id
                 if item_id in self._id2idx:
                     idx = self._id2idx[item_id]
-                    self._host_vectors[idx] = vec
-                    self._docs[idx] = meta
+                    if idx >= len(self._ids):
+                        # duplicate id within this batch whose first
+                        # occurrence is a pending append: redirect that
+                        # pending row instead of writing out of bounds (the
+                        # reference would IndexError here,
+                        # picovdb/pico_vdb.py:429-431).
+                        pos = pending_pos[item_id]
+                        new_rows[pos] = j
+                        new_docs[pos] = meta
+                    else:
+                        self._host_vectors[idx] = vec
+                        self._docs[idx] = meta
+                        self._pending_add.add(idx)
+                        touched_idx.append(idx)
+                        touched_docs.append(meta)
                     report["update"].append(item_id)
-                    self._pending_add.add(idx)
-                    touched_idx.append(idx)
-                    touched_docs.append(meta)
                 else:
                     if self._free:
                         idx = self._free.pop()
@@ -415,6 +426,7 @@ class PicoVectorDB:
                     else:
                         if self._capacity is not None:
                             raise ValueError("Database capacity exceeded")
+                        pending_pos[item_id] = len(new_rows)
                         new_rows.append(j)
                         new_ids.append(item_id)
                         new_docs.append(meta)

@@ -129,3 +129,44 @@ def test_query_one_alias(db_path, rng):
     res = db.query_one(vecs[4], top_k=2)
     assert res[0][K_ID] == "id4"
     assert isinstance(res[0], dict)
+
+
+def test_duplicate_id_within_one_batch(db_path, rng):
+    """Last occurrence wins when one upsert batch repeats an id (the
+    reference IndexErrors on this, picovdb/pico_vdb.py:429-431)."""
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    v1 = rng.normal(size=8).astype(np.float32)
+    v2 = rng.normal(size=8).astype(np.float32)
+    rep = db.upsert([
+        {K_ID: "dup", K_VECTOR: v1, "gen": 1},
+        {K_ID: "dup", K_VECTOR: v2, "gen": 2},
+    ])
+    assert rep["insert"] == ["dup"]
+    assert rep["update"] == ["dup"]
+    assert db.count() == 1
+    res = db.query(v2, top_k=1)
+    assert res[0][K_ID] == "dup"
+    assert res[0]["gen"] == 2
+    assert res[0][K_METRICS] > 0.999
+
+
+def test_empty_ids_filter_returns_empty(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 5, 8)
+    db.upsert(items)
+    assert db.query(vecs[0], top_k=3, ids=[]) == []
+    assert db.query(vecs[:2], top_k=3, ids=[]) == [[], []]
+
+
+def test_get_all_both_flags(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, _ = make_items(rng, 4, 8)
+    db.upsert(items)
+    db.delete(["id2"])
+    recs = db.get_all(include_vector=True, include_deleted=True)
+    assert len(recs) == 4
+    for r in recs:
+        if r[K_ID] == "id2":
+            assert K_VECTOR not in r  # deleted placeholder stays bare
+        else:
+            assert r[K_VECTOR].shape == (8,)
