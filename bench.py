@@ -41,6 +41,8 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--storage-dtype", default=None,
                    help="device storage dtype (e.g. bfloat16)")
+    p.add_argument("--scan-mode", default="auto",
+                   choices=["auto", "fused", "approx", "xla"])
     p.add_argument("--check", action="store_true",
                    help="exit nonzero unless recall@10 >= 0.99")
     args = p.parse_args()
@@ -58,7 +60,7 @@ def main() -> int:
     with tempfile.TemporaryDirectory() as tmp:
         db = PicoVectorDB(
             embedding_dim=args.dim, storage_file=f"{tmp}/bench", index="exact",
-            storage_dtype=args.storage_dtype
+            storage_dtype=args.storage_dtype, scan_mode=args.scan_mode
         )
         t0 = time.perf_counter()
         db.upsert(
@@ -138,7 +140,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": f"serving_batch_qps_{args.n}x{args.dim}d_"
-                          f"top{args.topk}_exact_recall{recall:.3f}"
+                          f"top{args.topk}_{args.scan_mode}_recall{recall:.3f}"
                           + (f"_{args.storage_dtype}" if args.storage_dtype else ""),
                 "value": round(serving_qps, 1),
                 "unit": "qps",

@@ -64,6 +64,7 @@ class DeviceIndex:
         compute_dtype: Optional[str] = None,
         use_pallas: Optional[bool] = None,
         storage_dtype: Optional[str] = None,
+        scan_mode: str = "auto",
     ) -> None:
         self.dim = dim
         self.cap = 0
@@ -84,6 +85,16 @@ class DeviceIndex:
         if use_pallas is None:
             use_pallas = platform == "tpu"
         self.use_pallas = use_pallas
+        # Single-device scan strategy:
+        #   fused  — Pallas kernel, exact, no (Q, cap) score matrix in HBM
+        #   approx — XLA matmul + lax.approx_max_k + exact rescore (~2x the
+        #            fused throughput at large Q; recall >= its target, and
+        #            exact on CPU where approx_max_k falls back to top_k)
+        #   xla    — XLA matmul + exact lax.top_k
+        #   auto   — fused on TPU, xla elsewhere (current default behavior)
+        assert scan_mode in ("auto", "fused", "approx", "xla"), scan_mode
+        self.scan_mode = scan_mode
+        self.last_strategy: Optional[str] = None
         # Introspection: how the last device synchronization was applied
         # ("scatter" | "full" | None) — analog of the reference's
         # `_last_faiss_rebuild_mode` ("incremental" | "full").
@@ -262,17 +273,25 @@ class DeviceIndex:
                 self.compute_dtype,
                 use_pallas=self.use_pallas,
             )
-            vals, idxs = fn(q_dev, self.vectors, mask_dev)
-        elif self.use_pallas:
+            self.last_strategy = "sharded_scan"
+        elif self.scan_mode == "approx":
+            from .ops.exact import make_approx_topk
+
+            fn = make_approx_topk(k_pad, self.compute_dtype)
+            self.last_strategy = "xla_approx"
+        elif self.scan_mode == "fused" or (
+            self.scan_mode == "auto" and self.use_pallas
+        ):
             from .ops.pallas_scan import make_fused_topk
 
             # Under bf16 storage the rescore itself reads bf16 rows, so
             # recall floors at ~0.994 regardless of guard width (measured:
             # guard 4 vs 16 identical recall, 2.3x slower) — keep guard=4.
             fn = make_fused_topk(k_pad, self.compute_dtype)
-            vals, idxs = fn(q_dev, self.vectors, mask_dev)
+            self.last_strategy = "pallas_fused"
         else:
             fn = make_exact_topk(k_pad, self.compute_dtype)
-            vals, idxs = fn(q_dev, self.vectors, mask_dev)
+            self.last_strategy = "xla_topk"
+        vals, idxs = fn(q_dev, self.vectors, mask_dev)
 
         return vals, idxs, num_q, k_eff

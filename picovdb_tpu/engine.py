@@ -111,6 +111,7 @@ class PicoVectorDB:
         compute_dtype: Optional[str] = None,
         storage_dtype: Optional[str] = None,
         use_pallas: Optional[bool] = None,
+        scan_mode: Literal["auto", "fused", "approx", "xla"] = "auto",
         index: Literal["auto", "exact", "ivf"] = "auto",
         ivf_nlist: Optional[int] = None,
         ivf_nprobe: Optional[int] = None,
@@ -186,6 +187,7 @@ class PicoVectorDB:
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
             storage_dtype=storage_dtype,
+            scan_mode=scan_mode,
         )
 
         # dirty tracking (device mirror out of sync with host state)
@@ -1015,12 +1017,7 @@ class PicoVectorDB:
             self._last_topk_strategy = "ivf"
             return vals, idxs
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask)
-        if self._dev.mesh is not None:
-            self._last_topk_strategy = "sharded_scan"
-        elif self._dev.use_pallas:
-            self._last_topk_strategy = "pallas_fused"
-        else:
-            self._last_topk_strategy = "xla_topk"
+        self._last_topk_strategy = self._dev.last_strategy
         return vals, idxs
 
     def _sync_device_locked(self) -> None:

@@ -122,3 +122,31 @@ def test_bf16_storage_mode(db_path, rng):
 
     stored = _np.load(db_path + "_bf16.vecs.npy")
     assert stored.dtype == _np.float32
+
+
+def test_scan_modes_agree(db_path, rng):
+    """All single-device scan modes return the same results (approx_max_k
+    is exact on CPU; on TPU it honors its recall target + rescore)."""
+    dim, n = 16, 120
+    items, vecs = make_items(rng, n, dim)
+    results = {}
+    for mode in ("xla", "approx", "fused"):
+        db = PicoVectorDB(
+            embedding_dim=dim, storage_file=db_path + mode, scan_mode=mode,
+            use_pallas=(mode == "fused"),
+        )
+        db.upsert(items)
+        if mode == "fused":
+            from jax.experimental.pallas import tpu as pltpu
+
+            with pltpu.force_tpu_interpret_mode():
+                results[mode] = db.query(vecs[:4], top_k=5)
+        else:
+            results[mode] = db.query(vecs[:4], top_k=5)
+        assert db._last_topk_strategy in (
+            "xla_topk", "xla_approx", "pallas_fused"
+        )
+    ids_by_mode = {
+        m: [[h[K_ID] for h in row] for row in r] for m, r in results.items()
+    }
+    assert ids_by_mode["xla"] == ids_by_mode["approx"] == ids_by_mode["fused"]
