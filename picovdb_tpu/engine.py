@@ -941,6 +941,26 @@ class PicoVectorDB:
                     docs.append(rec)
             return docs
 
+    def last_query_debug(self) -> dict[str, Any]:
+        """Introspection snapshot of the most recent query's execution.
+
+        The TPU analog of the reference's `_last_topk_strategy`/`_last_k_eff`
+        debug fields (picovdb/pico_vdb.py:165-167, 203-204), bundled for
+        tooling (SURVEY.md §7.8).
+        """
+        with self._rwlock.read_lock():
+            return {
+                "strategy": self._last_topk_strategy,
+                "k_eff": self._last_k_eff,
+                "sync_mode": self._last_sync_mode,
+                "dirty": self._dirty,
+                "device_capacity": self._dev.cap,
+                "scan_mode": self._dev.scan_mode,
+                "storage_dtype": self._dev.storage_dtype,
+                "index_kind": self._index_kind,
+                "ann_active": self._ivf is not None,
+            }
+
     def profile_trace(self, log_dir: str):
         """Context manager capturing a device profile around queries.
 
@@ -1013,7 +1033,9 @@ class PicoVectorDB:
                 if hnsw_ef_search is not None
                 else int(ef_search) if ef_search is not None else self._ef_search
             )
-            vals, idxs = self._ivf.search(vecs, k_eff, ef, self._dev)
+            vals, idxs = self._ivf.search(
+                vecs, k_eff, ef, self._dev, nprobe=self._ivf_nprobe
+            )
             self._last_topk_strategy = "ivf"
             return vals, idxs
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask)

@@ -249,9 +249,16 @@ class IVFIndex:
 
     # -- search ----------------------------------------------------------------
 
-    def search(self, queries, k: int, ef: int, dev) -> Tuple[np.ndarray, np.ndarray]:
-        """Probed masked top-k; returns host (vals, slot_ids) of (Q, k)."""
-        nprobe = ef_to_nprobe(ef, self.nlist)
+    def search(self, queries, k: int, ef: int, dev,
+               nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Probed masked top-k; returns host (vals, slot_ids) of (Q, k).
+
+        `nprobe` overrides the ef->nprobe mapping when given (the engine's
+        `ivf_nprobe` ctor knob).
+        """
+        if nprobe is None:
+            nprobe = ef_to_nprobe(ef, self.nlist)
+        nprobe = int(max(1, min(self.nlist, nprobe)))
         num_q = queries.shape[0]
         q_pad = max(8, next_pow2(num_q))
         if isinstance(queries, np.ndarray):

@@ -158,3 +158,34 @@ def test_compat_knobs_accepted(db_path):
         embedding_dim=8, storage_file=db_path + "b", ef_search_default=48
     )
     assert db2._ef_search == 48
+
+
+def test_last_query_debug(db_path, rng):
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 10, 8)
+    db.upsert(items)
+    db.query(vecs[0], top_k=3)
+    dbg = db.last_query_debug()
+    assert dbg["strategy"] in ("xla_topk", "pallas_fused", "sharded_scan", "ivf")
+    assert dbg["k_eff"] == 3
+    assert dbg["sync_mode"] in ("full", "incremental")
+    assert dbg["dirty"] is False
+    assert dbg["scan_mode"] == "auto"
+
+
+def test_ivf_nprobe_ctor_override(db_path, rng):
+    """ivf_nprobe pins the probe width regardless of ef knobs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    centers = rng.normal(size=(8, 16)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 8, 300)]
+            + 0.1 * rng.normal(size=(300, 16))).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        db = PicoVectorDB(
+            embedding_dim=16, storage_file=db_path, index="ivf",
+            ivf_nlist=8, ivf_nprobe=8,  # probe everything -> exact
+        )
+        db.upsert([{K_ID: f"x{i}", K_VECTOR: vecs[i]} for i in range(300)])
+        res = db.query(vecs[33], top_k=1, ef_search=1)
+        assert res[0][K_ID] == "x33"
+        assert db._last_topk_strategy == "ivf"
