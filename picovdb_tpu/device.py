@@ -139,16 +139,40 @@ class DeviceIndex:
 
         return np.dtype(getattr(ml_dtypes, self.storage_dtype))
 
+    # Above this many rows, full uploads stream chunk-by-chunk into a
+    # device-resident buffer (donated scatters), so a memmapped corpus
+    # larger than host RAM never materializes on the host (SURVEY.md §7.6
+    # "memmap streaming host->HBM").
+    STREAM_CHUNK_ROWS = 262_144
+
     def full_upload(self, host_vectors: np.ndarray, active_np: np.ndarray) -> None:
         """Upload the whole corpus, growing padded capacity as needed."""
         n = host_vectors.shape[0]
         cap = max(self.cap, self._padded_cap(n))
         sdt = self._storage_np_dtype()
-        vecs = _pad_rows(
-            np.ascontiguousarray(np.asarray(host_vectors).astype(sdt)), cap
-        )
         mask = _pad_rows(np.ascontiguousarray(active_np, dtype=bool), cap)
-        self.vectors = jax.device_put(vecs, self._row_sharding())
+        stream = n > self.STREAM_CHUNK_ROWS and self.mesh is None
+        if stream:
+            buf = jax.device_put(
+                jnp.zeros((cap, self.dim), dtype=jnp.dtype(sdt)), self._device
+            )
+            chunk = self.STREAM_CHUNK_ROWS
+            for start in range(0, n, chunk):
+                rows = np.ascontiguousarray(
+                    np.asarray(host_vectors[start : start + chunk]).astype(sdt)
+                )
+                idx = np.arange(start, start + rows.shape[0], dtype=np.int32)
+                buf = _scatter_rows(
+                    buf,
+                    jax.device_put(idx, self._device),
+                    jax.device_put(rows, self._device),
+                )
+            self.vectors = buf
+        else:
+            vecs = _pad_rows(
+                np.ascontiguousarray(np.asarray(host_vectors).astype(sdt)), cap
+            )
+            self.vectors = jax.device_put(vecs, self._row_sharding())
         self.active = jax.device_put(mask, self._mask_sharding())
         self.cap = cap
         self.last_sync_mode = "full"

@@ -177,3 +177,22 @@ def test_sharded_save_and_reload(db_path, rng):
     assert not glob.glob(db_path + ".vecs.shard*.npy")
     db3 = PicoVectorDB(embedding_dim=8, storage_file=db_path)
     assert db3.count() == 25
+
+
+def test_streaming_full_upload(db_path, rng, monkeypatch):
+    """Chunked host->HBM upload path returns identical query results."""
+    from picovdb_tpu.device import DeviceIndex
+
+    monkeypatch.setattr(DeviceIndex, "STREAM_CHUNK_ROWS", 16)
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 100, 8)
+    db.upsert(items)
+    res = db.query(vecs[37], top_k=3)  # triggers streamed upload (100 > 16)
+    assert res[0][K_ID] == "id37"
+    assert db._dev.cap >= 100
+    # streamed and non-streamed mirrors agree
+    monkeypatch.setattr(DeviceIndex, "STREAM_CHUNK_ROWS", 1_000_000)
+    db2 = PicoVectorDB(embedding_dim=8, storage_file=db_path + "b")
+    db2.upsert(items)
+    res2 = db2.query(vecs[37], top_k=3)
+    assert [r[K_ID] for r in res] == [r[K_ID] for r in res2]
