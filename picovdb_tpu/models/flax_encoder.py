@@ -15,7 +15,7 @@ needed.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -45,7 +45,6 @@ from .pallas_scan import (
     KEY_MIN,
     NEG_INF,
     _from_sortable,
-    _scan_kernel,
     rescore_exact,
 )
 
