@@ -635,7 +635,6 @@ class PicoVectorDB:
             vals, idxs = self._dispatch_query(
                 vecs, k_eff, filter_mask, ef_search, hnsw_ef_search
             )
-            ids_ref = self._ids
             docs_ref = list(self._docs)
 
         # Assembly outside the lock on snapshots (reference:
@@ -651,8 +650,9 @@ class PicoVectorDB:
     ) -> list[list[dict[str, Any]]]:
         """Materialize result dicts from device (scores, slot ids).
 
-        Uses the native C++ loop (picovdb_tpu/native/hostops.cpp, ~10x the
-        Python loop) whenever no callable `where` needs re-applying.
+        Uses the native C++ loop (picovdb_tpu/native/hostops.cpp, ~1.6x the
+        Python loop — dict copies dominate either way) whenever no callable
+        `where` needs re-applying.
         """
         where_callable = callable(where)
         if not where_callable:
