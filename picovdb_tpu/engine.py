@@ -36,6 +36,7 @@ Known deviations from the reference (documented intentionally):
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import warnings
@@ -329,6 +330,21 @@ class PicoVectorDB:
         with self._rwlock.write_lock():
             if self._dirty:
                 self._sync_device_locked()
+            if (
+                shards is not None
+                and shards > 1
+                and isinstance(self._host_vectors, np.memmap)
+            ):
+                # A sharded save replaces the single-file matrix; converting
+                # first keeps the live store from writing to an unlinked
+                # inode (POSIX) or failing the remove (Windows). Memmap mode
+                # ends here — documented deviation.
+                logger.warning(
+                    "Sharded save converts a memmapped store to an in-memory "
+                    "array; memmap mode ends for this instance."
+                )
+                self._host_vectors = np.array(self._host_vectors)
+                self._use_memmap = False
             ann_blob = self._ivf.to_blob() if self._ivf is not None else None
             persistence.save_atomic(
                 self._path,
@@ -605,14 +621,7 @@ class PicoVectorDB:
 
         # Lazy device synchronization (write lock), mirroring the reference's
         # lazy FAISS rebuild upgrade (picovdb/pico_vdb.py:660-665).
-        with self._rwlock.read_lock():
-            needs_sync = self._dirty
-        if needs_sync:
-            with self._rwlock.write_lock():
-                if self._dirty:
-                    self._sync_device_locked()
-
-        with self._rwlock.read_lock():
+        with self._synced_read():
             if not self._id2idx:
                 return [] if is_single else [[] for _ in range(num_q)]
             filtered = ids is not None or where is not None
@@ -746,14 +755,7 @@ class PicoVectorDB:
             )
         num_q = vecs.shape[0]
 
-        with self._rwlock.read_lock():
-            needs_sync = self._dirty
-        if needs_sync:
-            with self._rwlock.write_lock():
-                if self._dirty:
-                    self._sync_device_locked()
-
-        with self._rwlock.read_lock():
+        with self._synced_read():
             if not self._id2idx:
                 return [[] for _ in range(num_q)]
             filtered = ids is not None or where is not None
@@ -813,16 +815,9 @@ class PicoVectorDB:
             )
         num_q = vecs.shape[0]
 
-        with self._rwlock.read_lock():
-            needs_sync = self._dirty
-        if needs_sync:
-            with self._rwlock.write_lock():
-                if self._dirty:
-                    self._sync_device_locked()
-
         empty_ids = np.full((num_q, top_k), None, dtype=object)
         empty_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
-        with self._rwlock.read_lock():
+        with self._synced_read():
             if not self._id2idx:
                 return empty_ids, empty_scores
             filtered = ids is not None or where is not None
@@ -1001,6 +996,25 @@ class PicoVectorDB:
     # Internals
     # ------------------------------------------------------------------
 
+    @contextlib.contextmanager
+    def _synced_read(self):
+        """Read lock over a guaranteed-current device mirror.
+
+        Re-checks the dirty flag *inside* the read lock and loops back to the
+        sync step when a concurrent writer mutated between releasing the
+        write lock and acquiring the read lock — without this, a writer that
+        appends rows in that window leaves len(_ids) beyond the mirror's
+        capacity and the filtered path would np.pad with a negative width.
+        """
+        while True:
+            with self._rwlock.read_lock():
+                if not self._dirty:
+                    yield
+                    return
+            with self._rwlock.write_lock():
+                if self._dirty:
+                    self._sync_device_locked()
+
     def _build_filter_mask(
         self, where: WhereArg, ids: Optional[list[str]]
     ) -> np.ndarray:
@@ -1028,6 +1042,13 @@ class PicoVectorDB:
             and self._index_kind != "exact"
         )
         if use_ann:
+            # The IVF kernel's running top-k is bounded by its scan block
+            # (same constraint as the fused kernel, see
+            # ops/pallas_scan.py:fused_topk); very wide k goes exact.
+            from .ops.ivf import IVF_BN
+
+            use_ann = k_eff + 4 <= IVF_BN
+        if use_ann:
             ef = (
                 int(hnsw_ef_search)
                 if hnsw_ef_search is not None
@@ -1042,12 +1063,15 @@ class PicoVectorDB:
         self._last_topk_strategy = self._dev.last_strategy
         return vals, idxs
 
+    @timed("sync_device")
     def _sync_device_locked(self) -> None:
         """Apply pending mutations to the device mirror (caller holds write lock).
 
         Small change sets scatter in place; large ones re-upload, using the
         `faiss_incremental_threshold_ratio` knob exactly as the reference's
         incremental-vs-full rebuild decision (picovdb/pico_vdb.py:884-921).
+        Timed at DEBUG level like the reference's `rebuild_faiss`
+        (picovdb/pico_vdb.py:866).
         """
         size = len(self._ids)
         if size == 0:
@@ -1081,6 +1105,7 @@ class PicoVectorDB:
             self._rebuild_ann()
         self._dirty = False
 
+    @timed("rebuild_ann")
     def _rebuild_ann(self) -> None:
         """(Re)build the IVF ANN tier when enabled and worthwhile."""
         if self._index_kind == "exact":

@@ -280,10 +280,16 @@ class IVFIndex:
             self.active,
             self.cluster2tile,
         )
-        return (
-            np.asarray(vals)[:num_q, :k],
-            np.asarray(slot_ids)[:num_q, :k],
-        )
+        vals_np = np.asarray(vals)[:num_q, :k]
+        slots_np = np.asarray(slot_ids)[:num_q, :k]
+        if not np.isfinite(vals_np).any():
+            # Every probed cluster was empty (stale centroids / tiny nprobe)
+            # yet the engine routed here because candidates exist — fall back
+            # to the exact scan rather than returning spuriously empty
+            # results (self-healing, like the reference's FAISS load
+            # fallback at picovdb/pico_vdb.py:260-283).
+            return dev.query(np.asarray(queries)[:num_q], k, None)
+        return vals_np, slots_np
 
 
 def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
@@ -392,6 +398,12 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int):
         hot = jnp.sort(tile_ids)
         last_hot = hot[jnp.maximum(n_hot - 1, 0)]
         hot = jnp.where(hot >= n_tiles, last_hot, hot)
+        # n_hot == 0 (every probed cluster empty — possible with stale warm
+        # centroids) leaves last_hot == n_tiles, which would feed the corpus
+        # BlockSpec an out-of-bounds DMA; clamp unconditionally. The kernel's
+        # `b < n_hot` predicate already makes those steps no-ops, so the
+        # clamped tile is loaded but never scored.
+        hot = jnp.minimum(hot, jnp.int32(n_tiles - 1))
 
         mask2d = row_mask.reshape(1, cap_ivf).astype(jnp.int32)
         q_tiles = num_q // qt

@@ -195,11 +195,20 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
     cap = vectors.shape[0]
     qt = min(qt, num_q)
     bn = _pick_bn(dim, qt, k, vectors.dtype.itemsize, cap, bn)
+    if k > bn:
+        # The running top-k lives in one (qt, k) VMEM block per tile and the
+        # per-tile selection can surface at most bn candidates, so k beyond
+        # the block size cannot be served by this kernel — fall back to the
+        # exact XLA scan instead of silently truncating to bn results.
+        # (All shapes are static, so this is a trace-time decision.)
+        from .exact import exact_topk
+
+        return exact_topk(queries, vectors, mask, min(k, cap), compute_dtype)
     assert cap % bn == 0, (cap, bn)
     assert num_q % qt == 0, (num_q, qt)
     n_tiles = cap // bn
     q_tiles = num_q // qt
-    k_run = min(k, bn)
+    k_run = k
     lane_bits = max(1, int(bn - 1).bit_length())
 
     mask2d = mask.reshape(1, cap).astype(jnp.int32)

@@ -187,3 +187,27 @@ def test_stale_sidecar_after_mutation_retrains(db_path, rng):
     res = db2.query(vectors[6], top_k=3)
     assert res[0][K_ID] == "id6"
     assert all(r[K_ID] != "id5" for r in res)
+
+
+def test_ivf_empty_probe_falls_back_to_exact(rng):
+    """All probed clusters empty -> exact-scan fallback, not empty results
+    (ADVICE r1, low: n_hot==0 fed an out-of-range tile index)."""
+    from picovdb_tpu.device import DeviceIndex
+
+    n, dim, k = 1000, 32, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    # Build with warm centroids pointing far away from the data and zero
+    # refresh iterations, then delete every row of whatever cluster the
+    # query would probe -- easier: build normally, then blank cluster2tile
+    # so no tile is ever hot.
+    ivf = IVFIndex.build(vectors, mask, nlist=8, dim=dim)
+    import jax.numpy as jnp
+
+    ivf.cluster2tile = jnp.zeros_like(ivf.cluster2tile)
+    dev = DeviceIndex(dim)
+    dev.full_upload(vectors, mask)
+    q = normalize_batch(vectors[3][None])
+    vals, slots = ivf.search(q, k, ef=2, dev=dev)
+    assert np.isfinite(vals[0]).all()
+    assert slots[0][0] == 3

@@ -127,3 +127,32 @@ def test_fused_topk_odd_dim(rng):
     vals, idx = map(np.asarray, fn(Q, V, mask))
     ovals, oidx, _ = oracle(Q, V, mask, k)
     np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_topk_k_beyond_block_size(rng):
+    """k larger than the scan block must not truncate (ADVICE r1: the kernel
+    capped output at bn; wide-k requests now fall back to the exact scan)."""
+    cap, dim, k = 1024, 128, 700
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = np.zeros(cap, dtype=bool)
+    mask[:1000] = True
+    fn = make_fused_topk(k, None, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, V, mask))
+    assert vals.shape == (8, k), vals.shape
+    assert np.isfinite(vals).all()  # 1000 active rows > k=700 -> all real
+    ovals, oidx, _ = oracle(Q, V, mask, k)
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_topk_k_beyond_block_engine(db_path, rng):
+    """Engine-level wide-k query returns top_k hits, not a truncated set."""
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    dim, n, k = 64, 1000, 700
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      scan_mode="fused")
+    db.upsert([{K_ID: str(i), K_VECTOR: vecs[i]} for i in range(n)])
+    res = db.query(vecs[0], top_k=k)
+    assert len(res) == k, len(res)

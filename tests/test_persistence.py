@@ -196,3 +196,27 @@ def test_streaming_full_upload(db_path, rng, monkeypatch):
     db2.upsert(items)
     res2 = db2.query(vecs[37], top_k=3)
     assert [r[K_ID] for r in res] == [r[K_ID] for r in res2]
+
+
+def test_sharded_save_of_memmap_store_converts_to_ram(db_path, rng):
+    """Sharded save must not unlink the live memmap's backing file (ADVICE
+    r1, low): the store converts to RAM first and memmap mode ends."""
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    dim, n = 16, 20
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      use_memmap=True, capacity=n)
+    db.upsert([{K_ID: str(i), K_VECTOR: vecs[i]} for i in range(n)])
+    db.save(shards=4)
+    assert not isinstance(db._host_vectors, np.memmap)
+    # flush() after the conversion must be a harmless no-op
+    db.flush()
+    # post-conversion mutations + queries still work
+    db.upsert([{K_ID: "0", K_VECTOR: vecs[1]}])
+    res = db.query(vecs[2], top_k=1)
+    assert res[0][K_ID] == "2"
+    # reload comes back from the shard files
+    db2 = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    assert db2.count() == n
+    assert db2.query(vecs[5], top_k=1)[0][K_ID] == "5"

@@ -15,6 +15,7 @@ from picovdb_tpu.utils import (
     meta_path,
     next_pow2,
     normalize,
+    normalize_batch,
     round_up,
     timed,
     to_c_f32,
@@ -80,3 +81,37 @@ def test_normalize_preserves_direction():
     v = np.array([3.0, 4.0], dtype=np.float32)
     n = normalize(v)
     np.testing.assert_allclose(n, [0.6, 0.8], rtol=1e-6)
+
+
+def test_normalize_batch_bitwise_matches_reference_algorithm(rng):
+    """Batch normalization must be bit-identical to the reference's
+    per-vector `vec / np.linalg.norm(vec)` (picovdb/pico_vdb.py:58-68), or
+    md5 auto-IDs diverge between stores (ADVICE r1, medium)."""
+    import hashlib
+
+    m = rng.normal(size=(4096, 257)).astype(np.float32)
+    batch = normalize_batch(m)
+    for i in range(0, 4096, 37):
+        ref = (m[i] / np.linalg.norm(m[i])).astype(np.float32)
+        assert batch[i].tobytes() == ref.tobytes(), i
+        assert (
+            hashlib.md5(batch[i].tobytes()).hexdigest()
+            == hashlib.md5(ref.tobytes()).hexdigest()
+        )
+
+
+def test_normalize_batch_inplace(rng):
+    m = rng.normal(size=(64, 32)).astype(np.float32)
+    expect = normalize_batch(m.copy())
+    out = normalize_batch(m, inplace=True)
+    assert out is m  # no reallocation
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_normalize_batch_inplace_zero_rows(rng):
+    m = rng.normal(size=(8, 16)).astype(np.float32)
+    m[3] = 0.0
+    out = normalize_batch(m, inplace=True)
+    expect = np.zeros(16, dtype=np.float32)
+    expect[0] = 1.0
+    np.testing.assert_array_equal(out[3], expect)
