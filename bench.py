@@ -43,6 +43,10 @@ def main() -> int:
                    help="device storage dtype (e.g. bfloat16)")
     p.add_argument("--scan-mode", default="auto",
                    choices=["auto", "fused", "approx", "xla"])
+    p.add_argument("--insert-mode", default="columnar",
+                   choices=["columnar", "dict"],
+                   help="bulk-load API: columnar fast lane (default) or the "
+                        "reference-style per-item dict path")
     p.add_argument("--check", action="store_true",
                    help="exit nonzero unless recall@10 >= 0.99")
     args = p.parse_args()
@@ -63,12 +67,23 @@ def main() -> int:
             storage_dtype=args.storage_dtype, scan_mode=args.scan_mode
         )
         t0 = time.perf_counter()
-        db.upsert(
-            [{K_ID: str(i), K_VECTOR: data[i]} for i in range(args.n)]
-        )
+        if args.insert_mode == "columnar":
+            # Bulk-load lane: one (n, dim) matrix + id column, normalized in
+            # place, zero per-item Python work (vs the reference's per-item
+            # loop, picovdb/pico_vdb.py:403-498). data is adopted as backing
+            # storage; rows are L2-normalized in place (direction-preserving,
+            # so the oracle below is unaffected).
+            db.upsert_columnar(
+                data, ids=[str(i) for i in range(args.n)], copy=False
+            )
+        else:
+            db.upsert(
+                [{K_ID: str(i), K_VECTOR: data[i]} for i in range(args.n)]
+            )
         insert_s = time.perf_counter() - t0
-        print(f"# insert {args.n}x{args.dim}: {insert_s:.2f} s "
-              f"({args.n / insert_s:.0f} vec/s)", file=sys.stderr)
+        insert_vec_s = args.n / insert_s
+        print(f"# insert {args.n}x{args.dim} ({args.insert_mode}): "
+              f"{insert_s:.2f} s ({insert_vec_s:.0f} vec/s)", file=sys.stderr)
 
         # ---- headline: serving mode (device-resident queries, columnar) ----
         q_dev = jax.device_put(queries)  # upstream embedder output stand-in
@@ -135,6 +150,37 @@ def main() -> int:
         p50 = sorted(lat)[len(lat) // 2]
         print(f"# single-query p50: {p50*1000:.2f} ms", file=sys.stderr)
 
+        # ---- device-side single-query latency, relay excluded -------------
+        # M independent Q=1 scans dispatched back-to-back, one final fetch:
+        # compute serializes on the single TPU core, so elapsed/M is the
+        # device time per single query without the ~27 ms/hop tunnel RTT
+        # (auditable against the reference's 0.4 ms/query, README.md:75).
+        M = 64
+        q_single = [
+            jax.device_put(queries[i][None, :]) for i in range(8)
+        ]  # device-resident, like embeddings from an upstream on-TPU model
+        dev_pending = [
+            db._dev.query_async(q_single[i], args.topk, None)
+            for i in range(2)  # warm both the jit cache and the pipe
+        ]
+        for v, ix, _, _ in dev_pending:
+            np.asarray(v), np.asarray(ix)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            dev_pending = [
+                db._dev.query_async(q_single[i % 8], args.topk, None)
+                for i in range(M)
+            ]
+            for v, ix, _, _ in dev_pending:  # overlap the tiny result fetches
+                v.copy_to_host_async(), ix.copy_to_host_async()
+            for v, ix, _, _ in dev_pending:
+                np.asarray(v), np.asarray(ix)
+            best = min(best, time.perf_counter() - t0)
+        device_ms = best * 1000 / M
+        print(f"# single-query device latency (amortized over {M} Q=1 "
+              f"launches, relay excluded): {device_ms:.3f} ms", file=sys.stderr)
+
     baseline_qps = 10_000.0  # reference FAISS batch mode, README.md:76
     print(
         json.dumps(
@@ -145,6 +191,8 @@ def main() -> int:
                 "value": round(serving_qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(serving_qps / baseline_qps, 2),
+                "insert_vec_per_s": round(insert_vec_s, 0),
+                "single_query_device_ms": round(device_ms, 3),
             }
         )
     )

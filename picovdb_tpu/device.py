@@ -139,6 +139,14 @@ class DeviceIndex:
 
         return np.dtype(getattr(ml_dtypes, self.storage_dtype))
 
+    # `auto` scan-mode routing: below this many (padded) queries the fused
+    # kernel is latency-bound — its per-tile selection ladder costs ~28
+    # small VPU ops per corpus tile regardless of Q, so a Q<=8 scan over
+    # 100k x 1024 measures 1.8 ms fused vs 0.7-1.0 ms for the plain XLA
+    # matmul+top_k (v5e, BENCHMARKS.md "small-Q routing"); fused wins from
+    # Q=32 up (1.04 vs 1.23 ms). Explicit scan_mode="fused" bypasses this.
+    SMALL_Q_XLA = 16
+
     # Above this many rows, full uploads stream chunk-by-chunk into a
     # device-resident buffer (donated scatters), so a memmapped corpus
     # larger than host RAM never materializes on the host (SURVEY.md §7.6
@@ -259,7 +267,17 @@ class DeviceIndex:
         if self.vectors is None or self.cap == 0:
             raise RuntimeError("query before any upload")
         num_q = qnorm.shape[0]
-        q_pad = max(MIN_QUERY_PAD, next_pow2(num_q))
+        # Query padding buckets the jit cache (pow2) and aligns the fused
+        # kernel's query tiles. Small batches routed to the XLA scan skip
+        # it entirely: the matmul handles any Q, and on the serving path
+        # every eager device op saved (pad, cast) is ~0.1-0.2 ms of host
+        # dispatch through the relay per query.
+        small_q_xla = (
+            self.mesh is None
+            and self.scan_mode == "auto"
+            and num_q <= self.SMALL_Q_XLA
+        )
+        q_pad = num_q if small_q_xla else max(MIN_QUERY_PAD, next_pow2(num_q))
         if isinstance(qnorm, np.ndarray):
             if q_pad != num_q:
                 padq = np.zeros((q_pad, self.dim), dtype=Float)
@@ -269,7 +287,9 @@ class DeviceIndex:
                 np.ascontiguousarray(qnorm, dtype=Float), self._replicated()
             )
         else:
-            q_dev = qnorm.astype(jnp.float32)
+            q_dev = qnorm
+            if q_dev.dtype != jnp.float32:
+                q_dev = q_dev.astype(jnp.float32)
             if q_pad != num_q:
                 q_dev = jnp.pad(q_dev, ((0, q_pad - num_q), (0, 0)))
             if self.mesh is not None:
@@ -287,31 +307,44 @@ class DeviceIndex:
         k_eff = min(k, self.cap)
         k_pad = k_eff
 
+        # Off-TPU there is no Mosaic compiler: kernel paths explicitly
+        # requested there (scan_mode="fused" / use_pallas with a mesh) run
+        # in Pallas interpret mode — same code path, CPU-testable.
+        interpret = (
+            getattr(self._device, "platform", "cpu") != "tpu"
+        )
         if self.mesh is not None:
             from .parallel.sharded_query import make_sharded_topk
 
+            use_pallas = self.use_pallas or self.scan_mode == "fused"
             fn = make_sharded_topk(
                 self.mesh,
                 self.shard_axis,
                 k_pad,
                 self.compute_dtype,
-                use_pallas=self.use_pallas,
+                use_pallas=use_pallas,
+                interpret=use_pallas and interpret,
             )
-            self.last_strategy = "sharded_scan"
+            self.last_strategy = (
+                "sharded_scan_pallas" if use_pallas else "sharded_scan"
+            )
         elif self.scan_mode == "approx":
             from .ops.exact import make_approx_topk
 
             fn = make_approx_topk(k_pad, self.compute_dtype)
             self.last_strategy = "xla_approx"
-        elif self.scan_mode == "fused" or (
-            self.scan_mode == "auto" and self.use_pallas
+        elif (
+            self.scan_mode == "fused"
+            or (self.scan_mode == "auto" and self.use_pallas
+                and not small_q_xla)
         ):
             from .ops.pallas_scan import make_fused_topk
 
             # Under bf16 storage the rescore itself reads bf16 rows, so
             # recall floors at ~0.994 regardless of guard width (measured:
             # guard 4 vs 16 identical recall, 2.3x slower) — keep guard=4.
-            fn = make_fused_topk(k_pad, self.compute_dtype)
+            fn = make_fused_topk(k_pad, self.compute_dtype,
+                                 interpret=interpret)
             self.last_strategy = "pallas_fused"
         else:
             fn = make_exact_topk(k_pad, self.compute_dtype)

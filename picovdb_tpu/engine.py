@@ -195,6 +195,7 @@ class PicoVectorDB:
         self._dirty: bool = False
         self._pending_add: set[int] = set()
         self._pending_remove: set[int] = set()
+        self._pending_full: bool = False  # force a full mirror re-upload
 
         # introspection (reference analogs: _last_topk_strategy/_last_k_eff
         # picovdb/pico_vdb.py:165-167, _last_faiss_rebuild_mode :203-204)
@@ -497,6 +498,170 @@ class PicoVectorDB:
             self._dirty = True
             return report
 
+    def upsert_columnar(
+        self,
+        vectors: np.ndarray,
+        ids: Optional[list[str]] = None,
+        metadata: Optional[list[Optional[dict]]] = None,
+        copy: bool = True,
+    ) -> dict[str, list[str]]:
+        """Bulk upsert from columnar inputs: one (n, dim) matrix + optional
+        parallel `ids` / `metadata` lists.
+
+        Same semantics as `upsert` (update on known ID, free-slot reuse,
+        append, capacity ValueError, md5 auto-IDs, last-duplicate-wins) but
+        without per-item dict traversal — the bulk-load fast lane replacing
+        the reference's per-item Python loop (picovdb/pico_vdb.py:403-498),
+        which is the difference between ~20k and >200k vec/s host-side.
+
+        `copy=False` normalizes the caller's matrix in place when it is
+        already C-contiguous float32, and a fresh store adopts it as the
+        backing array — zero extra (n, dim) allocations end to end. The
+        caller must not mutate the matrix afterwards.
+        """
+        mat = np.asarray(vectors)
+        if mat.ndim != 2 or mat.shape[1] != self.dim:
+            raise ValueError(
+                f"upsert_columnar expects a 2D array with last dim "
+                f"{self.dim}; got shape {tuple(mat.shape)}"
+            )
+        n = mat.shape[0]
+        if ids is not None and len(ids) != n:
+            raise ValueError(
+                f"ids length {len(ids)} != number of vectors {n}"
+            )
+        if metadata is not None and len(metadata) != n:
+            raise ValueError(
+                f"metadata length {len(metadata)} != number of vectors {n}"
+            )
+        if n == 0:
+            return {"update": [], "insert": []}
+        if copy:
+            mat = np.array(mat, dtype=Float, order="C")
+        norm = normalize_batch(mat, inplace=True)  # ascontiguousarray inside
+        if ids is None:
+            from .utils import hash_rows
+
+            ids = hash_rows(norm)
+
+        with self._rwlock.write_lock():
+            report: dict[str, list[str]] = {"update": [], "insert": []}
+            # ---- fresh-store fast lane: adopt columns wholesale ----------
+            if (
+                not self._ids
+                and not self._free
+                and self._capacity is None
+                and len(set(ids)) == n
+            ):
+                self._host_vectors = norm
+                self._ids = list(ids)
+                if metadata is None:
+                    self._docs = [{K_ID: _id} for _id in ids]
+                else:
+                    self._docs = [
+                        {**(m or {}), K_ID: _id}
+                        for m, _id in zip(metadata, ids)
+                    ]
+                self._id2idx = dict(zip(ids, range(n)))
+                self._active_indices = np.arange(n, dtype=np.int64)
+                self._active_mask = np.ones(n, dtype=bool)
+                self._tag_index.resize(n)
+                report["insert"] = list(ids)
+                self._ids_np = None
+                self._pending_full = True
+                self._dirty = True
+                return report
+            # ---- general lane: same state machine as upsert --------------
+            new_rows: list[int] = []
+            new_ids: list[str] = []
+            new_docs: list[dict] = []
+            new_active: list[int] = []
+            touched_idx: list[int] = []
+            touched_docs: list[dict] = []
+            pending_pos: dict[str, int] = {}
+            id2idx = self._id2idx
+            n_slots = len(self._ids)
+            for j in range(n):
+                item_id = ids[j]
+                if metadata is None:
+                    meta = {K_ID: item_id}
+                else:
+                    meta = {**(metadata[j] or {}), K_ID: item_id}
+                idx = id2idx.get(item_id)
+                if idx is not None:
+                    if idx >= n_slots:
+                        pos = pending_pos[item_id]
+                        new_rows[pos] = j
+                        new_docs[pos] = meta
+                    else:
+                        self._host_vectors[idx] = norm[j]
+                        self._docs[idx] = meta
+                        self._pending_add.add(idx)
+                        touched_idx.append(idx)
+                        touched_docs.append(meta)
+                    report["update"].append(item_id)
+                else:
+                    if self._free:
+                        idx = self._free.pop()
+                        self._host_vectors[idx] = norm[j]
+                        self._ids[idx] = item_id
+                        self._docs[idx] = meta
+                        new_active.append(idx)
+                        self._pending_add.add(idx)
+                        touched_idx.append(idx)
+                        touched_docs.append(meta)
+                    else:
+                        if self._capacity is not None:
+                            raise ValueError("Database capacity exceeded")
+                        pending_pos[item_id] = len(new_rows)
+                        new_rows.append(j)
+                        new_ids.append(item_id)
+                        new_docs.append(meta)
+                        idx = n_slots + len(new_ids) - 1
+                        new_active.append(idx)
+                    id2idx[item_id] = idx
+                    report["insert"].append(item_id)
+            if new_rows:
+                stacked = norm[new_rows] if len(new_rows) != n else norm
+                if not n_slots:
+                    self._host_vectors = to_c_f32(stacked)
+                else:
+                    if self._use_memmap and isinstance(
+                        self._host_vectors, np.memmap
+                    ):
+                        logger.warning(
+                            "Appending to a memmapped file converts it to an "
+                            "in-memory numpy array, doubling memory usage. For "
+                            "large datasets, consider pre-allocating capacity "
+                            "or using a different growth strategy."
+                        )
+                    self._host_vectors = to_c_f32(
+                        np.vstack([self._host_vectors, stacked])
+                    )
+                start = n_slots
+                self._ids.extend(new_ids)
+                self._docs.extend(new_docs)
+                self._active_mask = np.concatenate(
+                    [self._active_mask, np.zeros(len(new_ids), dtype=bool)]
+                )
+                self._tag_index.resize(len(self._ids))
+                touched_idx.extend(range(start, len(self._ids)))
+                touched_docs.extend(new_docs)
+                self._pending_add.update(range(start, len(self._ids)))
+            if new_active:
+                na = np.asarray(new_active, dtype=np.int64)
+                self._active_indices = (
+                    np.append(self._active_indices, na)
+                    if self._active_indices.size
+                    else na
+                )
+                self._active_mask[na] = True
+            if touched_idx:
+                self._tag_index.update_rows(touched_idx, touched_docs)
+            self._ids_np = None
+            self._dirty = True
+            return report
+
     def delete(self, ids: list[str]) -> list[str]:
         """Soft-delete vectors by ID; returns the IDs actually deleted."""
         with self._rwlock.write_lock():
@@ -552,6 +717,7 @@ class PicoVectorDB:
             self._tag_index.resize(n)
             self._pending_add.clear()
             self._pending_remove.clear()
+            self._pending_full = False
             if n:
                 self._dev.full_upload(self._host_vectors, self._active_mask)
                 self._last_sync_mode = "full"
@@ -566,6 +732,7 @@ class PicoVectorDB:
                 self._last_sync_mode = "full"
             self._pending_add.clear()
             self._pending_remove.clear()
+            self._pending_full = False
             self._rebuild_ann()
             self._dirty = False
 
@@ -1080,7 +1247,8 @@ class PicoVectorDB:
         changed = sorted(self._pending_add | self._pending_remove)
         dev_rows = self._dev.cap
         need_full = (
-            self._dev.vectors is None
+            self._pending_full
+            or self._dev.vectors is None
             or size > dev_rows
             or not changed  # unknown change set -> be safe
         )
@@ -1101,6 +1269,7 @@ class PicoVectorDB:
             self._last_sync_mode = "incremental"
         self._pending_add.clear()
         self._pending_remove.clear()
+        self._pending_full = False
         if self._index_kind == "ivf" or self._ivf is not None:
             self._rebuild_ann()
         self._dirty = False

@@ -179,7 +179,8 @@ def _pick_bn(dim: int, qt: int, k: int, v_itemsize: int, cap: int,
 
 
 def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
-               qt: int = DEFAULT_QT, bn: int = DEFAULT_BN):
+               qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
+               interpret: bool = False):
     """Exact masked cosine top-k over the corpus, fused in one Pallas kernel.
 
     Args:
@@ -241,6 +242,10 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
             bytes_accessed=cap * dim * 4 * q_tiles + num_q * dim * 4,
             transcendentals=0,
         ),
+        # Plain pallas interpret mode (not force_tpu_interpret_mode, which
+        # deadlocks under shard_map's per-device threads on CPU) — used by
+        # the sharded-kernel CPU tests.
+        interpret=interpret,
     )(queries, vectors, mask2d)
 
     vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)

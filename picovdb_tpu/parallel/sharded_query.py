@@ -30,25 +30,29 @@ _CACHE = {}
 
 def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
                       dp_axis: str = "dp", use_pallas: bool = False,
-                      normalize: bool = True):
+                      normalize: bool = True, interpret: bool = False):
     """Build a jitted sharded masked-top-k for a static k.
 
     Signature of the returned fn: (queries (Q, dim) [dp-sharded if dp>1],
     vectors (cap, dim) row-sharded, mask (cap,) row-sharded) ->
     (values (Q, k) f32, indices (Q, k) int32 global slot ids).
+
+    `interpret=True` runs the Pallas kernel in interpret mode inside each
+    shard — the CPU-mesh test path for `use_pallas=True` (compiled Mosaic
+    is TPU-only).
     """
     key = (id(mesh), mesh.shape_tuple, shard_axis, k, compute_dtype_name,
-           dp_axis, use_pallas, normalize)
+           dp_axis, use_pallas, normalize, interpret)
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build(mesh, shard_axis, k, compute_dtype_name, dp_axis,
-                    use_pallas, normalize)
+                    use_pallas, normalize, interpret)
         _CACHE[key] = fn
     return fn
 
 
 def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
-           normalize):
+           normalize, interpret=False):
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     has_dp = dp_axis in mesh.shape and mesh.shape[dp_axis] > 1
     q_spec = P(dp_axis, None) if has_dp else P()
@@ -64,7 +68,8 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
             # make_fused_topk: packed-key quantization must not leak into
             # the cross-shard merge.
             k_sel = min(k_local + 4, rows_local)
-            vals, idx = fused_topk(q, v, m, k_sel, compute_dtype)
+            vals, idx = fused_topk(q, v, m, k_sel, compute_dtype,
+                                   interpret=interpret)
             vals, idx = rescore_exact(q, v, vals, idx)
             vals, idx = vals[:, :k_local], idx[:, :k_local]
         else:

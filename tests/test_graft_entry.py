@@ -24,8 +24,10 @@ def test_entry_compiles_single_chip():
     fn, args = ge.entry()
     vals, idxs = jax.jit(fn)(*args)
     vals, idxs = np.asarray(vals), np.asarray(idxs)
-    assert vals.shape == idxs.shape == (8, 4)
+    # flagship serving shapes: 256 queries, top-10 (see __graft_entry__)
+    assert vals.shape == idxs.shape == (256, 10)
     assert np.isfinite(vals).all()
+    assert (idxs >= 0).all() and (idxs < args[1].shape[0]).all()
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
