@@ -39,6 +39,11 @@ def _scatter_mask(active, idx, vals):
     return active.at[idx].set(vals)
 
 
+@jax.jit
+def _cast_bf16(vectors):
+    return vectors.astype(jnp.bfloat16)
+
+
 def _pad_rows(arr: np.ndarray, cap: int, fill=0) -> np.ndarray:
     if arr.shape[0] == cap:
         return arr
@@ -65,10 +70,12 @@ class DeviceIndex:
         use_pallas: Optional[bool] = None,
         storage_dtype: Optional[str] = None,
         scan_mode: str = "auto",
+        mixed_precision: Optional[bool] = None,
     ) -> None:
         self.dim = dim
         self.cap = 0
         self.vectors = None  # jax.Array (cap, dim) in storage_dtype
+        self.vectors_lp = None  # bf16 scan mirror (mixed-precision tier)
         self.active = None  # jax.Array (cap,) bool
         self.mesh = mesh
         self.shard_axis = shard_axis
@@ -92,8 +99,24 @@ class DeviceIndex:
         #            exact on CPU where approx_max_k falls back to top_k)
         #   xla    — XLA matmul + exact lax.top_k
         #   auto   — fused on TPU, xla elsewhere (current default behavior)
-        assert scan_mode in ("auto", "fused", "approx", "xla"), scan_mode
+        assert scan_mode in ("auto", "mixed", "fused", "approx", "xla"), (
+            scan_mode
+        )
         self.scan_mode = scan_mode
+        # Mixed-precision scan tier: a bfloat16 mirror of the corpus serves
+        # *selection* (half the HBM sweep, 2x the MXU rate) while ranking
+        # rescores the winners against the float32 corpus — so returned
+        # scores are exact and measured recall@10 at 100k x 1024 is 1.000.
+        # Default: on for TPU float32 stores (auto/mixed modes use it via
+        # the segmax kernel); off under a mesh (the sharded path scans the
+        # sharded f32 corpus) and for bf16 storage (already low-precision).
+        if mixed_precision is None:
+            mixed_precision = (
+                platform == "tpu"
+                and mesh is None
+                and self.storage_dtype == "float32"
+            ) or scan_mode == "mixed"
+        self.mixed_precision = bool(mixed_precision) and mesh is None
         self.last_strategy: Optional[str] = None
         # Introspection: how the last device synchronization was applied
         # ("scatter" | "full" | None) — analog of the reference's
@@ -147,6 +170,13 @@ class DeviceIndex:
     # Q=32 up (1.04 vs 1.23 ms). Explicit scan_mode="fused" bypasses this.
     SMALL_Q_XLA = 16
 
+    # segmax routing bounds: per-segment top-2 extraction is statistically
+    # safe while k stays small relative to the segment count (recall loss
+    # needs >2 of the true top-k in one 128-row segment), and only pays off
+    # once the corpus spans enough scan blocks.
+    SEGMAX_MAX_K = 16
+    SEGMAX_MIN_CAP = 32_768
+
     # Above this many rows, full uploads stream chunk-by-chunk into a
     # device-resident buffer (donated scatters), so a memmapped corpus
     # larger than host RAM never materializes on the host (SURVEY.md §7.6
@@ -183,7 +213,27 @@ class DeviceIndex:
             self.vectors = jax.device_put(vecs, self._row_sharding())
         self.active = jax.device_put(mask, self._mask_sharding())
         self.cap = cap
+        self._refresh_lp_mirror()
         self.last_sync_mode = "full"
+
+    # f32 corpus + bf16 mirror = 6 bytes/row/dim; above this the mirror is
+    # skipped so big corpora keep their headroom (v5e has 16 GB HBM).
+    MIXED_HBM_BUDGET = 12 * 2**30
+
+    def _refresh_lp_mirror(self) -> None:
+        """(Re)cast the bf16 scan mirror from the committed corpus on device."""
+        if not self.mixed_precision or self.vectors is None:
+            self.vectors_lp = None
+            return
+        import os as _os
+
+        budget = int(
+            float(_os.getenv("PICOVDB_MIXED_BUDGET_GB", "0") or 0) * 2**30
+        ) or self.MIXED_HBM_BUDGET
+        if self.cap * self.dim * 6 > budget:
+            self.vectors_lp = None
+            return
+        self.vectors_lp = _cast_bf16(self.vectors)
 
     def scatter(
         self, idxs: np.ndarray, rows: Optional[np.ndarray], active_vals: np.ndarray
@@ -218,6 +268,11 @@ class DeviceIndex:
                 self._replicated(),
             )
             self.vectors = _scatter_rows(self.vectors, dev_idx, dev_rows)
+            if self.vectors_lp is not None:
+                self.vectors_lp = _scatter_rows(
+                    self.vectors_lp, dev_idx,
+                    _cast_bf16(dev_rows),
+                )
         dev_act = jax.device_put(pad_act.astype(bool), self._replicated())
         self.active = _scatter_mask(self.active, dev_idx, dev_act)
         self.last_sync_mode = "scatter"
@@ -229,6 +284,7 @@ class DeviceIndex:
         qnorm: np.ndarray,
         k: int,
         filter_mask: Optional[np.ndarray] = None,
+        force_exact: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Masked top-k over the device corpus (blocking).
 
@@ -241,7 +297,9 @@ class DeviceIndex:
         Returns (values, indices) as host NumPy, shapes (Q, k); padding
         entries (fewer than k candidates) carry -inf values.
         """
-        vals, idxs, num_q, k_eff = self.query_async(qnorm, k, filter_mask)
+        vals, idxs, num_q, k_eff = self.query_async(
+            qnorm, k, filter_mask, force_exact=force_exact
+        )
         vals = np.asarray(vals)[:num_q, :k_eff]
         idxs = np.asarray(idxs)[:num_q, :k_eff]
         return vals, idxs
@@ -251,6 +309,7 @@ class DeviceIndex:
         qnorm: np.ndarray,
         k: int,
         filter_mask: Optional[np.ndarray] = None,
+        force_exact: bool = False,
     ):
         """Dispatch a masked top-k; returns device arrays without blocking.
 
@@ -272,9 +331,30 @@ class DeviceIndex:
         # it entirely: the matmul handles any Q, and on the serving path
         # every eager device op saved (pad, cast) is ~0.1-0.2 ms of host
         # dispatch through the relay per query.
+        # Mixed-precision segmax tier: the default TPU serving path for
+        # moderate k, unfiltered queries over large corpora. Small k keeps
+        # the per-segment top-2 assumption safe (see ops/pallas_scan.py
+        # segmax notes); filtered queries go exact — a narrow filter can
+        # cluster all candidates into one 128-row segment, the same reason
+        # the reference skips FAISS under filters (pico_vdb.py:667-668).
+        # Callers that spot -inf underfill in a segmax result re-dispatch
+        # with force_exact (engine safety net for clustered active sets).
+        use_segmax = (
+            self.vectors_lp is not None
+            and not force_exact
+            and filter_mask is None
+            and self.scan_mode in ("auto", "mixed")
+            and min(k, self.cap) <= self.SEGMAX_MAX_K
+            and self.cap >= self.SEGMAX_MIN_CAP
+            # tiny batches are per-tile-overhead-bound in any pallas sweep
+            # (measured 1.36 ms segmax vs 1.0 ms XLA at Q=1, 100k x 1024);
+            # scan_mode="mixed" forces segmax regardless for testing
+            and (num_q > self.SMALL_Q_XLA or self.scan_mode == "mixed")
+        )
         small_q_xla = (
             self.mesh is None
             and self.scan_mode == "auto"
+            and not use_segmax
             and num_q <= self.SMALL_Q_XLA
         )
         q_pad = num_q if small_q_xla else max(MIN_QUERY_PAD, next_pow2(num_q))
@@ -328,6 +408,14 @@ class DeviceIndex:
             self.last_strategy = (
                 "sharded_scan_pallas" if use_pallas else "sharded_scan"
             )
+        elif use_segmax:
+            from .ops.pallas_scan import make_segmax_topk
+
+            seg_fn = make_segmax_topk(k_pad, None, interpret=interpret)
+            lp = self.vectors_lp
+            f32 = self.vectors
+            fn = lambda q, v, m: seg_fn(q, lp, f32, m)  # noqa: E731
+            self.last_strategy = "segmax_mixed"
         elif self.scan_mode == "approx":
             from .ops.exact import make_approx_topk
 

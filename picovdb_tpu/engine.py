@@ -112,7 +112,8 @@ class PicoVectorDB:
         compute_dtype: Optional[str] = None,
         storage_dtype: Optional[str] = None,
         use_pallas: Optional[bool] = None,
-        scan_mode: Literal["auto", "fused", "approx", "xla"] = "auto",
+        scan_mode: Literal["auto", "mixed", "fused", "approx", "xla"] = "auto",
+        mixed_precision: Optional[bool] = None,
         index: Literal["auto", "exact", "ivf"] = "auto",
         ivf_nlist: Optional[int] = None,
         ivf_nprobe: Optional[int] = None,
@@ -189,6 +190,7 @@ class PicoVectorDB:
             use_pallas=use_pallas,
             storage_dtype=storage_dtype,
             scan_mode=scan_mode,
+            mixed_precision=mixed_precision,
         )
 
         # dirty tracking (device mirror out of sync with host state)
@@ -937,16 +939,23 @@ class PicoVectorDB:
             k_eff = min(base, n_cand)
             self._last_k_eff = int(k_eff)
             pending = []
+            chunks = []
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
+                chunks.append(chunk)
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask))
+            segmax = self._dev.last_strategy == "segmax_mixed"
             docs_ref = list(self._docs)
 
         _start_host_copies(pending)
         out: list[list[dict[str, Any]]] = []
-        for vals_dev, idxs_dev, nq, ke in pending:
+        for chunk, (vals_dev, idxs_dev, nq, ke) in zip(chunks, pending):
             vals = np.asarray(vals_dev)[:nq, :ke]
             idxs = np.asarray(idxs_dev)[:nq, :ke]
+            if segmax and np.isneginf(vals).any():
+                vals, idxs = self._dev.query(
+                    chunk, k_eff, filter_mask, force_exact=True
+                )
             out.extend(
                 self._assemble(vals, idxs, docs_ref, top_k, better_than, where)
             )
@@ -997,9 +1006,12 @@ class PicoVectorDB:
                 return empty_ids, empty_scores
             k_eff = min(top_k, n_cand)
             pending = []
+            chunks = []
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
+                chunks.append(chunk)
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask))
+            segmax = self._dev.last_strategy == "segmax_mixed"
             ids_arr = self._ids_array()
             docs_len = len(self._docs)
 
@@ -1007,9 +1019,13 @@ class PicoVectorDB:
         out_ids = np.full((num_q, top_k), None, dtype=object)
         out_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
         row = 0
-        for vals_dev, idxs_dev, nq, ke in pending:
+        for chunk, (vals_dev, idxs_dev, nq, ke) in zip(chunks, pending):
             vals = np.asarray(vals_dev)[:nq, :ke]
             idxs = np.asarray(idxs_dev)[:nq, :ke]
+            if segmax and np.isneginf(vals).any():
+                vals, idxs = self._dev.query(
+                    chunk, k_eff, filter_mask, force_exact=True
+                )
             valid = np.isfinite(vals) & (idxs >= 0) & (idxs < docs_len)
             if better_than is not None:
                 valid &= vals >= better_than
@@ -1228,6 +1244,16 @@ class PicoVectorDB:
             return vals, idxs
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask)
         self._last_topk_strategy = self._dev.last_strategy
+        if self._last_topk_strategy == "segmax_mixed" and np.isneginf(
+            vals
+        ).any():
+            # Underfill net: k_eff <= candidate count by construction, so a
+            # -inf in a segmax result means >2 candidates shared a 128-row
+            # segment (clustered active set) — re-run exact.
+            vals, idxs = self._dev.query(
+                vecs, k_eff, filter_mask, force_exact=True
+            )
+            self._last_topk_strategy = self._dev.last_strategy
         return vals, idxs
 
     @timed("sync_device")

@@ -156,7 +156,7 @@ def _scan_kernel(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int, bn: int,
 
 
 def _pick_bn(dim: int, qt: int, k: int, v_itemsize: int, cap: int,
-             bn_max: int) -> int:
+             bn_max: int, budget: int = 13 * 2**20) -> int:
     """Largest corpus block fitting the VMEM budget (fewer blocks = fewer
     grid cells and DMA setups; measured +35% at dim=1024 going 512->1024).
 
@@ -165,7 +165,6 @@ def _pick_bn(dim: int, qt: int, k: int, v_itemsize: int, cap: int,
     carries — k > 16 ladders additionally cap at 512, where the unrolled
     carry allocations were measured to blow the scoped-vmem stack).
     """
-    budget = 13 * 2**20
     q_bytes = qt * dim * 4
     for bn in (2048, 1024, 512, 256, 128):
         if bn > bn_max or bn > cap or cap % bn:
@@ -269,6 +268,181 @@ def rescore_exact(queries, vectors, vals, idxs):
     return jnp.take_along_axis(exact, order, axis=1), jnp.take_along_axis(
         idxs, order, axis=1
     )
+
+
+# --------------------------------------------------------------------------
+# Segmented-max scan: the high-throughput selection tier.
+#
+# The exact ladder above costs 2 VPU passes per rank over every score
+# (k=14 -> 28 passes), which dominates large-batch scans (measured ~23 ms of
+# the 66 ms Q=8192 sweep at 100k x 1024 on v5e). This kernel instead keeps
+# the per-tile selection CONSTANT: each 128-lane segment of the score tile
+# surrenders its top-`per_seg` candidates (2 packed-key max passes per
+# round), and a cheap global `lax.top_k` over the (Q, per_seg*N/128)
+# candidate slab plus an exact f32 rescore finishes the job. Selection can
+# only miss when more than `per_seg` of the true top-k land in one 128-row
+# segment — P ~ C(k,3) / (N/128)^2 for per_seg=2, i.e. ~2e-4 at k=10,
+# N=100k — and the guard band + rescore absorb score quantization, so
+# measured recall@10 is 1.000 (BENCHMARKS.md). Pairs with a bfloat16 scan
+# mirror (DeviceIndex mixed-precision tier): selection reads bf16 (half the
+# HBM sweep, 2x MXU rate), ranking rescores against the float32 corpus.
+# --------------------------------------------------------------------------
+
+SEG = 128  # one vector-lane row per segment
+
+
+def _segmax_kernel(q_ref, v_ref, m_ref, v1_ref, i1_ref, v2_ref, i2_ref, *,
+                   bn: int, compute_dtype):
+    """Score one corpus tile and emit each 128-segment's top-2."""
+    b = pl.program_id(1)
+    q = q_ref[...]
+    v = v_ref[...]
+    if compute_dtype is not None:
+        q = q.astype(compute_dtype)
+        v = v.astype(compute_dtype)
+    elif v.dtype != q.dtype:
+        q = q.astype(v.dtype)
+    scores = jax.lax.dot_general(
+        q, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (QT, BN)
+    mask = m_ref[...]  # (1, BN)
+    qt = scores.shape[0]
+    ns = bn // SEG
+
+    bits = pltpu.bitcast(scores, jnp.int32)
+    keys = _to_sortable(bits).reshape(qt, ns, SEG)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, ns, SEG), 2)
+    keys = (keys & ~jnp.int32(SEG - 1)) | lane
+    # mask AFTER packing the lane bits, or masked lanes would get their
+    # sentinel ORed back up into a live-looking key
+    keys = jnp.where(mask.reshape(1, ns, SEG) > 0, keys, jnp.int32(KEY_MIN))
+
+    seg_base = (
+        b * bn + jax.lax.broadcasted_iota(jnp.int32, (qt, ns), 1) * SEG
+    )
+
+    def extract(keys):
+        m = jnp.max(keys, axis=2)  # (QT, NS)
+        amx = m & jnp.int32(SEG - 1)
+        val = pltpu.bitcast(_from_sortable(m & ~jnp.int32(SEG - 1)),
+                            jnp.float32)
+        val = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, val)
+        keys = jnp.where(keys == m[:, :, None], jnp.int32(KEY_MIN), keys)
+        return keys, val, seg_base + amx
+
+    keys, val1, idx1 = extract(keys)
+    _, val2, idx2 = extract(keys)
+    # Outputs are laid out transposed — (segments, queries) — so the block's
+    # lane dim is the 128-aligned query tile (Mosaic requires last-dim
+    # blocks of 128) while segments ride the 8-aligned sublane dim.
+    v1_ref[...] = val1.T
+    i1_ref[...] = idx1.T
+    v2_ref[...] = val2.T
+    i2_ref[...] = idx2.T
+
+
+def segmax_scan(queries, vectors, mask, compute_dtype=None,
+                qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
+                interpret: bool = False):
+    """Per-128-segment top-2 candidates over the masked corpus.
+
+    Returns (vals (Q, 2*cap/128) f32 quantized, idx (Q, 2*cap/128) int32):
+    candidate slabs for a global top-k + exact rescore. Masked / padding
+    segments carry -inf.
+    """
+    num_q, dim = queries.shape
+    cap = vectors.shape[0]
+    qt = min(qt, num_q)
+    # Tighter budget than the ladder kernel: the segment extraction keeps
+    # scores + packed keys + two functional key updates live (measured
+    # 16.13 MB actual at the 13 MB-model bn=2048 pick -> scoped-vmem OOM).
+    bn = _pick_bn(dim, qt, 2, vectors.dtype.itemsize, cap, bn,
+                  budget=9 * 2**20)
+    if bn < 8 * SEG and cap // bn > 1:
+        # The transposed (segments, queries) output block needs ns = bn/128
+        # on the 8-aligned sublane dim; very large dims can push the VMEM
+        # model below that. Signal the caller to use another path.
+        raise ValueError(f"segmax needs bn >= {8 * SEG}; got {bn}")
+    assert cap % bn == 0 and bn % SEG == 0, (cap, bn)
+    assert num_q % qt == 0, (num_q, qt)
+    n_tiles = cap // bn
+    ns = bn // SEG
+    grid = (num_q // qt, n_tiles)
+    mask2d = mask.reshape(1, cap).astype(jnp.int32)
+
+    out_spec = pl.BlockSpec((ns, qt), lambda i, b: (b, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tiles * ns, num_q), jnp.float32)
+    out_shape_i = jax.ShapeDtypeStruct((n_tiles * ns, num_q), jnp.int32)
+    v1, i1, v2, i2 = pl.pallas_call(
+        functools.partial(_segmax_kernel, bn=bn, compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, dim), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, dim), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec, out_spec, out_spec, out_spec],
+        out_shape=[out_shape, out_shape_i, out_shape, out_shape_i],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_q * cap * dim + 4 * num_q * cap,
+            bytes_accessed=(cap * dim * vectors.dtype.itemsize * (num_q // qt)
+                            + num_q * dim * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, vectors, mask2d)
+    vals = jnp.concatenate([v1.T, v2.T], axis=1)
+    idx = jnp.concatenate([i1.T, i2.T], axis=1)
+    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    return vals, idx
+
+
+@functools.lru_cache(maxsize=256)
+def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
+                     interpret: bool = False, guard: int = 6,
+                     normalize: bool = True):
+    """Jitted mixed-precision top-k: segmax candidates -> global top-k ->
+    exact f32 rescore.
+
+    Signature of the returned fn: (queries (Q, dim) f32, scan_vectors
+    (cap, dim) f32-or-bf16, rescore_vectors (cap, dim) f32, mask (cap,)
+    bool) -> ((Q, k) f32 exact scores, (Q, k) int32 slot ids). Pass the
+    same array twice for a single-precision corpus.
+    """
+    compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
+
+    def impl(queries, scan_vectors, rescore_vectors, mask):
+        if normalize:
+            from .exact import normalize_on_device
+
+            queries = normalize_on_device(queries)
+        try:
+            cvals, cidx = segmax_scan(queries, scan_vectors, mask,
+                                      compute_dtype, interpret=interpret)
+        except ValueError:  # geometry unservable (huge dim) -> exact scan
+            from .exact import exact_topk
+
+            return exact_topk(queries, rescore_vectors, mask,
+                              min(k, rescore_vectors.shape[0]), compute_dtype)
+        k_sel = min(k + guard, cvals.shape[1])
+        tv, ti = jax.lax.top_k(cvals, k_sel)
+        gidx = jnp.take_along_axis(cidx, ti, axis=1)
+        gathered = jnp.take(rescore_vectors, gidx, axis=0)
+        exact = jnp.einsum("qd,qkd->qk", queries,
+                           gathered.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        exact = jnp.where(jnp.isneginf(tv), -jnp.inf, exact)
+        order = jnp.argsort(-exact, axis=1)
+        vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+        idx = jnp.take_along_axis(gidx, order, axis=1)[:, :k]
+        return vals, idx.astype(jnp.int32)
+
+    return jax.jit(impl)
 
 
 @functools.lru_cache(maxsize=256)
