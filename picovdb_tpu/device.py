@@ -351,13 +351,28 @@ class DeviceIndex:
             # scan_mode="mixed" forces segmax regardless for testing
             and (num_q > self.SMALL_Q_XLA or self.scan_mode == "mixed")
         )
+        # Small unfiltered batches with a bf16 mirror use the exact ladder
+        # kernel over the mirror + f32 rescore (HBM-bound at tiny Q, so the
+        # half-width sweep wins: 0.77 vs ~1.0 ms at Q=1, 100k x 1024).
+        small_q_mixed = (
+            self.vectors_lp is not None
+            and not force_exact
+            and filter_mask is None
+            and self.scan_mode == "auto"
+            and num_q <= self.SMALL_Q_XLA
+            and min(k, self.cap) + 4 <= 16  # keep the ladder unrolled/wide
+        )
         small_q_xla = (
             self.mesh is None
             and self.scan_mode == "auto"
             and not use_segmax
+            and not small_q_mixed
             and num_q <= self.SMALL_Q_XLA
         )
-        q_pad = num_q if small_q_xla else max(MIN_QUERY_PAD, next_pow2(num_q))
+        q_pad = (
+            num_q if (small_q_xla or small_q_mixed)
+            else max(MIN_QUERY_PAD, next_pow2(num_q))
+        )
         if isinstance(qnorm, np.ndarray):
             if q_pad != num_q:
                 padq = np.zeros((q_pad, self.dim), dtype=Float)
@@ -416,6 +431,14 @@ class DeviceIndex:
             f32 = self.vectors
             fn = lambda q, v, m: seg_fn(q, lp, f32, m)  # noqa: E731
             self.last_strategy = "segmax_mixed"
+        elif small_q_mixed:
+            from .ops.pallas_scan import make_mixed_fused_topk
+
+            mf_fn = make_mixed_fused_topk(k_pad, interpret=interpret)
+            lp = self.vectors_lp
+            f32 = self.vectors
+            fn = lambda q, v, m: mf_fn(q, lp, f32, m)  # noqa: E731
+            self.last_strategy = "mixed_fused_smallq"
         elif self.scan_mode == "approx":
             from .ops.exact import make_approx_topk
 

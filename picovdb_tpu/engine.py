@@ -204,6 +204,9 @@ class PicoVectorDB:
         self._last_topk_strategy: Optional[str] = None
         self._last_k_eff: Optional[int] = None
         self._last_sync_mode: Optional[str] = None
+        # "incremental" | "full" | None — analog of the reference's
+        # `_last_faiss_rebuild_mode` (picovdb/pico_vdb.py:203-204, 905, 921)
+        self._last_ann_rebuild_mode: Optional[str] = None
 
         self._load_or_init()
 
@@ -1137,6 +1140,7 @@ class PicoVectorDB:
                 "storage_dtype": self._dev.storage_dtype,
                 "index_kind": self._index_kind,
                 "ann_active": self._ivf is not None,
+                "ann_rebuild_mode": self._last_ann_rebuild_mode,
             }
 
     def profile_trace(self, log_dir: str):
@@ -1281,6 +1285,7 @@ class PicoVectorDB:
         if not need_full:
             ratio = len(changed) / float(max(1, min(size, dev_rows)))
             need_full = ratio > max(0.0, self._incr_threshold_ratio)
+        ann_rows = None
         if need_full:
             self._dev.full_upload(
                 np.asarray(self._host_vectors[:size]), self._active_mask
@@ -1293,11 +1298,35 @@ class PicoVectorDB:
             )
             self._dev.scatter(idxs, rows, self._active_mask[idxs])
             self._last_sync_mode = "incremental"
+            ann_rows = (idxs, rows)
         self._pending_add.clear()
         self._pending_remove.clear()
         self._pending_full = False
         if self._index_kind == "ivf" or self._ivf is not None:
-            self._rebuild_ann()
+            # Incremental ANN maintenance for small change sets: touched
+            # rows move to the IVF overflow region in place; a full
+            # retrain+reorder only happens past the threshold ratio or
+            # when the overflow region fills — the reference's
+            # incremental-vs-full FAISS rebuild policy
+            # (picovdb/pico_vdb.py:884-921).
+            done = False
+            if (
+                self._ivf is not None
+                and ann_rows is not None
+                and self._ivf.overflow_fraction
+                <= max(0.0, self._incr_threshold_ratio)
+            ):
+                idxs, rows = ann_rows
+                done = self._ivf.update(
+                    idxs, rows, self._active_mask[idxs]
+                )
+            if done:
+                self._last_ann_rebuild_mode = "incremental"
+            else:
+                self._rebuild_ann()
+                self._last_ann_rebuild_mode = (
+                    "full" if self._ivf is not None else None
+                )
         self._dirty = False
 
     @timed("rebuild_ann")

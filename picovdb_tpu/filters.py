@@ -35,55 +35,109 @@ def _safe_hash(v: Any) -> int:
         return int(_MISSING)
 
 
-class TagIndex:
-    """Lazily built per-key hash columns over the slot table.
+# Object-column slot marker for "key absent / doc deleted": identity-unique,
+# compares unequal to every user value.
+_ABSENT = object()
 
-    Columns are built on first filter use of a key (O(N) once) and then kept
-    incrementally up to date by `update_rows` / `clear_rows` / `resize`.
+# Value types safe for vectorized object-array equality: numpy won't try to
+# unpack them as sequences, and their __eq__ is total.
+_SCALARISH = (str, int, float, bool, bytes, type(None))
+
+
+class TagIndex:
+    """Lazily built per-key hash + value columns over the slot table.
+
+    Per key, two parallel columns: an int64 `hash(value)` column driving a
+    vectorized prefilter, and an object column of the raw values driving a
+    vectorized equality verification over the hash hits (hash collisions —
+    e.g. CPython's hash(-1) == hash(-2) — must not surface as matches, and
+    dict lookups per hit would make a 10%-selectivity filter over 1M rows
+    Python-loop-bound). Columns are built on first filter use of a key
+    (one O(N) pass) and kept incrementally up to date by `update_rows` /
+    `clear_rows` / `resize`.
     """
 
     def __init__(self) -> None:
         self._cols: Dict[str, np.ndarray] = {}
+        self._vals: Dict[str, np.ndarray] = {}
         self._size = 0
 
     def reset(self) -> None:
         self._cols.clear()
+        self._vals.clear()
 
     def resize(self, new_size: int) -> None:
         if new_size < self._size:
             self._cols.clear()
+            self._vals.clear()
         else:
             grow = new_size - self._size
             if grow and self._cols:
                 pad = np.full(grow, _MISSING, dtype=np.int64)
+                vpad = np.full(grow, _ABSENT, dtype=object)
                 for k in list(self._cols):
                     self._cols[k] = np.concatenate([self._cols[k], pad])
+                    self._vals[k] = np.concatenate([self._vals[k], vpad])
         self._size = new_size
 
     def update_rows(self, idxs: List[int], docs: List[Optional[dict]]) -> None:
         """Refresh columns for mutated slots. `docs[i]` is the new doc of `idxs[i]`."""
         if not self._cols:
             return
-        for key, col in self._cols.items():
-            for i, doc in zip(idxs, docs):
-                if doc is None or key not in doc:
-                    col[i] = _MISSING
-                else:
-                    col[i] = _safe_hash(doc[key])
+        n = len(idxs)
+        idx_arr = np.asarray(idxs, dtype=np.int64)
+        for key in self._cols:
+            raw = [
+                _ABSENT if doc is None or key not in doc else doc[key]
+                for doc in docs
+            ]
+            hashes = np.fromiter(
+                (
+                    _MISSING if v is _ABSENT else _safe_hash(v)
+                    for v in raw
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            self._cols[key][idx_arr] = hashes
+            vcol = self._vals[key]
+            vrow = np.empty(n, dtype=object)
+            vrow[:] = raw
+            vcol[idx_arr] = vrow
 
     def clear_rows(self, idxs: List[int]) -> None:
-        for col in self._cols.values():
+        for key, col in self._cols.items():
             col[idxs] = _MISSING
+            self._vals[key][idxs] = _ABSENT
 
     def _column(self, key: str, docs: List[Optional[dict]]) -> np.ndarray:
         col = self._cols.get(key)
         if col is None or col.shape[0] != self._size:
-            col = np.full(self._size, _MISSING, dtype=np.int64)
-            for i, doc in enumerate(docs):
-                if doc is not None and key in doc:
-                    col[i] = _safe_hash(doc[key])
+            raw = [
+                _ABSENT if doc is None or key not in doc else doc[key]
+                for doc in docs
+            ]
+            col = np.fromiter(
+                (_MISSING if v is _ABSENT else _safe_hash(v) for v in raw),
+                dtype=np.int64,
+                count=self._size,
+            )
+            vals = np.empty(self._size, dtype=object)
+            vals[:] = raw
             self._cols[key] = col
+            self._vals[key] = vals
         return col
+
+    def _verify_eq(self, hits: np.ndarray, key: str, value: Any) -> np.ndarray:
+        """hits -> bool array: stored value == probe value, exactly."""
+        stored = self._vals[key][hits]
+        if isinstance(value, _SCALARISH):
+            return stored == value
+        return np.fromiter(
+            (s is not _ABSENT and s == value for s in stored),
+            dtype=bool,
+            count=hits.shape[0],
+        )
 
     def eq_mask(
         self, key: str, value: Any, docs: List[Optional[dict]]
@@ -94,15 +148,14 @@ class TagIndex:
         mask = col == np.int64(probe)
         # Verify equality on hash hits only (collision + unhashable safety).
         hits = np.nonzero(mask)[0]
-        for i in hits:
-            doc = docs[i]
-            if doc is None or doc.get(key) != value:
-                mask[i] = False
+        if hits.size:
+            mask[hits] = self._verify_eq(hits, key, value)
         if probe == int(_MISSING):
             # probe collided with the missing sentinel: scan properly.
+            stored = self._vals[key]
             for i in range(self._size):
-                doc = docs[i]
-                if doc is not None and key in doc and doc.get(key) == value:
+                s = stored[i]
+                if s is not _ABSENT and s == value:
                     mask[i] = True
         return mask
 
@@ -121,19 +174,14 @@ class TagIndex:
             except TypeError:
                 unhashable.append(v)
         hits = np.nonzero(mask)[0]
-        for i in hits:
-            doc = docs[i]
-            ok = False
-            if doc is not None and key in doc:
-                dv = doc.get(key)
-                try:
-                    ok = dv in value_set
-                except TypeError:
-                    ok = False
-                if not ok and unhashable:
-                    ok = any(dv == u for u in unhashable)
-            if not ok:
-                mask[i] = False
+        if hits.size:
+            stored = self._vals[key][hits]
+            keep = np.fromiter(
+                (_in_values(s, value_set, unhashable) for s in stored),
+                dtype=bool,
+                count=hits.shape[0],
+            )
+            mask[hits] = keep
         return mask
 
 
@@ -189,3 +237,14 @@ def _value_in(value: Any, values: List[Any]) -> bool:
         return value in values
     except TypeError:
         return any(value == v for v in values)
+
+
+def _in_values(stored: Any, value_set: set, unhashable: List[Any]) -> bool:
+    if stored is _ABSENT:
+        return False
+    try:
+        if stored in value_set:
+            return True
+    except TypeError:
+        pass
+    return any(stored == u for u in unhashable)

@@ -51,6 +51,21 @@ from .pallas_scan import (
 IVF_BN = 512  # scan block for the IVF mirror (clusters are small)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows_ivf(arr, idx, vals):
+    return arr.at[idx].set(vals)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def _scatter_set(arr, idx, value):
+    return arr.at[idx].set(value)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def _mark_overflow_tiles(c2t, tiles, overflow_cluster: int):
+    return c2t.at[overflow_cluster, tiles].set(1.0)
+
+
 def default_nlist(n_active: int) -> int:
     """~2*sqrt(N), clamped — the usual IVF sizing rule."""
     return int(max(8, min(4096, 2 * math.sqrt(max(1, n_active)))))
@@ -162,10 +177,16 @@ class IVFIndex:
             centroids = init
         assign = np.asarray(_assign(dev_vecs, centroids))
 
-        # cluster-contiguous reorder + tile padding
+        # cluster-contiguous reorder + tile padding. The slack beyond
+        # n_active is the *overflow region*: incremental updates append
+        # there (cluster id = nlist, probed by every query) so small
+        # mutation sets never trigger a full reorder — the reference's
+        # incremental `add_with_ids` policy (picovdb/pico_vdb.py:884-905)
+        # re-designed for a device-resident layout.
         order = np.argsort(assign, kind="stable")
         sorted_clusters = assign[order]
-        cap_ivf = round_up(n_active, IVF_BN)
+        slack = max(IVF_BN, int(0.04 * n_active))
+        cap_ivf = round_up(n_active + slack, IVF_BN)
         n_tiles = cap_ivf // IVF_BN
 
         ivf_vecs = np.zeros((cap_ivf, dim), dtype=Float)
@@ -203,11 +224,111 @@ class IVFIndex:
             "assign_cluster": assign.astype(np.int32),
             "nlist": np.asarray(nlist),
         }
+        # host-side bookkeeping for incremental updates
+        s2r = np.full(
+            int(act_rows.max()) + 1 if n_active else 1, -1, dtype=np.int64
+        )
+        s2r[act_rows[order]] = np.arange(n_active, dtype=np.int64)
+        idx._slot2row = s2r
+        idx._n_used = n_active
+        idx._n_build = n_active
+        idx._blob_stale = False
         return idx
+
+    # -- incremental maintenance ------------------------------------------
+
+    def update(
+        self,
+        changed_slots: np.ndarray,
+        rows: Optional[np.ndarray],
+        active_flags: np.ndarray,
+    ) -> bool:
+        """Apply a small mutation set in place; False = caller must rebuild.
+
+        Deletions/updates deactivate the old IVF row; new/updated vectors
+        append to the overflow region (always probed). Returns False when
+        the overflow region is exhausted — the analog of the reference's
+        incremental-vs-full rebuild threshold (picovdb/pico_vdb.py:884-921),
+        where the engine falls back to a full (re)build.
+        """
+        changed_slots = np.asarray(changed_slots, dtype=np.int64)
+        n_new = int(active_flags.sum())
+        if self._n_used + n_new > self.vectors.shape[0]:
+            return False
+
+        # grow the slot map if the engine's slot table grew
+        max_slot = int(changed_slots.max()) if changed_slots.size else 0
+        if max_slot >= self._slot2row.shape[0]:
+            grown = np.full(max_slot + 1, -1, dtype=np.int64)
+            grown[: self._slot2row.shape[0]] = self._slot2row
+            self._slot2row = grown
+
+        old_rows = self._slot2row[changed_slots]
+        old_rows = old_rows[old_rows >= 0]
+        new_slots = changed_slots[active_flags]
+        start = self._n_used
+        new_rows = np.arange(start, start + n_new, dtype=np.int64)
+        self._slot2row[changed_slots] = -1
+        self._slot2row[new_slots] = new_rows
+        self._n_used = start + n_new
+        self._blob_stale = True
+
+        # device scatters (tiny arrays; donated in-place updates)
+        if old_rows.size:
+            self.active = _scatter_set(
+                self.active, jax.device_put(old_rows.astype(np.int32)),
+                False,
+            )
+        if n_new:
+            idx32 = jax.device_put(new_rows.astype(np.int32))
+            self.vectors = _scatter_rows_ivf(
+                self.vectors, idx32,
+                jax.device_put(
+                    np.ascontiguousarray(rows[active_flags], dtype=Float)
+                ),
+            )
+            self.slots = _scatter_rows_ivf(
+                self.slots, idx32,
+                jax.device_put(new_slots.astype(np.int32)),
+            )
+            self.row_cluster = _scatter_set(
+                self.row_cluster, idx32, self.nlist
+            )
+            self.active = _scatter_set(self.active, idx32, True)
+            # mark the overflow tiles hot for the pad/overflow bucket
+            tiles = np.unique(new_rows // IVF_BN)
+            self.cluster2tile = _mark_overflow_tiles(
+                self.cluster2tile,
+                jax.device_put(tiles.astype(np.int32)),
+                self.nlist,
+            )
+        return True
+
+    @property
+    def overflow_fraction(self) -> float:
+        """Fraction of rows appended to the always-probed overflow region
+        since the last full build (dead holes count too — both grow the
+        per-query scan overhead until the next rebuild)."""
+        used = max(1, self._n_used)
+        return float(self._n_used - self._n_build) / used
 
     def to_blob(self) -> Optional[dict]:
         """Persistable sidecar (counterpart of faiss.write_index at
-        picovdb/pico_vdb.py:362)."""
+        picovdb/pico_vdb.py:362). After incremental updates the row/cluster
+        lists are refreshed from the live mirror so a reload can reuse the
+        trained centroids without a stale-sidecar retrain."""
+        if self._host_blob is not None and self._blob_stale:
+            live_slots = np.nonzero(self._slot2row >= 0)[0].astype(np.int64)
+            row_cluster = np.asarray(self.row_cluster)
+            self._host_blob = {
+                "centroids": self._host_blob["centroids"],
+                "assign_rows": live_slots,
+                "assign_cluster": row_cluster[
+                    self._slot2row[live_slots]
+                ].astype(np.int32),
+                "nlist": np.asarray(self.nlist),
+            }
+            self._blob_stale = False
         return self._host_blob
 
     @classmethod
@@ -385,6 +506,10 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int):
             probed.reshape(-1), centroids.shape[0], dtype=jnp.float32
         )
         cluster_mask = jnp.clip(onehot.sum(0), 0.0, 1.0)  # (nlist_pad,)
+        # the overflow bucket (incrementally appended rows) is probed by
+        # every query; freshly built indexes have no hot tiles for it, so
+        # this costs nothing until the first incremental update
+        cluster_mask = cluster_mask.at[nlist].set(1.0)
         row_mask = (cluster_mask[row_cluster] > 0) & active  # (cap_ivf,)
         tile_hot = (cluster_mask @ cluster2tile) > 0  # (n_tiles,)
         n_hot = tile_hot.sum().astype(jnp.int32)

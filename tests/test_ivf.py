@@ -211,3 +211,73 @@ def test_ivf_empty_probe_falls_back_to_exact(rng):
     vals, slots = ivf.search(q, k, ef=2, dev=dev)
     assert np.isfinite(vals[0]).all()
     assert slots[0][0] == 3
+
+
+def test_ivf_incremental_update_no_retrain(db_path, rng):
+    """1% mutations with IVF active must NOT retrain/reorder (VERDICT r1):
+    touched rows move to the always-probed overflow region in place."""
+    dim = 32
+    vectors, labels = clustered_data(rng, 800, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    db.upsert([{K_ID: f"id{i}", K_VECTOR: vectors[i]} for i in range(800)])
+    db.query(vectors[0], top_k=1)  # initial build
+    assert db._last_ann_rebuild_mode == "full"
+
+    # small mutation set: 4 updates + 4 inserts + 2 deletes (~1%)
+    newv = normalize_batch(
+        rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    db.delete(["id10", "id11"])
+    db.upsert(
+        [{K_ID: f"id{i}", K_VECTOR: newv[j]} for j, i in enumerate(range(4))]
+        + [{K_ID: f"new{j}", K_VECTOR: newv[4 + j]} for j in range(4)]
+    )
+    res = db.query(newv[5], top_k=3)
+    assert db._last_ann_rebuild_mode == "incremental"
+    assert db._last_topk_strategy == "ivf"
+    assert res[0][K_ID] == "new1"
+    # updated vector is served from the overflow region
+    res2 = db.query(newv[0], top_k=3)
+    assert res2[0][K_ID] == "id0"
+    # deleted rows never surface
+    res3 = db.query(vectors[10], top_k=10)
+    assert all(r[K_ID] not in ("id10", "id11") for r in res3)
+    # old (pre-update) vector of id0 must not shadow the new one
+    res4 = db.query(vectors[0], top_k=10)
+    ids4 = [r[K_ID] for r in res4]
+    assert ids4.count("id0") <= 1
+
+    # a big mutation set crosses the threshold -> full rebuild
+    manyv = normalize_batch(
+        rng.normal(size=(400, dim)).astype(np.float32)
+    )
+    db.upsert(
+        [{K_ID: f"bulk{j}", K_VECTOR: manyv[j]} for j in range(400)]
+    )
+    db.query(manyv[0], top_k=1)
+    assert db._last_ann_rebuild_mode == "full"
+
+
+def test_ivf_incremental_sidecar_reload(db_path, rng):
+    """Sidecar refreshed after incremental updates: reload reuses the
+    trained centroids instead of a stale-sidecar retrain."""
+    dim = 32
+    vectors, _ = clustered_data(rng, 400, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    db.upsert([{K_ID: f"id{i}", K_VECTOR: vectors[i]} for i in range(400)])
+    db.query(vectors[0], top_k=1)
+    nv = normalize_batch(rng.normal(size=(1, dim)).astype(np.float32))
+    db.upsert([{K_ID: "late", K_VECTOR: nv[0]}])
+    db.query(vectors[0], top_k=1)
+    assert db._last_ann_rebuild_mode == "incremental"
+    db.save()
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf", ivf_nlist=8
+    )
+    assert db2._ivf is not None
+    res = db2.query(nv[0], top_k=1)
+    assert res[0][K_ID] == "late"

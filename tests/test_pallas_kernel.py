@@ -296,3 +296,48 @@ def test_engine_mixed_precision_segmax(db_path, rng):
     res3 = db.query(vecs[123], top_k=k)
     assert db._last_topk_strategy == "segmax_mixed"
     assert all(r[K_ID] != "123" for r in res3)
+
+
+def test_mixed_fused_small_q(rng):
+    """Small-Q mixed path: ladder over bf16 mirror + exact f32 rescore."""
+    from picovdb_tpu.ops.pallas_scan import make_mixed_fused_topk
+    import jax.numpy as jnp
+
+    cap, dim, k = 2048, 64, 6
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = rng.random(cap) > 0.3
+    Vlp = jnp.asarray(V).astype(jnp.bfloat16)
+    fn = make_mixed_fused_topk(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, Vlp, V, mask))
+    _, oidx, scores = oracle(Q, V, mask, k)
+    for qi in range(8):
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idx[qi]], rtol=1e-5, atol=1e-6
+        )
+    recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(8)])
+    assert recall >= 0.9, recall
+
+
+def test_engine_small_q_mixed_route(db_path, rng):
+    from picovdb_tpu import PicoVectorDB, K_ID
+    from picovdb_tpu.device import DeviceIndex
+
+    dim, n = 16, DeviceIndex.SEGMAX_MIN_CAP
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mixed_precision=True
+    )
+    db.upsert_columnar(vecs, ids=[str(i) for i in range(n)], copy=False)
+    res = db.query(vecs[55], top_k=3)  # Q=1 -> small-Q mixed ladder
+    assert db._last_topk_strategy == "mixed_fused_smallq"
+    assert res[0][K_ID] == "55"
+    # batch > SMALL_Q_XLA -> segmax
+    out = db.query(vecs[:32], top_k=3)
+    assert db._last_topk_strategy == "segmax_mixed"
+    assert out[7][0][K_ID] == "7"
+    # filtered single query stays exact
+    r = db.query(vecs[8], top_k=2, where=lambda d: True)
+    assert db._last_topk_strategy not in (
+        "segmax_mixed", "mixed_fused_smallq"
+    )
