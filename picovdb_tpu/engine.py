@@ -266,6 +266,11 @@ class PicoVectorDB:
                         self._ivf = IVFIndex.from_blob(
                             blob, np.asarray(self._host_vectors),
                             self._active_mask, self.dim,
+                            dev_vectors=(
+                                self._dev.vectors
+                                if self._dev.mesh is None else None
+                            ),
+                            storage_dtype=self._dev.storage_dtype,
                         )
                     except Exception:
                         self._ivf = None
@@ -1348,12 +1353,27 @@ class PicoVectorDB:
                     if self._ivf is not None and self._ivf._host_blob
                     else None
                 )
+                # Every _rebuild_ann call site syncs the device mirror
+                # first, so the build runs fully on device (no corpus
+                # host->HBM re-upload) whenever the mirror is current.
+                dev_vectors = (
+                    self._dev.vectors
+                    if (
+                        self._dev.mesh is None
+                        and self._dev.vectors is not None
+                        and self._dev.cap >= len(self._ids)
+                    )
+                    else None
+                )
                 self._ivf = IVFIndex.build(
-                    np.asarray(self._host_vectors[: len(self._ids)]),
+                    np.asarray(self._host_vectors[: len(self._ids)])
+                    if dev_vectors is None else None,
                     self._active_mask,
                     nlist=self._ivf_nlist,
                     dim=self.dim,
                     warm_centroids=warm,
+                    dev_vectors=dev_vectors,
+                    storage_dtype=self._dev.storage_dtype,
                 )
             else:
                 self._ivf = None

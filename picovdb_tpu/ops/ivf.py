@@ -53,7 +53,23 @@ IVF_BN = 512  # scan block for the IVF mirror (clusters are small)
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows_ivf(arr, idx, vals):
-    return arr.at[idx].set(vals)
+    return arr.at[idx].set(vals.astype(arr.dtype))
+
+
+@jax.jit
+def _gather_rows(arr, idx):
+    return jnp.take(arr, idx, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+def _reorder_pad(vecs, order, cap_ivf: int):
+    """Cluster-contiguous reorder + tile padding, entirely on device.
+
+    Donates the gathered active-row buffer, so building the IVF mirror from
+    the engine's HBM-resident corpus never round-trips vector data through
+    the host (the r1 build paid two full host<->HBM corpus transfers)."""
+    out = jnp.zeros((cap_ivf, vecs.shape[1]), vecs.dtype)
+    return out.at[: order.shape[0]].set(jnp.take(vecs, order, axis=0))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
@@ -117,7 +133,7 @@ class IVFIndex:
     def __init__(self, centroids, vectors, slots, row_cluster, active,
                  cluster2tile, nlist: int, n_tiles: int, dim: int) -> None:
         self.centroids = centroids  # (nlist_pad, dim) device f32
-        self.vectors = vectors  # (cap_ivf, dim) device f32
+        self.vectors = vectors  # (cap_ivf, dim) device, storage dtype
         self.slots = slots  # (cap_ivf,) device int32, -1 pad
         self.row_cluster = row_cluster  # (cap_ivf,) device int32
         self.active = active  # (cap_ivf,) device bool
@@ -132,16 +148,33 @@ class IVFIndex:
     @classmethod
     def build(
         cls,
-        host_vectors: np.ndarray,
+        host_vectors: Optional[np.ndarray],
         active_mask: np.ndarray,
         nlist: Optional[int] = None,
         dim: Optional[int] = None,
         iters: int = 8,
         seed: int = 0,
         warm_centroids: Optional[np.ndarray] = None,
+        dev_vectors=None,
+        storage_dtype: Optional[str] = None,
     ) -> "IVFIndex":
-        size = host_vectors.shape[0]
-        dim = dim if dim is not None else host_vectors.shape[1]
+        """Train + lay out the IVF mirror.
+
+        When `dev_vectors` (the engine's HBM-resident corpus mirror, any
+        storage dtype) is given, the whole build runs on device — active-row
+        gather, k-means, assignment, cluster reorder — and the only
+        host<->device traffic is the int32 row/order tables (~4 bytes/row
+        each way). `host_vectors` may then be None. Otherwise the active
+        rows are uploaded once and reordered on device. The IVF mirror keeps
+        `dev_vectors`'s dtype (or `storage_dtype`): bfloat16 storage halves
+        the mirror's HBM residency, the probe scan reads bf16 at 2x MXU
+        rate, and the exact rescore bounds recall loss (~0.994 at bf16, same
+        as the engine's bf16 exact path)."""
+        size = (host_vectors if host_vectors is not None
+                else dev_vectors).shape[0]
+        dim = (dim if dim is not None
+               else (host_vectors if host_vectors is not None
+                     else dev_vectors).shape[1])
         act_rows = np.nonzero(active_mask[:size])[0]
         n_active = act_rows.shape[0]
         if n_active == 0:
@@ -149,16 +182,28 @@ class IVFIndex:
         nlist = int(nlist) if nlist else default_nlist(n_active)
         nlist = min(nlist, n_active)
 
-        vecs = np.ascontiguousarray(np.asarray(host_vectors)[act_rows],
-                                    dtype=Float)
-        dev_vecs = jax.device_put(vecs)
+        if dev_vectors is not None:
+            dev_vecs = _gather_rows(
+                dev_vectors, jax.device_put(act_rows.astype(np.int32))
+            )
+        else:
+            if storage_dtype in (None, "float32"):
+                np_dtype = np.dtype(Float)
+            else:
+                import ml_dtypes  # ships with jax
+
+                np_dtype = np.dtype(getattr(ml_dtypes, storage_dtype))
+            vecs = np.ascontiguousarray(
+                np.asarray(host_vectors)[act_rows]
+            ).astype(np_dtype, copy=False)
+            dev_vecs = jax.device_put(vecs)
         rng = np.random.default_rng(seed)
         if warm_centroids is not None and warm_centroids.shape == (nlist, dim):
             init = jax.device_put(np.ascontiguousarray(warm_centroids, Float))
             train_iters = max(0, min(iters, 2))  # refresh only; 0 = as saved
         else:
             pick = rng.choice(n_active, size=nlist, replace=False)
-            init = dev_vecs[jnp.asarray(pick)]
+            init = dev_vecs[jnp.asarray(pick)].astype(jnp.float32)
             train_iters = iters
         if train_iters:
             # Train on a sample (the standard IVF recipe): Lloyd converges on
@@ -167,9 +212,9 @@ class IVFIndex:
             n_train = min(n_active, max(nlist * 50, 10_000))
             if n_train < n_active:
                 tr = np.sort(rng.choice(n_active, size=n_train, replace=False))
-                train_vecs = dev_vecs[jnp.asarray(tr)]
+                train_vecs = dev_vecs[jnp.asarray(tr)].astype(jnp.float32)
             else:
-                train_vecs = dev_vecs
+                train_vecs = dev_vecs.astype(jnp.float32)
             train_mask = jax.device_put(np.ones(train_vecs.shape[0], bool))
             centroids = _kmeans(train_vecs, train_mask, init, nlist=nlist,
                                 iters=train_iters)
@@ -189,8 +234,9 @@ class IVFIndex:
         cap_ivf = round_up(n_active + slack, IVF_BN)
         n_tiles = cap_ivf // IVF_BN
 
-        ivf_vecs = np.zeros((cap_ivf, dim), dtype=Float)
-        ivf_vecs[:n_active] = vecs[order]
+        ivf_vecs = _reorder_pad(
+            dev_vecs, jax.device_put(order.astype(np.int32)), cap_ivf
+        )
         ivf_slots = np.full(cap_ivf, -1, dtype=np.int32)
         ivf_slots[:n_active] = act_rows[order].astype(np.int32)
         ivf_cluster = np.full(cap_ivf, nlist, dtype=np.int32)  # pad bucket
@@ -209,7 +255,7 @@ class IVFIndex:
 
         idx = cls(
             centroids=jax.device_put(cent_np),
-            vectors=jax.device_put(ivf_vecs),
+            vectors=ivf_vecs,
             slots=jax.device_put(ivf_slots),
             row_cluster=jax.device_put(ivf_cluster),
             active=jax.device_put(ivf_act),
@@ -338,6 +384,8 @@ class IVFIndex:
         host_vectors: np.ndarray,
         active_mask: np.ndarray,
         dim: int,
+        dev_vectors=None,
+        storage_dtype: Optional[str] = None,
     ) -> Optional["IVFIndex"]:
         """Rebuild from a persisted sidecar without retraining k-means.
 
@@ -363,6 +411,8 @@ class IVFIndex:
                 dim=dim,
                 warm_centroids=cent,
                 iters=0,
+                dev_vectors=dev_vectors,
+                storage_dtype=storage_dtype,
             )
         except Exception:
             return None
@@ -391,7 +441,17 @@ class IVFIndex:
             q_dev = queries.astype(jnp.float32)
             if q_pad != num_q:
                 q_dev = jnp.pad(q_dev, ((0, q_pad - num_q), (0, 0)))
-        fn = _make_ivf_search(k, nprobe, self.n_tiles, self.nlist)
+        interpret = (
+            getattr(getattr(dev, "_device", None), "platform", None) != "tpu"
+            if dev is not None
+            else jax.devices()[0].platform != "tpu"
+        )
+        fn = _make_ivf_search(
+            k, nprobe, self.n_tiles, self.nlist,
+            None if self.vectors.dtype == jnp.float32
+            else str(self.vectors.dtype),
+            interpret,
+        )
         vals, slot_ids = fn(
             q_dev,
             self.centroids,
@@ -414,7 +474,7 @@ class IVFIndex:
 
 
 def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
-                *, k: int, bn: int, lane_bits: int):
+                *, k: int, bn: int, lane_bits: int, compute_dtype=None):
     """Scan kernel body over remapped hot tiles.
 
     Identical selection to pallas_scan._scan_kernel, but the corpus block
@@ -433,9 +493,14 @@ def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
     def _compute():
         from .pallas_scan import _small_merge, _to_sortable
 
+        q = q_ref[...]
+        v = v_ref[...]
+        if compute_dtype is not None:
+            q = q.astype(compute_dtype)
+            v = v.astype(compute_dtype)
         scores = jax.lax.dot_general(
-            q_ref[...],
-            v_ref[...],
+            q,
+            v,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -478,8 +543,13 @@ def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
 
 
 @functools.lru_cache(maxsize=256)
-def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int):
+def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
+                     compute_dtype_name: Optional[str] = None,
+                     interpret: bool = False):
     k_sel = k + 4  # guard band, see pallas_scan.make_fused_topk
+    compute_dtype = (
+        jnp.dtype(compute_dtype_name) if compute_dtype_name else None
+    )
 
     def fn(q, centroids, vectors, slots, row_cluster, active, cluster2tile):
         from .exact import normalize_on_device
@@ -554,12 +624,16 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int):
         )
         vals, idxs = pl.pallas_call(
             functools.partial(_ivf_kernel, k=k_run, bn=bn,
-                              lane_bits=lane_bits),
+                              lane_bits=lane_bits,
+                              compute_dtype=compute_dtype),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((num_q, k_run), jnp.float32),
                 jax.ShapeDtypeStruct((num_q, k_run), jnp.int32),
             ],
+            # Off-TPU (no Mosaic) the kernel runs in plain pallas interpret
+            # mode — same code path, CPU-testable (matches DeviceIndex).
+            interpret=interpret,
         )(hot, n_hot.reshape(1), q, vectors, mask2d)
 
         vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)

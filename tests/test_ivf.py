@@ -260,6 +260,53 @@ def test_ivf_incremental_update_no_retrain(db_path, rng):
     assert db._last_ann_rebuild_mode == "full"
 
 
+def test_ivf_build_from_device_mirror_parity(rng):
+    """Build from an HBM-resident mirror (dev_vectors) must match the
+    host-matrix build: same centroids seed, same layout, same results."""
+    import jax
+
+    n, dim, k = 2000, 64, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    mask[7] = False
+    host_ivf = IVFIndex.build(vectors, mask, nlist=16, dim=dim, seed=3)
+    dev_ivf = IVFIndex.build(
+        None, mask, nlist=16, dim=dim, seed=3,
+        dev_vectors=jax.device_put(vectors),
+    )
+    queries = normalize_batch(
+        vectors[:8] + 0.01 * rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    hv, hs = host_ivf.search(queries, k, ef=64, dev=None)
+    dv, ds = dev_ivf.search(queries, k, ef=64, dev=None)
+    np.testing.assert_array_equal(hs, ds)
+    np.testing.assert_allclose(hv, dv, rtol=1e-5, atol=1e-6)
+    assert 7 not in set(ds.ravel().tolist())
+
+
+def test_ivf_bfloat16_mirror(rng):
+    """bfloat16 storage: mirror keeps the dtype, search recall holds (the
+    exact f32 rescore of probed winners bounds the quantization loss)."""
+    import jax.numpy as jnp
+
+    n, dim, k = 2000, 64, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    ivf = IVFIndex.build(vectors, mask, nlist=16, dim=dim,
+                         storage_dtype="bfloat16")
+    assert ivf.vectors.dtype == jnp.bfloat16
+    queries = normalize_batch(
+        vectors[:8] + 0.01 * rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    vals, slots = ivf.search(queries, k, ef=64, dev=None)
+    scores = queries @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(slots[i]) & set(oidx[i])) / k for i in range(8)]
+    )
+    assert recall >= 0.9, recall
+
+
 def test_ivf_incremental_sidecar_reload(db_path, rng):
     """Sidecar refreshed after incremental updates: reload reuses the
     trained centroids instead of a stale-sidecar retrain."""

@@ -189,3 +189,19 @@ def test_ivf_nprobe_ctor_override(db_path, rng):
         res = db.query(vecs[33], top_k=1, ef_search=1)
         assert res[0][K_ID] == "x33"
         assert db._last_topk_strategy == "ivf"
+
+
+def test_ivf_engine_plain_cpu_no_interpret_ctx(db_path, rng):
+    """index="ivf" must work off-TPU without any interpret context manager:
+    the search threads plain pallas interpret mode itself (a CPU user of the
+    reference can set index="ivf" and expect it to run, pico_vdb.py:171)."""
+    centers = rng.normal(size=(8, 16)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 8, 300)]
+            + 0.1 * rng.normal(size=(300, 16))).astype(np.float32)
+    db = PicoVectorDB(
+        embedding_dim=16, storage_file=db_path, index="ivf", ivf_nlist=8,
+    )
+    db.upsert([{K_ID: f"x{i}", K_VECTOR: vecs[i]} for i in range(300)])
+    res = db.query(vecs[33], top_k=1, ef_search=64)
+    assert res[0][K_ID] == "x33"
+    assert db._last_topk_strategy == "ivf"
