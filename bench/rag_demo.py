@@ -4,13 +4,16 @@ Counterpart of the reference's text demos (bench/st_embedding.py,
 bench/local_embedding_index.py, bench/local_embedding_query.py,
 bench/hf_upserts.py, bench/hf_query.py) without their network/model
 downloads: embeds with the dependency-free HashingEmbedder by default, the
-on-TPU FlaxMeanPoolEncoder with --embedder flax, or sentence-transformers
-with --embedder st when installed. The self-retrieval pass mirrors the
-reference's recall-style mismatch counting (bench/hf_query.py:38-52).
+on-TPU FlaxMeanPoolEncoder with --embedder flax, a real converted HF BERT
+checkpoint (MiniLM etc.) run on-TPU with --embedder bert --model-path DIR,
+or sentence-transformers with --embedder st when installed. The
+self-retrieval pass mirrors the reference's recall-style mismatch counting
+(bench/hf_query.py:38-52).
 
 Usage:
   python bench/rag_demo.py [--text path/to/book.txt] [--chunk 256]
-                           [--embedder hashing|flax|st] [--query "..."]
+                           [--embedder hashing|flax|bert|st]
+                           [--model-path DIR] [--query "..."]
 """
 
 import argparse
@@ -58,7 +61,13 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--text", help="path to a .txt corpus (default: built-in sample)")
     p.add_argument("--chunk", type=int, default=256)
-    p.add_argument("--embedder", choices=["hashing", "flax", "st"], default="hashing")
+    p.add_argument("--embedder", choices=["hashing", "flax", "bert", "st"],
+                   default="hashing")
+    p.add_argument("--model-path",
+                   help="local HF checkpoint dir for --embedder bert (e.g. a "
+                        "downloaded copy of sentence-transformers/"
+                        "all-MiniLM-L6-v2); weights are converted and run "
+                        "on-TPU via models.bert_encoder")
     p.add_argument("--dim", type=int, default=384)
     p.add_argument("--query", default="what does the index do with questions")
     p.add_argument("--topk", type=int, default=3)
@@ -76,6 +85,17 @@ def main():
         from picovdb_tpu.models import FlaxMeanPoolEncoder
 
         emb = FlaxMeanPoolEncoder(dim=args.dim)
+    elif args.embedder == "bert":
+        if not args.model_path:
+            raise SystemExit(
+                "--embedder bert needs --model-path <local HF checkpoint "
+                "dir> (this environment has no network access to download "
+                "one; any BertModel-architecture sentence embedder works)"
+            )
+        from picovdb_tpu.models import BertMeanPoolEncoder
+
+        emb = BertMeanPoolEncoder.from_pretrained(args.model_path)
+        args.dim = emb.dim
     else:
         from picovdb_tpu.models.torch_st import TorchSentenceEmbedder
 

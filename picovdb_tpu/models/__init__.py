@@ -7,9 +7,12 @@ an embedder can run *on the same TPU* as the store, so query embeddings
 stay device-resident end-to-end (see PicoVectorDB.query_columnar, which
 accepts jax.Array inputs with zero host round trips).
 
-Three tiers:
+Four tiers:
   * HashingEmbedder — deterministic, dependency-free text embedder
     (feature-hashed n-grams). Good for tests, demos and smoke benches.
+  * BertMeanPoolEncoder — first-party jitted BERT encoder running real
+    HuggingFace checkpoints (MiniLM et al.) on the TPU via
+    `convert_hf_state_dict`; torch-forward parity is test-asserted.
   * FlaxMeanPoolEncoder — a small JAX/flax transformer encoder with mean
     pooling that jits onto the TPU; weights random by default or loadable.
   * TorchSentenceEmbedder — optional bridge to sentence-transformers /
@@ -18,6 +21,11 @@ Three tiers:
 """
 
 from .hashing import HashingEmbedder  # noqa: F401
+from .bert_encoder import (  # noqa: F401
+    BertConfig,
+    BertMeanPoolEncoder,
+    convert_hf_state_dict,
+)
 
 try:  # flax is in the base image; keep soft anyway
     from .flax_encoder import FlaxMeanPoolEncoder  # noqa: F401

@@ -70,3 +70,92 @@ def test_flax_encoder_device_output(db_path):
     db.upsert([{K_ID: f"c{i}", K_VECTOR: corpus[i]} for i in range(4)])
     ids, scores = db.query_columnar(enc.embed_device([TEXTS[1]]), top_k=1)
     assert ids[0][0] == "c1"
+
+
+def _tiny_bert_torch():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.BertConfig(
+        vocab_size=97,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=48,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg).eval()
+    return torch, model
+
+
+def test_bert_converter_matches_torch_forward():
+    """Weight-converter parity: our jitted BERT forward must reproduce the
+    HF torch forward (mean-pooled + normalized) on a random-init model —
+    the bit-level contract that makes `from_pretrained` on a real MiniLM
+    checkpoint equivalent to the reference's SentenceTransformer embedder
+    (reference: bench/st_embedding.py:13-32)."""
+    torch, model = _tiny_bert_torch()
+    from picovdb_tpu.models.bert_encoder import BertMeanPoolEncoder
+
+    enc = BertMeanPoolEncoder.from_hf_torch(model, compute_dtype=None)
+
+    rng = np.random.default_rng(3)
+    B, T = 5, 48
+    tokens = rng.integers(0, 97, size=(B, T)).astype(np.int64)
+    mask = np.zeros((B, T), dtype=np.int64)
+    for i, ln in enumerate([48, 31, 17, 9, 1]):
+        mask[i, :ln] = 1
+
+    with torch.no_grad():
+        hidden = model(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(mask),
+        ).last_hidden_state.numpy()
+    m = mask[:, :, None].astype(np.float32)
+    ref = (hidden * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+    ref = ref / np.maximum(np.linalg.norm(ref, axis=1, keepdims=True), 1e-12)
+
+    got = np.asarray(
+        enc.embed_tokens_device(tokens.astype(np.int32), mask.astype(np.int32))
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_bert_encoder_rag_roundtrip(db_path):
+    """Converted-model embeddings drive the store end-to-end: embed texts,
+    index, self-retrieve (the reference's mismatch counter,
+    bench/hf_query.py:38-52)."""
+    torch, model = _tiny_bert_torch()
+    from picovdb_tpu.models.bert_encoder import BertMeanPoolEncoder
+
+    def toy_tokenizer(texts, padding=None, truncation=None, max_length=None,
+                      return_tensors=None):
+        ids = np.zeros((len(texts), max_length), dtype=np.int64)
+        mask = np.zeros((len(texts), max_length), dtype=np.int64)
+        for i, t in enumerate(texts):
+            bs = [1 + (b % 96) for b in t.encode()][: max_length]
+            ids[i, : len(bs)] = bs
+            mask[i, : len(bs)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+    enc = BertMeanPoolEncoder(
+        BertMeanPoolEncoder.from_hf_torch(model).params,
+        BertMeanPoolEncoder.from_hf_torch(model).config,
+        tokenizer=toy_tokenizer,
+        max_len=48,
+        compute_dtype=None,
+    )
+    texts = [f"document number {i} about topic {i % 3}" for i in range(20)]
+    vecs = enc.embed(texts)
+    assert vecs.shape == (20, 32)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
+
+    db = PicoVectorDB(embedding_dim=32, storage_file=db_path)
+    db.upsert([{K_ID: f"t{i}", K_VECTOR: vecs[i]} for i in range(20)])
+    mismatches = 0
+    for i, hits in enumerate(db.query_batched(vecs, top_k=1)):
+        if not hits or hits[0][K_ID] != f"t{i}":
+            mismatches += 1
+    assert mismatches == 0
