@@ -55,6 +55,15 @@ def main() -> int:
 
     import jax
 
+    # Persistent XLA compile cache: kernel compiles amortize across driver
+    # runs (first-ever run pays them once).
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/picovdb_tpu_xla")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
 
     rng = np.random.default_rng(0)

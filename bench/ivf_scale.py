@@ -3,18 +3,19 @@
 The IVF tier exists for corpora where even the fused exact sweep is too
 slow — the role FAISS HNSW plays in the reference (picovdb/pico_vdb.py:
 171-212: ~50-110 s build at 100k, then 0.4 ms/query). This bench measures
-the trade at multi-million scale on one chip: index build time, per-batch
+the trade at scale on one chip: index build time, pipelined per-batch
 device latency of the IVF probe scan vs the exact scan at several batch
-sizes, and IVF recall@k against the exact scan as oracle.
+sizes, and the smallest nprobe whose recall@k against the exact scan
+reaches the target (default 0.99).
 
 Data is a unit-sphere Gaussian mixture (real embedding corpora are
 clustered; on uniformly random vectors *no* partition-based ANN can beat
 an exact scan at high recall — neighbors are near-orthogonal and every
-cell looks alike). Queries are fresh samples from the same mixture.
+cell looks alike). Queries are fresh samples around the same centers.
 
 At >=2M x 1024-d use --storage-dtype bfloat16: the engine mirror plus the
 IVF mirror then fit a 16 GB v5e chip (4 GB each), the probe scan reads
-bf16 at twice the MXU rate, and the exact rescore keeps recall ~0.994+.
+bf16 at twice the MXU rate, and the exact rescore keeps recall high.
 
 Usage:
   python bench/ivf_scale.py --n 2000000 --storage-dtype bfloat16
@@ -29,32 +30,20 @@ import time
 import numpy as np
 
 import set_path  # noqa: F401
-from picovdb_tpu import PicoVectorDB
 
 
-def make_mixture(n, dim, n_centers, rng, noise=0.35, chunk=262_144):
-    """Unit-norm Gaussian-mixture rows, generated chunk-wise (host RAM)."""
-    centers = rng.normal(size=(n_centers, dim)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+def make_mixture(n, dim, centers, rng, noise=0.35, chunk=262_144):
+    """Unit-norm Gaussian-mixture rows around given centers, chunk-wise."""
     out = np.empty((n, dim), dtype=np.float32)
     for s in range(0, n, chunk):
         e = min(n, s + chunk)
-        c = rng.integers(0, n_centers, size=e - s)
+        c = rng.integers(0, centers.shape[0], size=e - s)
         block = centers[c] + noise * rng.normal(size=(e - s, dim)).astype(
             np.float32
         )
         block /= np.linalg.norm(block, axis=1, keepdims=True)
         out[s:e] = block
-    return out, centers
-
-
-def time_best(fn, iters=5):
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return out
 
 
 def main() -> int:
@@ -63,27 +52,43 @@ def main() -> int:
     p.add_argument("--dim", type=int, default=1024)
     p.add_argument("--centers", type=int, default=4096)
     p.add_argument("--topk", type=int, default=10)
-    p.add_argument("--qs", default="1,8,64,256,2048")
+    p.add_argument("--qs", default="1,8,64,256")
     p.add_argument("--nlist", type=int, default=0, help="0 = auto (~2*sqrt N)")
-    p.add_argument("--nprobe", type=int, default=0, help="0 = ef/2 mapping")
-    p.add_argument("--ef", type=int, default=32)
+    p.add_argument("--nprobes", default="4,8,16,32,64,128",
+                   help="sweep; smallest reaching --recall-target is used")
+    p.add_argument("--recall-target", type=float, default=0.99)
     p.add_argument("--storage-dtype", default=None)
-    p.add_argument("--recall-queries", type=int, default=256)
+    p.add_argument("--recall-queries", type=int, default=128)
+    p.add_argument("--pipeline", type=int, default=16,
+                   help="back-to-back dispatches per timing sample "
+                        "(hides the dev-harness relay RTT)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
     qs = [int(x) for x in args.qs.split(",")]
+    nprobes = [int(x) for x in args.nprobes.split(",")]
+
+    import jax
+
+    # Persistent XLA compile cache: build-time compiles amortize across
+    # processes (first-ever run pays them once; the driver rerun doesn't).
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/picovdb_tpu_xla")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from picovdb_tpu import PicoVectorDB
 
     rng = np.random.default_rng(args.seed)
     print(f"# generating {args.n}x{args.dim} mixture ({args.centers} centers)",
           file=sys.stderr)
     t0 = time.perf_counter()
-    data, centers = make_mixture(args.n, args.dim, args.centers, rng)
+    centers = rng.normal(size=(args.centers, args.dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    data = make_mixture(args.n, args.dim, centers, rng)
     qmax = max(max(qs), args.recall_queries)
-    queries, _ = make_mixture(qmax, args.dim, args.centers, rng)
-    # queries from the same mixture: re-sample around the same centers
-    queries = centers[rng.integers(0, args.centers, size=qmax)] + \
-        0.35 * rng.normal(size=(qmax, args.dim)).astype(np.float32)
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    queries = make_mixture(qmax, args.dim, centers, rng)
     print(f"# datagen: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
     import tempfile
@@ -94,7 +99,6 @@ def main() -> int:
             storage_file=f"{tmp}/ivf_scale",
             index="ivf",
             ivf_nlist=args.nlist or None,
-            ivf_nprobe=args.nprobe or None,
             storage_dtype=args.storage_dtype,
         )
         t0 = time.perf_counter()
@@ -118,26 +122,68 @@ def main() -> int:
 
         k = args.topk
         dev = db._dev
-        nprobe = args.nprobe or None
 
-        # recall: IVF vs the exact device scan as oracle
+        # ---- recall sweep: smallest nprobe reaching the target -----------
         m = args.recall_queries
         qr = queries[:m]
-        ev, ei = dev.query(qr, k, None, force_exact=True)
-        iv, ii = ivf.search(qr, k, args.ef, dev, nprobe=nprobe)
-        recall = np.mean([
-            len(set(ii[i].tolist()) & set(ei[i].tolist())) / k
-            for i in range(m)
-        ])
-        print(f"# recall@{k} vs exact scan: {recall:.4f} "
-              f"(ef={args.ef}, nprobe={nprobe or 'auto'})", file=sys.stderr)
+        ev, ei = dev.query(qr, k, None, force_exact=True)  # oracle
+        chosen = None
+        for npb in nprobes:
+            iv, ii, nq = ivf.search_async(qr, k, 0, dev, nprobe=npb)
+            ii = np.asarray(ii)[:m, :k]
+            recall = np.mean([
+                len(set(ii[i].tolist()) & set(ei[i].tolist())) / k
+                for i in range(m)
+            ])
+            print(f"# nprobe {npb:4d}: recall@{k} = {recall:.4f}",
+                  file=sys.stderr)
+            if recall >= args.recall_target and chosen is None:
+                chosen = (npb, recall)
+        if chosen is None:
+            chosen = (nprobes[-1], recall)
+            print("# WARNING: recall target not reached in sweep",
+                  file=sys.stderr)
+        nprobe, recall = chosen
+        print(f"# operating point: nprobe={nprobe} (recall {recall:.4f})",
+              file=sys.stderr)
+
+        # ---- pipelined device latency: ivf vs exact at several Q ----------
+        # Queries are pre-placed on device (the serving contract: embeddings
+        # from an upstream on-TPU model) and M dispatches run back-to-back
+        # before one blocking fetch wave, so the dev harness's host<->TPU
+        # relay RTT (~27 ms/hop) is excluded — same methodology as bench.py's
+        # single_query_device_ms.
+        M = args.pipeline
+
+        def run_ivf(qdevs):
+            pend = [ivf.search_async(qdevs[i % len(qdevs)], k, 0, dev,
+                                     nprobe=nprobe) for i in range(M)]
+            for v, s, _ in pend:
+                np.asarray(v), np.asarray(s)
+
+        def run_exact(qdevs):
+            pend = [dev.query_async(qdevs[i % len(qdevs)], k, None,
+                                    force_exact=True) for i in range(M)]
+            for v, s, _, _ in pend:
+                np.asarray(v), np.asarray(s)
+
+        def best_of(fn, qdevs, iters=3):
+            best = float("inf")
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                fn(qdevs)
+                best = min(best, time.perf_counter() - t0)
+            return best / M
 
         rows = []
         for q in qs:
-            qq = queries[:q]
-            t_ivf = time_best(lambda: ivf.search(qq, k, args.ef, dev,
-                                                 nprobe=nprobe))
-            t_ex = time_best(lambda: dev.query(qq, k, None))
+            qdevs = [
+                jax.device_put(queries[i * q: (i + 1) * q])
+                for i in range(min(4, qmax // q) or 1)
+            ]
+            run_ivf(qdevs); run_exact(qdevs)  # warm compiles
+            t_ivf = best_of(run_ivf, qdevs)
+            t_ex = best_of(run_exact, qdevs)
             rows.append((q, t_ivf, t_ex))
             print(f"# Q={q:5d}: ivf {t_ivf*1000:8.2f} ms ({q/t_ivf:9.0f} QPS)"
                   f" | exact {t_ex*1000:8.2f} ms ({q/t_ex:9.0f} QPS)"
@@ -149,10 +195,14 @@ def main() -> int:
                       f"_recall{recall:.3f}",
             "value": round(best[2] / best[1], 2),
             "unit": "x",
+            "nprobe": nprobe,
+            "nlist": ivf.nlist,
             "build_cold_s": round(t_build_cold, 1),
             "build_warm_s": round(t_build_warm, 1),
             "qps_ivf": round(best[0] / best[1], 0),
             "qps_exact": round(best[0] / best[2], 0),
+            "ivf_ms_q1": round(rows[0][1] * 1000, 3) if qs[0] == 1 else None,
+            "exact_ms_q1": round(rows[0][2] * 1000, 3) if qs[0] == 1 else None,
         }))
     return 0
 

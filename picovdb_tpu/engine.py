@@ -74,6 +74,33 @@ logger = logging.getLogger("picovdb_tpu")
 
 WhereArg = Optional[Union[dict, Callable[[dict], bool]]]
 
+_compile_cache_enabled = False
+
+
+def _maybe_enable_compile_cache() -> None:
+    """Opt-in persistent XLA compile cache (PICOVDB_COMPILE_CACHE=<dir>).
+
+    Kernel/compile specializations (per corpus-capacity bucket, query
+    bucket, k) then persist across processes: a serving restart or an
+    index rebuild at an already-seen shape skips its 1-40 s XLA compiles.
+    Opt-in because it mutates process-global jax config.
+    """
+    global _compile_cache_enabled
+    if _compile_cache_enabled:
+        return
+    path = os.getenv("PICOVDB_COMPILE_CACHE")
+    if not path:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _compile_cache_enabled = True
+    except Exception:  # pragma: no cover - best effort
+        logger.warning("could not enable the XLA compile cache", exc_info=True)
+
 
 class PicoVectorDB:
     """Cosine-only vector DB with metadata persistence, on TPU.
@@ -118,6 +145,7 @@ class PicoVectorDB:
         ivf_nlist: Optional[int] = None,
         ivf_nprobe: Optional[int] = None,
     ) -> None:
+        _maybe_enable_compile_cache()
         self._rwlock = RWLock()
         self.dim = int(embedding_dim)
         self.metric = metric

@@ -426,6 +426,27 @@ class IVFIndex:
         `nprobe` overrides the ef->nprobe mapping when given (the engine's
         `ivf_nprobe` ctor knob).
         """
+        vals, slot_ids, num_q = self.search_async(queries, k, ef, dev, nprobe)
+        vals_np = np.asarray(vals)[:num_q, :k]
+        slots_np = np.asarray(slot_ids)[:num_q, :k]
+        if not np.isfinite(vals_np).any():
+            # Every probed cluster was empty (stale centroids / tiny nprobe)
+            # yet the engine routed here because candidates exist — fall back
+            # to the exact scan rather than returning spuriously empty
+            # results (self-healing, like the reference's FAISS load
+            # fallback at picovdb/pico_vdb.py:260-283).
+            return dev.query(np.asarray(queries)[:num_q], k, None)
+        return vals_np, slots_np
+
+    def search_async(self, queries, k: int, ef: int, dev,
+                     nprobe: Optional[int] = None):
+        """Dispatch a probed top-k without blocking.
+
+        Returns (vals_dev, slot_ids_dev, num_q) — device arrays callers
+        slice as [:num_q, :k] after np.asarray — so serving paths can
+        pipeline several dispatches ahead of the host fetches (same
+        contract as DeviceIndex.query_async).
+        """
         if nprobe is None:
             nprobe = ef_to_nprobe(ef, self.nlist)
         nprobe = int(max(1, min(self.nlist, nprobe)))
@@ -461,16 +482,7 @@ class IVFIndex:
             self.active,
             self.cluster2tile,
         )
-        vals_np = np.asarray(vals)[:num_q, :k]
-        slots_np = np.asarray(slot_ids)[:num_q, :k]
-        if not np.isfinite(vals_np).any():
-            # Every probed cluster was empty (stale centroids / tiny nprobe)
-            # yet the engine routed here because candidates exist — fall back
-            # to the exact scan rather than returning spuriously empty
-            # results (self-healing, like the reference's FAISS load
-            # fallback at picovdb/pico_vdb.py:260-283).
-            return dev.query(np.asarray(queries)[:num_q], k, None)
-        return vals_np, slots_np
+        return vals, slot_ids, num_q
 
 
 def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
