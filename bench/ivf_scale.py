@@ -63,6 +63,10 @@ def main() -> int:
                    help="back-to-back dispatches per timing sample "
                         "(hides the dev-harness relay RTT)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-cache", default="",
+                   help="npz path to save/load the generated corpus "
+                        "(datagen at 2M x 1024 costs ~1h of balloon page "
+                        "faults on the dev harness host)")
     args = p.parse_args()
     qs = [int(x) for x in args.qs.split(",")]
     nprobes = [int(x) for x in args.nprobes.split(",")]
@@ -81,15 +85,27 @@ def main() -> int:
     from picovdb_tpu import PicoVectorDB
 
     rng = np.random.default_rng(args.seed)
-    print(f"# generating {args.n}x{args.dim} mixture ({args.centers} centers)",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    centers = rng.normal(size=(args.centers, args.dim)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    data = make_mixture(args.n, args.dim, centers, rng)
     qmax = max(max(qs), args.recall_queries)
-    queries = make_mixture(qmax, args.dim, centers, rng)
-    print(f"# datagen: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
+    t0 = time.perf_counter()
+    import os
+
+    if args.data_cache and os.path.exists(args.data_cache):
+        blob = np.load(args.data_cache)
+        data, queries = blob["data"], blob["queries"]
+        assert data.shape == (args.n, args.dim), data.shape
+        print(f"# data cache hit: {time.perf_counter()-t0:.1f} s",
+              file=sys.stderr)
+    else:
+        print(f"# generating {args.n}x{args.dim} mixture "
+              f"({args.centers} centers)", file=sys.stderr)
+        centers = rng.normal(size=(args.centers, args.dim)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        data = make_mixture(args.n, args.dim, centers, rng)
+        queries = make_mixture(qmax, args.dim, centers, rng)
+        print(f"# datagen: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
+        if args.data_cache:
+            np.savez(args.data_cache, data=data, queries=queries)
+            print("# data cache saved", file=sys.stderr)
 
     import tempfile
 
