@@ -32,18 +32,69 @@ import numpy as np
 import set_path  # noqa: F401
 
 
-def make_mixture(n, dim, centers, rng, noise=0.35, chunk=262_144):
-    """Unit-norm Gaussian-mixture rows around given centers, chunk-wise."""
+def make_mixture(n, dim, centers, rng, noise=0.35, chunk=65_536):
+    """Unit-norm Gaussian-mixture rows around given centers, chunk-wise.
+
+    Gaussians are drawn straight into float32 (standard_normal dtype=) —
+    the f64-then-cast pattern doubles memory traffic and, on the ballooned
+    dev-harness host, turns a minutes-long datagen into an hour of page
+    faults.
+    """
     out = np.empty((n, dim), dtype=np.float32)
     for s in range(0, n, chunk):
         e = min(n, s + chunk)
         c = rng.integers(0, centers.shape[0], size=e - s)
-        block = centers[c] + noise * rng.normal(size=(e - s, dim)).astype(
-            np.float32
-        )
+        block = rng.standard_normal(size=(e - s, dim), dtype=np.float32)
+        block *= noise
+        block += centers[c]
         block /= np.linalg.norm(block, axis=1, keepdims=True)
         out[s:e] = block
     return out
+
+
+def make_mixture_device(n, dim, centers_dev, key, noise=0.35, chunk=262_144):
+    """Unit-sphere Gaussian mixture generated entirely on the TPU.
+
+    Fills a preallocated HBM buffer chunk-by-chunk with donated updates
+    (peak HBM = corpus + one chunk). The dev-harness relay moves ~2-6 MB/s,
+    so host-side generation + upload of an 8 GB corpus costs the better
+    part of an hour; on-device generation costs seconds and feeds
+    `PicoVectorDB.ingest_device` with zero host traffic.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, centers, key, start):
+        k1, k2 = jax.random.split(key)
+        c = jax.random.randint(k1, (chunk,), 0, centers.shape[0])
+        rows = centers[c] + noise * jax.random.normal(
+            k2, (chunk, dim), dtype=jnp.float32
+        )
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def fill_tail(buf, centers, key, start, m):
+        k1, k2 = jax.random.split(key)
+        c = jax.random.randint(k1, (m,), 0, centers.shape[0])
+        rows = centers[c] + noise * jax.random.normal(
+            k2, (m, dim), dtype=jnp.float32
+        )
+        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+
+    buf = jnp.zeros((n, dim), dtype=jnp.float32)
+    s = 0
+    while s < n:
+        m = min(chunk, n - s)
+        key, sub = jax.random.split(key)
+        if m == chunk:
+            buf = fill(buf, centers_dev, sub, s)
+        else:
+            buf = fill_tail(buf, centers_dev, sub, s, m)
+        s += m
+    return buf
 
 
 def main() -> int:
@@ -59,9 +110,14 @@ def main() -> int:
     p.add_argument("--recall-target", type=float, default=0.99)
     p.add_argument("--storage-dtype", default=None)
     p.add_argument("--recall-queries", type=int, default=128)
-    p.add_argument("--pipeline", type=int, default=16,
+    p.add_argument("--pipeline", type=int, default=32,
                    help="back-to-back dispatches per timing sample "
                         "(hides the dev-harness relay RTT)")
+    p.add_argument("--gen", choices=["host", "device"], default="host",
+                   help="host: numpy datagen + upsert_columnar (exercises "
+                        "the host upload path); device: on-TPU datagen + "
+                        "ingest_device (zero host traffic — the only viable "
+                        "path for >=2M rows over the dev-harness relay)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-cache", default="",
                    help="npz path to save/load the generated corpus "
@@ -89,7 +145,32 @@ def main() -> int:
     t0 = time.perf_counter()
     import os
 
-    if args.data_cache and os.path.exists(args.data_cache):
+    corpus_dev = None
+    if args.gen == "device":
+        import jax.numpy as jnp
+
+        key = jax.random.PRNGKey(args.seed)
+        kc, kd, kq = jax.random.split(key, 3)
+        centers_dev = jax.random.normal(
+            kc, (args.centers, args.dim), dtype=jnp.float32
+        )
+        centers_dev = centers_dev / jnp.linalg.norm(
+            centers_dev, axis=1, keepdims=True
+        )
+        print(f"# generating {args.n}x{args.dim} mixture on device "
+              f"({args.centers} centers)", file=sys.stderr)
+        corpus_dev = make_mixture_device(
+            args.n, args.dim, centers_dev, kd
+        )
+        corpus_dev.block_until_ready()
+        q_dev = make_mixture_device(qmax, args.dim, centers_dev, kq)
+        queries = np.array(q_dev)  # writable host copy (asarray is RO)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        del q_dev, centers_dev
+        data = None
+        print(f"# datagen (device): {time.perf_counter()-t0:.1f} s",
+              file=sys.stderr)
+    elif args.data_cache and os.path.exists(args.data_cache):
         blob = np.load(args.data_cache)
         data, queries = blob["data"], blob["queries"]
         assert data.shape == (args.n, args.dim), data.shape
@@ -98,7 +179,9 @@ def main() -> int:
     else:
         print(f"# generating {args.n}x{args.dim} mixture "
               f"({args.centers} centers)", file=sys.stderr)
-        centers = rng.normal(size=(args.centers, args.dim)).astype(np.float32)
+        centers = rng.standard_normal(
+            size=(args.centers, args.dim), dtype=np.float32
+        )
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
         data = make_mixture(args.n, args.dim, centers, rng)
         queries = make_mixture(qmax, args.dim, centers, rng)
@@ -118,8 +201,12 @@ def main() -> int:
             storage_dtype=args.storage_dtype,
         )
         t0 = time.perf_counter()
-        db.upsert_columnar(data, ids=[str(i) for i in range(args.n)],
-                           copy=False)
+        if corpus_dev is not None:
+            db.ingest_device(corpus_dev, ids=[str(i) for i in range(args.n)])
+            corpus_dev = None  # engine owns (a cast of) it now
+        else:
+            db.upsert_columnar(data, ids=[str(i) for i in range(args.n)],
+                               copy=False)
         t_insert = time.perf_counter() - t0
         print(f"# insert: {t_insert:.2f} s ({args.n/t_insert:.0f} vec/s)",
               file=sys.stderr)
@@ -171,17 +258,23 @@ def main() -> int:
         # single_query_device_ms.
         M = args.pipeline
 
+        def _drain(pend):
+            # overlap the tiny (Q, k) result fetches: without the async
+            # copies each np.asarray pays a serial relay round trip, which
+            # at ~27 ms/hop swamps the device time entirely
+            for rec in pend:
+                for arr in rec[:2]:
+                    arr.copy_to_host_async()
+            for rec in pend:
+                np.asarray(rec[0]), np.asarray(rec[1])
+
         def run_ivf(qdevs):
-            pend = [ivf.search_async(qdevs[i % len(qdevs)], k, 0, dev,
-                                     nprobe=nprobe) for i in range(M)]
-            for v, s, _ in pend:
-                np.asarray(v), np.asarray(s)
+            _drain([ivf.search_async(qdevs[i % len(qdevs)], k, 0, dev,
+                                     nprobe=nprobe) for i in range(M)])
 
         def run_exact(qdevs):
-            pend = [dev.query_async(qdevs[i % len(qdevs)], k, None,
-                                    force_exact=True) for i in range(M)]
-            for v, s, _, _ in pend:
-                np.asarray(v), np.asarray(s)
+            _drain([dev.query_async(qdevs[i % len(qdevs)], k, None,
+                                    force_exact=True) for i in range(M)])
 
         def best_of(fn, qdevs, iters=3):
             best = float("inf")

@@ -216,6 +216,47 @@ class DeviceIndex:
         self._refresh_lp_mirror()
         self.last_sync_mode = "full"
 
+    def adopt(self, vectors_dev, n: int, normalize: bool = False) -> None:
+        """Adopt a device-resident (n, dim) array as the full corpus.
+
+        Device-born ingestion: embeddings produced on the TPU (e.g. by the
+        on-TPU BERT encoder, models/bert_encoder.py) become the corpus
+        without ever visiting the host — no host mirror copy, no PCIe/relay
+        round trip. One jitted program normalizes (optional), casts to the
+        storage dtype, and pads to the aligned capacity; the input buffer is
+        donated so peak HBM is input + padded output.
+        """
+        cap = max(self.cap, self._padded_cap(n))
+        sdt = jnp.dtype(self._storage_np_dtype())
+
+        @functools.partial(
+            jax.jit, static_argnums=(1, 2), donate_argnums=(0,)
+        )
+        def _prep(x, pad, do_norm):
+            x = x.astype(jnp.float32)
+            if do_norm:
+                nrm = jnp.linalg.norm(x, axis=1, keepdims=True)
+                # zero rows map to e0, matching utils.normalize_batch and
+                # the reference (picovdb/pico_vdb.py:58-68)
+                e0 = jnp.zeros_like(x).at[:, 0].set(1.0)
+                x = jnp.where(nrm > 0.0, x / jnp.where(nrm > 0, nrm, 1), e0)
+            x = x.astype(sdt)
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0)))
+            return x
+
+        v = _prep(vectors_dev, cap - n, bool(normalize))
+        mask = jnp.arange(cap, dtype=jnp.int32) < n
+        if self.mesh is None:
+            self.vectors = jax.device_put(v, self._device)
+            self.active = jax.device_put(mask, self._device)
+        else:
+            self.vectors = jax.device_put(v, self._row_sharding())
+            self.active = jax.device_put(mask, self._mask_sharding())
+        self.cap = cap
+        self._refresh_lp_mirror()
+        self.last_sync_mode = "full"
+
     # f32 corpus + bf16 mirror = 6 bytes/row/dim; above this the mirror is
     # skipped so big corpora keep their headroom (v5e has 16 GB HBM).
     MIXED_HBM_BUDGET = 12 * 2**30

@@ -155,6 +155,10 @@ class PicoVectorDB:
 
         # host-authoritative parallel state ----------------------------------
         self._host_vectors: np.ndarray = np.empty((0, self.dim), dtype=Float)
+        # Device-born ingestion (`ingest_device`) leaves the host matrix
+        # unmaterialized; any path that reads or writes host rows calls
+        # `_ensure_host_vectors()` first, which pulls the corpus down once.
+        self._host_lazy: bool = False
         self._ids: list[Optional[str]] = []
         self._docs: list[Optional[dict]] = []
         self._free: list[int] = []
@@ -369,6 +373,7 @@ class PicoVectorDB:
         with self._rwlock.write_lock():
             if self._dirty:
                 self._sync_device_locked()
+            self._ensure_host_vectors()
             if (
                 shards is not None
                 and shards > 1
@@ -417,6 +422,7 @@ class PicoVectorDB:
             report: dict[str, list[str]] = {"update": [], "insert": []}
             if not items:
                 return report
+            self._ensure_host_vectors()
             # Pass 1: validate into one preallocated (n, dim) buffer, then
             # normalize as a single vectorized batch. (The reference
             # normalizes per item in Python, picovdb/pico_vdb.py:412-422;
@@ -610,6 +616,7 @@ class PicoVectorDB:
                 self._dirty = True
                 return report
             # ---- general lane: same state machine as upsert --------------
+            self._ensure_host_vectors()
             new_rows: list[int] = []
             new_ids: list[str] = []
             new_docs: list[dict] = []
@@ -700,9 +707,118 @@ class PicoVectorDB:
             self._dirty = True
             return report
 
+    def ingest_device(
+        self,
+        vectors,
+        ids: list[str],
+        metadata: Optional[list[Optional[dict]]] = None,
+        normalize: bool = True,
+    ) -> dict[str, list[str]]:
+        """Bulk-load a device-resident embedding matrix into a fresh store.
+
+        The device-born counterpart of `upsert_columnar`: `vectors` is a
+        jax.Array of shape (n, dim) already living in HBM — typically the
+        output of an on-TPU encoder (models/bert_encoder.py) or an on-device
+        data pipeline — and becomes the corpus without ever crossing to the
+        host. Normalization, storage-dtype cast, and capacity padding run as
+        one jitted device program; host state keeps only ids/metadata.
+
+        The host vector matrix stays *lazy*: `save()`, getters with
+        `include_vector=True`, and later row-mutating upserts materialize it
+        on demand with a single device->host fetch. Under bfloat16 storage
+        the materialized (and therefore persisted) values are the bf16-
+        rounded rows — a documented deviation from host-side ingestion,
+        where persistence keeps full float32.
+
+        Requires an empty store (no prior rows, no fixed `capacity`, not
+        memmapped) and explicit unique ids (content-md5 auto-IDs would need
+        the bytes on host — use `upsert_columnar` for that).
+        """
+        import jax as _jax
+
+        if not isinstance(vectors, _jax.Array):
+            raise ValueError(
+                "ingest_device expects a device-resident jax.Array; for "
+                "host numpy data use upsert_columnar"
+            )
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(
+                f"ingest_device expects a 2D array with last dim {self.dim};"
+                f" got shape {tuple(vectors.shape)}"
+            )
+        n = vectors.shape[0]
+        if n == 0:
+            return {"update": [], "insert": []}
+        if ids is None or len(ids) != n:
+            raise ValueError(
+                f"ingest_device needs exactly one id per row; got "
+                f"{0 if ids is None else len(ids)} ids for {n} rows"
+            )
+        if len(set(ids)) != n:
+            raise ValueError("ingest_device ids must be unique")
+        if metadata is not None and len(metadata) != n:
+            raise ValueError(
+                f"metadata length {len(metadata)} != number of vectors {n}"
+            )
+        with self._rwlock.write_lock():
+            if self._ids or self._free or self._use_memmap:
+                raise ValueError(
+                    "ingest_device requires an empty, non-memmap store; "
+                    "use upsert/upsert_columnar on populated stores"
+                )
+            if self._capacity is not None:
+                raise ValueError(
+                    "ingest_device does not support fixed-capacity stores"
+                )
+            self._dev.adopt(vectors, n, normalize=normalize)
+            self._host_vectors = None
+            self._host_lazy = True
+            self._ids = list(ids)
+            if metadata is None:
+                self._docs = [{K_ID: _id} for _id in ids]
+            else:
+                self._docs = [
+                    {**(m or {}), K_ID: _id} for m, _id in zip(metadata, ids)
+                ]
+            self._id2idx = dict(zip(ids, range(n)))
+            self._active_indices = np.arange(n, dtype=np.int64)
+            self._active_mask = np.ones(n, dtype=bool)
+            self._tag_index.resize(n)
+            self._ids_np = None
+            self._pending_add.clear()
+            self._pending_remove.clear()
+            self._pending_full = False
+            self._last_sync_mode = "full"
+            # The ANN tier (when enabled) builds lazily on the first query
+            # or explicit rebuild_index(), mirroring the reference's lazy
+            # FAISS rebuild (picovdb/pico_vdb.py:660-665); the sync step
+            # recognizes the device-born mirror as current and skips any
+            # host upload.
+            self._dirty = self._index_kind == "ivf"
+            return {"update": [], "insert": list(ids)}
+
+    def _ensure_host_vectors(self) -> None:
+        """Materialize the host matrix from the device mirror if lazy.
+
+        One bulk device->host fetch; rows beyond len(_ids) (alignment
+        padding) are dropped. Caller must hold the write lock (or be in a
+        single-threaded context like load).
+        """
+        if not self._host_lazy:
+            return
+        n = len(self._ids)
+        if n == 0:
+            self._host_vectors = np.empty((0, self.dim), dtype=Float)
+        else:
+            self._host_vectors = to_c_f32(
+                np.asarray(self._dev.vectors[:n]).astype(Float)
+            )
+        self._host_lazy = False
+
     def delete(self, ids: list[str]) -> list[str]:
         """Soft-delete vectors by ID; returns the IDs actually deleted."""
         with self._rwlock.write_lock():
+            self._ensure_host_vectors()
             removed: list[str] = []
             removed_idxs: list[int] = []
             for _id in ids:
@@ -741,6 +857,7 @@ class PicoVectorDB:
         with self._rwlock.write_lock():
             if not self._free:
                 return
+            self._ensure_host_vectors()
             active = sorted(self._id2idx.values())
             self._host_vectors = to_c_f32(np.asarray(self._host_vectors)[active])
             self._ids = [self._ids[i] for i in active]
@@ -765,7 +882,9 @@ class PicoVectorDB:
     def rebuild_index(self) -> None:
         """Force a full device mirror refresh (+ ANN rebuild) immediately."""
         with self._rwlock.write_lock():
-            if len(self._ids):
+            if len(self._ids) and not self._host_lazy:
+                # (When the host matrix is lazy — device-born ingestion —
+                # the mirror already IS the authoritative corpus.)
                 self._dev.full_upload(self._host_vectors, self._active_mask)
                 self._last_sync_mode = "full"
             self._pending_add.clear()
@@ -1102,11 +1221,19 @@ class PicoVectorDB:
                     out.append(self._record(idx, _id, include_vector))
             return out
 
+    def _host_row(self, idx: int) -> np.ndarray:
+        """One float32 host row; fetched from the device mirror when the
+        host matrix is lazy (device-born ingestion), without materializing
+        the whole corpus under a read lock."""
+        if self._host_lazy:
+            return np.asarray(self._dev.vectors[idx]).astype(Float)
+        return np.array(self._host_vectors[idx], dtype=Float)
+
     def _record(self, idx: int, _id: str, include_vector: bool) -> dict[str, Any]:
         meta = self._docs[idx] or {K_ID: _id}
         rec = dict(meta)
         if include_vector:
-            rec[K_VECTOR] = np.array(self._host_vectors[idx], dtype=Float)
+            rec[K_VECTOR] = self._host_row(idx)
         return rec
 
     def get_by_id(
@@ -1134,9 +1261,7 @@ class PicoVectorDB:
                         rec[K_ID] = _id
                         if include_vector:
                             idx = self._id2idx[_id]
-                            rec[K_VECTOR] = np.array(
-                                self._host_vectors[idx], dtype=Float
-                            )
+                            rec[K_VECTOR] = self._host_row(idx)
                         docs.append(rec)
                     else:
                         docs.append({K_ID: _id})
@@ -1149,9 +1274,7 @@ class PicoVectorDB:
                     rec = dict(doc)
                     rec[K_ID] = _id
                     if include_vector:
-                        rec[K_VECTOR] = np.array(
-                            self._host_vectors[idx], dtype=Float
-                        )
+                        rec[K_VECTOR] = self._host_row(idx)
                     docs.append(rec)
             return docs
 
@@ -1307,19 +1430,40 @@ class PicoVectorDB:
         if size == 0:
             self._dirty = False
             return
-        changed = sorted(self._pending_add | self._pending_remove)
+        mirror_current = (
+            self._host_lazy
+            and not self._pending_add
+            and not self._pending_remove
+            and not self._pending_full
+            and self._dev.vectors is not None
+            and self._dev.cap >= size
+        )
+        if mirror_current:
+            # Device-born corpus (`ingest_device`) with no mutations since:
+            # the mirror IS the authoritative data — nothing to upload. The
+            # dirty flag only deferred the ANN build (reference laziness:
+            # picovdb/pico_vdb.py:660-665).
+            changed = []
+            ann_rows = None
+        else:
+            # Every row-mutating path materializes a lazy host matrix before
+            # marking dirty, so this is a no-op on the device-born path.
+            self._ensure_host_vectors()
+            changed = sorted(self._pending_add | self._pending_remove)
         dev_rows = self._dev.cap
-        need_full = (
+        need_full = not mirror_current and (
             self._pending_full
             or self._dev.vectors is None
             or size > dev_rows
             or not changed  # unknown change set -> be safe
         )
-        if not need_full:
+        if not need_full and not mirror_current:
             ratio = len(changed) / float(max(1, min(size, dev_rows)))
             need_full = ratio > max(0.0, self._incr_threshold_ratio)
         ann_rows = None
-        if need_full:
+        if mirror_current:
+            pass
+        elif need_full:
             self._dev.full_upload(
                 np.asarray(self._host_vectors[:size]), self._active_mask
             )
@@ -1393,6 +1537,8 @@ class PicoVectorDB:
                     )
                     else None
                 )
+                if dev_vectors is None:
+                    self._ensure_host_vectors()
                 self._ivf = IVFIndex.build(
                     np.asarray(self._host_vectors[: len(self._ids)])
                     if dev_vectors is None else None,
