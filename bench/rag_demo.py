@@ -61,8 +61,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--text", help="path to a .txt corpus (default: built-in sample)")
     p.add_argument("--chunk", type=int, default=256)
-    p.add_argument("--embedder", choices=["hashing", "flax", "bert", "st"],
+    p.add_argument("--embedder",
+                   choices=["hashing", "flax", "bert", "bert-random", "st"],
                    default="hashing")
+    p.add_argument("--device-pipeline", action="store_true",
+                   help="keep embeddings device-resident end to end: "
+                        "encoder output feeds ingest_device (corpus) and "
+                        "query_columnar (queries) with zero vector host "
+                        "traffic — the fully on-TPU RAG path")
+    p.add_argument("--batch", type=int, default=64,
+                   help="encoder batch size (chunks per forward pass)")
+    p.add_argument("--platform", choices=["auto", "cpu"], default="auto",
+                   help="cpu: force the CPU backend (the TPU is single-"
+                        "claim in the dev harness; JAX_PLATFORMS env is "
+                        "captured too early to help)")
     p.add_argument("--model-path",
                    help="local HF checkpoint dir for --embedder bert (e.g. a "
                         "downloaded copy of sentence-transformers/"
@@ -72,6 +84,11 @@ def main():
     p.add_argument("--query", default="what does the index do with questions")
     p.add_argument("--topk", type=int, default=3)
     args = p.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     text = open(args.text, encoding="utf-8").read() if args.text else SAMPLE
     chunks = chunk_text(text, args.chunk)
@@ -96,38 +113,90 @@ def main():
 
         emb = BertMeanPoolEncoder.from_pretrained(args.model_path)
         args.dim = emb.dim
+    elif args.embedder == "bert-random":
+        # Checkpoint-free on-TPU BERT: deterministic random weights +
+        # corpus-built word vocab. Embeddings are reproducible and
+        # discriminative enough for self-retrieval (each chunk must rank
+        # itself first), which is what the reference's mismatch counter
+        # measures (bench/hf_query.py:38-52) — semantic quality needs real
+        # weights (--embedder bert).
+        from picovdb_tpu.models import BertMeanPoolEncoder
+
+        emb = BertMeanPoolEncoder.random_init(corpus_texts=chunks)
+        args.dim = emb.dim
     else:
         from picovdb_tpu.models.torch_st import TorchSentenceEmbedder
 
         emb = TorchSentenceEmbedder()
         args.dim = emb.dim
 
-    t0 = time.perf_counter()
-    vecs = emb.embed(chunks)
-    print(f"embedding: {time.perf_counter() - t0:.2f} s")
+    metadata = [{"text": c} for c in chunks]
+    ids = [f"chunk{i}" for i in range(len(chunks))]
 
-    db = PicoVectorDB(embedding_dim=args.dim, storage_file="rag_demo_db")
-    db.upsert(
-        [
-            {K_ID: f"chunk{i}", K_VECTOR: vecs[i], "text": chunks[i]}
-            for i in range(len(chunks))
+    if args.device_pipeline:
+        # Fully on-TPU path: chunk embeddings never visit the host. The
+        # encoder's jitted forward writes straight to HBM; ingest_device
+        # adopts the matrix; query embeddings go device->device into
+        # query_columnar.
+        import jax.numpy as jnp
+
+        if not hasattr(emb, "embed_device"):
+            raise SystemExit(
+                f"--device-pipeline needs an on-device embedder; "
+                f"{args.embedder!r} embeds on host"
+            )
+        t0 = time.perf_counter()
+        parts = [
+            emb.embed_device(chunks[s : s + args.batch])
+            for s in range(0, len(chunks), args.batch)
         ]
-    )
+        vecs_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        vecs_dev.block_until_ready()
+        t_embed = time.perf_counter() - t0
+        print(f"embedding (on-device): {t_embed:.2f} s "
+              f"({len(chunks)/t_embed:.0f} chunks/s)")
+        db = PicoVectorDB(embedding_dim=args.dim, storage_file="rag_demo_db")
+        db.ingest_device(vecs_dev, ids=ids, metadata=metadata)
+        vecs = None
+    else:
+        t0 = time.perf_counter()
+        vecs = emb.embed(chunks)
+        print(f"embedding: {time.perf_counter() - t0:.2f} s")
+        db = PicoVectorDB(embedding_dim=args.dim, storage_file="rag_demo_db")
+        db.upsert(
+            [
+                {K_ID: ids[i], K_VECTOR: vecs[i], "text": chunks[i]}
+                for i in range(len(chunks))
+            ]
+        )
     db.save()
 
-    res = db.query(emb.embed([args.query])[0], top_k=args.topk)
+    qvec = (
+        emb.embed_device([args.query])
+        if args.device_pipeline
+        else emb.embed([args.query])[0]
+    )
+    res = db.query(qvec, top_k=args.topk)
+    if args.device_pipeline:
+        res = res[0]
     print(f"\nquery: {args.query!r}")
     for r in res:
         print(f"  {r[K_METRICS]:.3f} {r[K_ID]}: {r['text'][:90]}…")
 
     # self-retrieval: each chunk's own embedding must rank itself first
     # (the reference's mismatch counter, bench/hf_query.py:38-52)
-    mismatches = 0
-    results = db.query_batched(vecs, top_k=1)
-    for i, hits in enumerate(results):
-        if not hits or hits[0][K_ID] != f"chunk{i}":
-            mismatches += 1
-    print(f"\nself-retrieval mismatches: {mismatches}/{len(chunks)}")
+    t0 = time.perf_counter()
+    if args.device_pipeline:
+        sids, _scores = db.query_columnar(vecs_dev, top_k=1)
+        hits_ids = [s[0] if len(s) else None for s in sids]
+    else:
+        results = db.query_batched(vecs, top_k=1)
+        hits_ids = [h[0][K_ID] if h else None for h in results]
+    mismatches = sum(
+        1 for i, hid in enumerate(hits_ids) if hid != f"chunk{i}"
+    )
+    print(f"\nself-retrieval mismatches: {mismatches}/{len(chunks)} "
+          f"({time.perf_counter()-t0:.2f} s)")
 
 
 if __name__ == "__main__":

@@ -1525,6 +1525,10 @@ class PicoVectorDB:
                     if self._ivf is not None and self._ivf._host_blob
                     else None
                 )
+                # Free the old index's device mirror before building the
+                # new one — at scale two IVF mirrors can't coexist in HBM
+                # (each is ~corpus-sized).
+                self._ivf = None
                 # Every _rebuild_ann call site syncs the device mirror
                 # first, so the build runs fully on device (no corpus
                 # host->HBM re-upload) whenever the mirror is current.

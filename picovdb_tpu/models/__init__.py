@@ -24,6 +24,7 @@ from .hashing import HashingEmbedder  # noqa: F401
 from .bert_encoder import (  # noqa: F401
     BertConfig,
     BertMeanPoolEncoder,
+    WordVocabTokenizer,
     convert_hf_state_dict,
 )
 

@@ -173,6 +173,129 @@ def convert_hf_state_dict(state_dict, config: BertConfig) -> dict:
     }
 
 
+class WordVocabTokenizer:
+    """Offline word-level tokenizer with a corpus-built vocabulary.
+
+    Call-compatible with a HuggingFace tokenizer invoked with
+    `return_tensors="np"` (returns "input_ids"/"attention_mask"), so it
+    plugs into `BertMeanPoolEncoder` unchanged. Exists for environments
+    with no downloadable vocab files: `fit` builds the vocabulary from the
+    corpus itself (most-frequent words first), with [PAD]/[UNK]/[CLS]/[SEP]
+    specials at fixed ids.
+    """
+
+    PAD, UNK, CLS, SEP = 0, 1, 2, 3
+
+    def __init__(self, vocab_size: int = 30522, lowercase: bool = True):
+        self.vocab_size = int(vocab_size)
+        self.lowercase = lowercase
+        self.vocab: dict = {}
+
+    @staticmethod
+    def _words(text: str, lowercase: bool) -> List[str]:
+        import re
+
+        if lowercase:
+            text = text.lower()
+        return re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text)
+
+    def fit(self, texts: List[str]) -> "WordVocabTokenizer":
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in texts:
+            counts.update(self._words(t, self.lowercase))
+        self.vocab = {
+            w: i + 4
+            for i, (w, _) in enumerate(
+                counts.most_common(self.vocab_size - 4)
+            )
+        }
+        return self
+
+    def __call__(
+        self,
+        texts: List[str],
+        padding: str = "max_length",
+        truncation: bool = True,
+        max_length: int = 256,
+        return_tensors: str = "np",
+    ) -> dict:
+        if not self.vocab:
+            raise RuntimeError("call fit(corpus_texts) first")
+        ids = np.full((len(texts), max_length), self.PAD, dtype=np.int32)
+        mask = np.zeros((len(texts), max_length), dtype=np.int32)
+        for r, t in enumerate(texts):
+            toks = [self.CLS] + [
+                self.vocab.get(w, self.UNK)
+                for w in self._words(t, self.lowercase)
+            ][: max_length - 2] + [self.SEP]
+            ids[r, : len(toks)] = toks
+            mask[r, : len(toks)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+def init_params(config: BertConfig, seed: int = 0) -> dict:
+    """Deterministic BERT-style parameter init (N(0, 0.02), LN at identity).
+
+    For environments without downloadable checkpoints: a fixed seed gives a
+    reproducible encoder whose embeddings are stable across processes —
+    enough for self-retrieval benchmarks and pipeline validation, not for
+    semantic quality (use convert_hf_state_dict with real weights for that).
+    """
+    rng = np.random.default_rng(seed)
+    std = 0.02
+
+    def dense(n_in, n_out):
+        return {
+            "kernel": jnp.asarray(
+                rng.normal(0, std, (n_in, n_out)).astype(np.float32)
+            ),
+            "bias": jnp.zeros((n_out,), dtype=jnp.float32),
+        }
+
+    def ln(n):
+        return {
+            "scale": jnp.ones((n,), dtype=jnp.float32),
+            "bias": jnp.zeros((n,), dtype=jnp.float32),
+        }
+
+    h, ffn = config.hidden_size, config.intermediate_size
+    layers = []
+    for _ in range(config.num_layers):
+        layers.append(
+            {
+                "q": dense(h, h),
+                "k": dense(h, h),
+                "v": dense(h, h),
+                "attn_out": dense(h, h),
+                "attn_ln": ln(h),
+                "ffn_in": dense(h, ffn),
+                "ffn_out": dense(ffn, h),
+                "ffn_ln": ln(h),
+            }
+        )
+    return {
+        "embeddings": {
+            "word": jnp.asarray(
+                rng.normal(0, std, (config.vocab_size, h)).astype(np.float32)
+            ),
+            "position": jnp.asarray(
+                rng.normal(0, std, (config.max_position, h)).astype(
+                    np.float32
+                )
+            ),
+            "type": jnp.asarray(
+                rng.normal(0, std, (config.type_vocab_size, h)).astype(
+                    np.float32
+                )
+            ),
+            "ln": ln(h),
+        },
+        "layers": layers,
+    }
+
+
 class BertMeanPoolEncoder:
     """Jitted BERT sentence encoder over converted HF weights.
 
@@ -207,6 +330,30 @@ class BertMeanPoolEncoder:
         config = BertConfig.from_hf(torch_model.config)
         params = convert_hf_state_dict(torch_model.state_dict(), config)
         return cls(params, config, tokenizer, **kw)
+
+    @classmethod
+    def random_init(
+        cls,
+        config: Optional[BertConfig] = None,
+        seed: int = 0,
+        corpus_texts: Optional[List[str]] = None,
+        **kw,
+    ):
+        """Deterministic random-weight encoder with a corpus-built vocab.
+
+        The checkpoint-free tier: same architecture and jitted TPU forward
+        as the converted-weights path, reproducible across processes, with
+        a `WordVocabTokenizer` fitted to `corpus_texts` when given. Useful
+        for self-retrieval benchmarks and end-to-end pipeline validation
+        where no pretrained checkpoint is available.
+        """
+        config = config or BertConfig()
+        tok = None
+        if corpus_texts is not None:
+            tok = WordVocabTokenizer(vocab_size=config.vocab_size).fit(
+                corpus_texts
+            )
+        return cls(init_params(config, seed), config, tokenizer=tok, **kw)
 
     @classmethod
     def from_pretrained(cls, path: str, **kw):

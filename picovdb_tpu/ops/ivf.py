@@ -72,6 +72,14 @@ def _reorder_pad(vecs, order, cap_ivf: int):
     return out.at[: order.shape[0]].set(jnp.take(vecs, order, axis=0))
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _reorder_pad_shared(vecs, order, cap_ivf: int):
+    """Like `_reorder_pad` but for a source the caller keeps (the engine's
+    live corpus mirror) — no donation."""
+    out = jnp.zeros((cap_ivf, vecs.shape[1]), vecs.dtype)
+    return out.at[: order.shape[0]].set(jnp.take(vecs, order, axis=0))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
 def _scatter_set(arr, idx, value):
     return arr.at[idx].set(value)
@@ -183,9 +191,11 @@ class IVFIndex:
         nlist = min(nlist, n_active)
 
         if dev_vectors is not None:
-            dev_vecs = _gather_rows(
-                dev_vectors, jax.device_put(act_rows.astype(np.int32))
-            )
+            # Gather straight from the engine's HBM mirror through act_rows
+            # everywhere: a contiguous active-row copy would double the
+            # corpus's HBM residency, which at 2M x 1024 is the whole slack
+            # on a 16 GB chip.
+            src, sel = dev_vectors, act_rows
         else:
             if storage_dtype in (None, "float32"):
                 np_dtype = np.dtype(Float)
@@ -196,14 +206,24 @@ class IVFIndex:
             vecs = np.ascontiguousarray(
                 np.asarray(host_vectors)[act_rows]
             ).astype(np_dtype, copy=False)
-            dev_vecs = jax.device_put(vecs)
+            src = jax.device_put(vecs)
+            sel = np.arange(n_active, dtype=np.int64)
+
+        def take_active(local_idx: np.ndarray):
+            return _gather_rows(
+                src,
+                jax.device_put(
+                    np.ascontiguousarray(sel[local_idx], dtype=np.int32)
+                ),
+            )
+
         rng = np.random.default_rng(seed)
         if warm_centroids is not None and warm_centroids.shape == (nlist, dim):
             init = jax.device_put(np.ascontiguousarray(warm_centroids, Float))
             train_iters = max(0, min(iters, 2))  # refresh only; 0 = as saved
         else:
             pick = rng.choice(n_active, size=nlist, replace=False)
-            init = dev_vecs[jnp.asarray(pick)].astype(jnp.float32)
+            init = take_active(pick).astype(jnp.float32)
             train_iters = iters
         if train_iters:
             # Train on a sample (the standard IVF recipe): Lloyd converges on
@@ -212,15 +232,25 @@ class IVFIndex:
             n_train = min(n_active, max(nlist * 50, 10_000))
             if n_train < n_active:
                 tr = np.sort(rng.choice(n_active, size=n_train, replace=False))
-                train_vecs = dev_vecs[jnp.asarray(tr)].astype(jnp.float32)
             else:
-                train_vecs = dev_vecs.astype(jnp.float32)
+                tr = np.arange(n_active)
+            train_vecs = take_active(tr).astype(jnp.float32)
             train_mask = jax.device_put(np.ones(train_vecs.shape[0], bool))
             centroids = _kmeans(train_vecs, train_mask, init, nlist=nlist,
                                 iters=train_iters)
+            del train_vecs
         else:
             centroids = init
-        assign = np.asarray(_assign(dev_vecs, centroids))
+        # Chunked assignment: a single-shot argmax over (n, nlist) scores
+        # materializes n*nlist*4 bytes (22 GB at 2M x 2828 — OOM on v5e);
+        # per-chunk the score block stays ~1.5 GB.
+        assign = np.empty(n_active, dtype=np.int64)
+        a_chunk = 131_072
+        for s in range(0, n_active, a_chunk):
+            e = min(n_active, s + a_chunk)
+            assign[s:e] = np.asarray(
+                _assign(take_active(np.arange(s, e)), centroids)
+            )
 
         # cluster-contiguous reorder + tile padding. The slack beyond
         # n_active is the *overflow region*: incremental updates append
@@ -234,9 +264,17 @@ class IVFIndex:
         cap_ivf = round_up(n_active + slack, IVF_BN)
         n_tiles = cap_ivf // IVF_BN
 
-        ivf_vecs = _reorder_pad(
-            dev_vecs, jax.device_put(order.astype(np.int32)), cap_ivf
-        )
+        if dev_vectors is not None:
+            # gather global slot order from the (shared, undonated) mirror
+            ivf_vecs = _reorder_pad_shared(
+                src,
+                jax.device_put(sel[order].astype(np.int32)),
+                cap_ivf,
+            )
+        else:
+            ivf_vecs = _reorder_pad(
+                src, jax.device_put(order.astype(np.int32)), cap_ivf
+            )
         ivf_slots = np.full(cap_ivf, -1, dtype=np.int32)
         ivf_slots[:n_active] = act_rows[order].astype(np.int32)
         ivf_cluster = np.full(cap_ivf, nlist, dtype=np.int32)  # pad bucket

@@ -159,3 +159,50 @@ def test_bert_encoder_rag_roundtrip(db_path):
         if not hits or hits[0][K_ID] != f"t{i}":
             mismatches += 1
     assert mismatches == 0
+
+
+def test_word_vocab_tokenizer_roundtrip():
+    from picovdb_tpu.models import WordVocabTokenizer
+
+    texts = ["the cat sat on the mat", "a dog ate the cat's dinner"]
+    tok = WordVocabTokenizer(vocab_size=64).fit(texts)
+    out = tok(["the cat", "unseen zebra words"], max_length=8)
+    ids, mask = out["input_ids"], out["attention_mask"]
+    assert ids.shape == (2, 8) and mask.shape == (2, 8)
+    # CLS + 2 words + SEP
+    assert mask[0].sum() == 4 and ids[0, 0] == tok.CLS
+    # unknown words map to UNK, not crash
+    assert (ids[1] == tok.UNK).any()
+    # deterministic across re-fits
+    tok2 = WordVocabTokenizer(vocab_size=64).fit(texts)
+    assert tok.vocab == tok2.vocab
+
+
+def test_bert_random_init_deterministic_and_self_retrieval(db_path):
+    from picovdb_tpu import PicoVectorDB
+    from picovdb_tpu.models import BertConfig, BertMeanPoolEncoder
+
+    cfg = BertConfig(
+        vocab_size=128, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, max_position=32,
+    )
+    texts = [f"document number {i} about topic {i % 3}" for i in range(12)]
+    enc1 = BertMeanPoolEncoder.random_init(cfg, seed=7, corpus_texts=texts,
+                                           max_len=16)
+    enc2 = BertMeanPoolEncoder.random_init(cfg, seed=7, corpus_texts=texts,
+                                           max_len=16)
+    e1, e2 = enc1.embed(texts), enc2.embed(texts)
+    np.testing.assert_allclose(e1, e2, atol=1e-6)  # reproducible
+    np.testing.assert_allclose(
+        np.linalg.norm(e1, axis=1), np.ones(len(texts)), atol=1e-5
+    )
+    # device pipeline: embeddings ingest without a host copy and each
+    # chunk retrieves itself first (the reference's mismatch counter,
+    # bench/hf_query.py:38-52)
+    db = PicoVectorDB(embedding_dim=cfg.hidden_size, storage_file=db_path)
+    db.ingest_device(
+        enc1.embed_device(texts), ids=[f"c{i}" for i in range(len(texts))]
+    )
+    sids, scores = db.query_columnar(enc2.embed_device(texts), top_k=1)
+    assert [s[0] for s in sids] == [f"c{i}" for i in range(len(texts))]
+    assert (scores[:, 0] > 0.999).all()
