@@ -1,0 +1,67 @@
+"""True multi-process distributed test: 2 OS processes x 2 virtual CPU
+devices, Gloo-backed collectives through `jax.distributed`.
+
+The reference has no distributed layer at all (SURVEY.md §2); this test
+exercises the real multi-host code path — `init_distributed`, `pod_mesh`,
+per-host sharded checkpoint loading (`load_host_shard` over a
+`save(shards=N)` layout), and a cross-process sharded top-k merge — not
+the single-process degenerate form (tests/test_multihost.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+NPROCS = 2
+DIM = 16
+N = 64
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_query(tmp_path):
+    base = str(tmp_path / "mhstore")
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=base)
+    db.upsert([{K_ID: f"r{i}", K_VECTOR: vecs[i]} for i in range(N)])
+    db.save(shards=NPROCS)
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("PYTHONPATH", "")
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env["PYTHONPATH"]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROCS), str(port),
+             base, str(DIM)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in range(NPROCS)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=150)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"MH OK pid={pid}" in out, out
