@@ -122,6 +122,14 @@ class DeviceIndex:
         # ("scatter" | "full" | None) — analog of the reference's
         # `_last_faiss_rebuild_mode` ("incremental" | "full").
         self.last_sync_mode: Optional[str] = None
+        # Device-resident filter-mask cache: serving workloads repeat the
+        # same `where` filters, and re-uploading a (cap,) bool mask per
+        # query costs a host->HBM transfer of the corpus *length* each time
+        # (175 ms at 1M rows over the dev-harness relay). Keyed by the
+        # engine's frozen filter spec + mutation epoch; cleared on any
+        # mirror mutation. Bounded FIFO.
+        self._mask_cache: dict = {}
+        self.MASK_CACHE_MAX = 32
 
     # -- placement -----------------------------------------------------------
 
@@ -214,6 +222,7 @@ class DeviceIndex:
         self.active = jax.device_put(mask, self._mask_sharding())
         self.cap = cap
         self._refresh_lp_mirror()
+        self._mask_cache.clear()
         self.last_sync_mode = "full"
 
     def adopt(self, vectors_dev, n: int, normalize: bool = False) -> None:
@@ -255,6 +264,7 @@ class DeviceIndex:
             self.active = jax.device_put(mask, self._mask_sharding())
         self.cap = cap
         self._refresh_lp_mirror()
+        self._mask_cache.clear()
         self.last_sync_mode = "full"
 
     # f32 corpus + bf16 mirror = 6 bytes/row/dim; above this the mirror is
@@ -316,6 +326,7 @@ class DeviceIndex:
                 )
         dev_act = jax.device_put(pad_act.astype(bool), self._replicated())
         self.active = _scatter_mask(self.active, dev_idx, dev_act)
+        self._mask_cache.clear()
         self.last_sync_mode = "scatter"
 
     # -- query -----------------------------------------------------------------
@@ -326,6 +337,7 @@ class DeviceIndex:
         k: int,
         filter_mask: Optional[np.ndarray] = None,
         force_exact: bool = False,
+        mask_key=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Masked top-k over the device corpus (blocking).
 
@@ -339,7 +351,7 @@ class DeviceIndex:
         entries (fewer than k candidates) carry -inf values.
         """
         vals, idxs, num_q, k_eff = self.query_async(
-            qnorm, k, filter_mask, force_exact=force_exact
+            qnorm, k, filter_mask, force_exact=force_exact, mask_key=mask_key
         )
         vals = np.asarray(vals)[:num_q, :k_eff]
         idxs = np.asarray(idxs)[:num_q, :k_eff]
@@ -351,6 +363,7 @@ class DeviceIndex:
         k: int,
         filter_mask: Optional[np.ndarray] = None,
         force_exact: bool = False,
+        mask_key=None,
     ):
         """Dispatch a masked top-k; returns device arrays without blocking.
 
@@ -433,9 +446,15 @@ class DeviceIndex:
 
         if filter_mask is None:
             mask_dev = self.active
+        elif mask_key is not None and mask_key in self._mask_cache:
+            mask_dev = self._mask_cache[mask_key]
         else:
             m = _pad_rows(np.ascontiguousarray(filter_mask, dtype=bool), self.cap)
             mask_dev = jax.device_put(m, self._mask_sharding())
+            if mask_key is not None:
+                if len(self._mask_cache) >= self.MASK_CACHE_MAX:
+                    self._mask_cache.pop(next(iter(self._mask_cache)))
+                self._mask_cache[mask_key] = mask_dev
 
         # Dispatch with the exact k: the fused kernel's selection cost is
         # linear in k (2 VPU passes per rank), so pow2 bucketing would cost

@@ -168,6 +168,11 @@ class PicoVectorDB:
         self._active_mask: np.ndarray = np.empty(0, dtype=bool)
         self._tag_index = TagIndex()
         self._ids_np: Optional[np.ndarray] = None  # lazy cache for query_columnar
+        # Monotonic mutation counter keying the device-side filter-mask
+        # cache (DeviceIndex._mask_cache): repeated dict-`where` queries
+        # reuse one HBM-resident mask instead of re-uploading a (cap,)
+        # bool array per query.
+        self._filter_epoch: int = 0
 
         # knob resolution: kwarg -> env -> constant ---------------------------
         ab_env = os.getenv(ENV_ADAPTIVE_BUFFER)
@@ -539,6 +544,7 @@ class PicoVectorDB:
             if touched_idx:
                 self._tag_index.update_rows(touched_idx, touched_docs)
             self._ids_np = None
+            self._filter_epoch += 1
             self._dirty = True
             return report
 
@@ -613,6 +619,7 @@ class PicoVectorDB:
                 report["insert"] = list(ids)
                 self._ids_np = None
                 self._pending_full = True
+                self._filter_epoch += 1
                 self._dirty = True
                 return report
             # ---- general lane: same state machine as upsert --------------
@@ -704,6 +711,7 @@ class PicoVectorDB:
             if touched_idx:
                 self._tag_index.update_rows(touched_idx, touched_docs)
             self._ids_np = None
+            self._filter_epoch += 1
             self._dirty = True
             return report
 
@@ -839,6 +847,7 @@ class PicoVectorDB:
                 for idx in removed_idxs:
                     self._pending_remove.add(idx)
                     self._pending_add.discard(idx)
+                self._filter_epoch += 1
                 self._dirty = True
             return removed
 
@@ -966,7 +975,8 @@ class PicoVectorDB:
             k_eff = min(base, n_cand)
             self._last_k_eff = int(k_eff)
             vals, idxs = self._dispatch_query(
-                vecs, k_eff, filter_mask, ef_search, hnsw_ef_search
+                vecs, k_eff, filter_mask, ef_search, hnsw_ef_search,
+                mask_key=self._mask_key(where, ids),
             )
             docs_ref = list(self._docs)
 
@@ -1093,12 +1103,14 @@ class PicoVectorDB:
             base = top_k + self._adaptive_buffer if callable(where) else top_k
             k_eff = min(base, n_cand)
             self._last_k_eff = int(k_eff)
+            mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
-                pending.append(self._dev.query_async(chunk, k_eff, filter_mask))
+                pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
+                                                     mask_key=mask_key))
             segmax = self._dev.last_strategy == "segmax_mixed"
             docs_ref = list(self._docs)
 
@@ -1160,12 +1172,14 @@ class PicoVectorDB:
             if n_cand == 0:
                 return empty_ids, empty_scores
             k_eff = min(top_k, n_cand)
+            mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
-                pending.append(self._dev.query_async(chunk, k_eff, filter_mask))
+                pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
+                                                     mask_key=mask_key))
             segmax = self._dev.last_strategy == "segmax_mixed"
             ids_arr = self._ids_array()
             docs_len = len(self._docs)
@@ -1358,6 +1372,38 @@ class PicoVectorDB:
                 if self._dirty:
                     self._sync_device_locked()
 
+    @staticmethod
+    def _freeze_where(where) -> Optional[tuple]:
+        """Hashable canonical form of a dict `where`, or None if uncacheable
+        (callables, non-hashable values, unknown operator forms)."""
+        if not isinstance(where, dict):
+            return None
+        try:
+            parts = []
+            for key in sorted(where):
+                val = where[key]
+                if isinstance(val, dict):
+                    if set(val.keys()) != {"$in"}:
+                        return None
+                    parts.append((key, "$in", tuple(val["$in"])))
+                else:
+                    hash(val)
+                    parts.append((key, "=", val))
+            return tuple(parts)
+        except TypeError:
+            return None
+
+    def _mask_key(self, where: WhereArg, ids) -> Optional[tuple]:
+        """Device-mask cache key for this filter, or None (don't cache).
+        `ids` filters are excluded: hashing a large id list costs as much
+        as rebuilding the mask."""
+        if where is None or ids is not None:
+            return None
+        frozen = self._freeze_where(where)
+        if frozen is None:
+            return None
+        return (self._filter_epoch, frozen)
+
     def _build_filter_mask(
         self, where: WhereArg, ids: Optional[list[str]]
     ) -> np.ndarray:
@@ -1377,7 +1423,8 @@ class PicoVectorDB:
             mask &= wmask
         return mask
 
-    def _dispatch_query(self, vecs, k_eff, filter_mask, ef_search, hnsw_ef_search):
+    def _dispatch_query(self, vecs, k_eff, filter_mask, ef_search,
+                        hnsw_ef_search, mask_key=None):
         """Route to the ANN tier (unfiltered) or the exact fused scan."""
         use_ann = (
             self._ivf is not None
@@ -1402,7 +1449,8 @@ class PicoVectorDB:
             )
             self._last_topk_strategy = "ivf"
             return vals, idxs
-        vals, idxs = self._dev.query(vecs, k_eff, filter_mask)
+        vals, idxs = self._dev.query(vecs, k_eff, filter_mask,
+                                     mask_key=mask_key)
         self._last_topk_strategy = self._dev.last_strategy
         if self._last_topk_strategy == "segmax_mixed" and np.isneginf(
             vals
@@ -1411,7 +1459,7 @@ class PicoVectorDB:
             # -inf in a segmax result means >2 candidates shared a 128-row
             # segment (clustered active set) — re-run exact.
             vals, idxs = self._dev.query(
-                vecs, k_eff, filter_mask, force_exact=True
+                vecs, k_eff, filter_mask, force_exact=True, mask_key=mask_key
             )
             self._last_topk_strategy = self._dev.last_strategy
         return vals, idxs

@@ -130,3 +130,45 @@ def test_unhashable_where_value(db_path, rng):
     db.upsert(items)
     res = db.query(vecs[0], top_k=4, where={"tags": [1, 2]})
     assert [r[K_ID] for r in res] == ["id1"]
+
+
+def test_filter_mask_cache_reuse_and_invalidation(db_path, rng):
+    """Repeated dict-`where` queries reuse one device-resident mask; any
+    mutation invalidates it (epoch bump + device cache clear)."""
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=16, storage_file=db_path)
+    db.upsert(
+        [{K_ID: f"f{i}", K_VECTOR: vecs[i], "par": i % 2} for i in range(60)]
+    )
+    q = vecs[4]
+    r1 = db.query(q, top_k=3, where={"par": 0})
+    assert len(db._dev._mask_cache) == 1
+    key1 = next(iter(db._dev._mask_cache))
+    r2 = db.query(q, top_k=3, where={"par": 0})
+    assert [h[K_ID] for h in r1] == [h[K_ID] for h in r2]
+    assert list(db._dev._mask_cache) == [key1]  # reused, not re-added
+    db.query(q, top_k=3, where={"par": 1})
+    assert len(db._dev._mask_cache) == 2  # distinct filter, distinct entry
+    # ids filters and callables are never cached
+    db.query(q, top_k=3, ids=["f1", "f2"])
+    db.query(q, top_k=3, where=lambda d: d["par"] == 0)
+    assert len(db._dev._mask_cache) == 2
+    # mutation: flip one row's tag; the same where must see the new state
+    db.upsert([{K_ID: "f4", K_VECTOR: vecs[4], "par": 1}])
+    r3 = db.query(q, top_k=1, where={"par": 1})
+    assert r3[0][K_ID] == "f4"
+    r4 = db.query(q, top_k=3, where={"par": 0})
+    assert "f4" not in [h[K_ID] for h in r4]
+
+
+def test_freeze_where_canonical_forms(db_path):
+    from picovdb_tpu.engine import PicoVectorDB
+
+    fw = PicoVectorDB._freeze_where
+    assert fw({"a": 1, "b": 2}) == fw({"b": 2, "a": 1})
+    assert fw({"a": {"$in": [1, 2]}}) == (("a", "$in", (1, 2)),)
+    assert fw(lambda d: True) is None
+    assert fw({"a": {"$gt": 3}}) is None  # unknown operator -> uncached
+    assert fw({"a": [1, 2]}) is None  # unhashable value -> uncached
