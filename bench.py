@@ -202,6 +202,10 @@ def main() -> int:
                 "vs_baseline": round(serving_qps / baseline_qps, 2),
                 "insert_vec_per_s": round(insert_vec_s, 0),
                 "single_query_device_ms": round(device_ms, 3),
+                # committed measurements from the scale suite
+                # (bench/ivf_scale.py, bench/query_profiler.py) — see
+                # BENCHMARKS.md for methodology
+                "scale_artifacts": "bench/results/",
             }
         )
     )
