@@ -17,6 +17,7 @@ Usage:
 """
 
 import argparse
+import os
 import time
 
 import set_path  # noqa: F401
@@ -155,6 +156,9 @@ def main():
         t_embed = time.perf_counter() - t0
         print(f"embedding (on-device): {t_embed:.2f} s "
               f"({len(chunks)/t_embed:.0f} chunks/s)")
+        for suffix in (".ids.json", ".meta.json", ".vecs.npy"):
+            if os.path.exists("rag_demo_db" + suffix):
+                os.remove("rag_demo_db" + suffix)  # ingest needs a fresh store
         db = PicoVectorDB(embedding_dim=args.dim, storage_file="rag_demo_db")
         db.ingest_device(vecs_dev, ids=ids, metadata=metadata)
         vecs = None
