@@ -1572,6 +1572,18 @@ class PicoVectorDB:
     @timed("rebuild_ann")
     def _rebuild_ann(self) -> None:
         """(Re)build the IVF ANN tier when enabled and worthwhile."""
+        if self._dev.mesh is not None:
+            # The IVF mirror is single-device; a mesh store serves through
+            # the sharded exact scan (per-shard fused top-k + ICI merge),
+            # which is already sublinear in wall-clock per chip. Probed
+            # sharded scanning is future work.
+            if self._index_kind == "ivf":
+                logger.warning(
+                    "index='ivf' is single-device; a mesh store keeps the "
+                    "sharded exact scan"
+                )
+            self._ivf = None
+            return
         if self._index_kind == "exact":
             self._ivf = None
             return

@@ -48,7 +48,7 @@ from .pallas_scan import (
     rescore_exact,
 )
 
-IVF_BN = 512  # scan block for the IVF mirror (clusters are small)
+IVF_BN = 1024  # scan block for the IVF mirror (clusters are small)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

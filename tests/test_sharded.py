@@ -220,3 +220,24 @@ def test_sharded_incremental_scatter_sync_parity(db_path, rng):
             atol=1e-5,
         )
     assert all(h[K_ID] not in dels for hits in rm for h in hits)
+
+
+def test_mesh_store_skips_single_device_ivf(db_path, rng, caplog):
+    """index='ivf' on a mesh store stays on the sharded exact scan (the
+    IVF mirror is single-device) and says so, instead of building a
+    wrong-placement index."""
+    import logging
+
+    db = PicoVectorDB(
+        embedding_dim=16, storage_file=db_path, mesh=make_mesh(),
+        index="ivf", ivf_nlist=4,
+    )
+    items, vecs = make_items(rng, 64, 16)
+    db.upsert(items)
+    with caplog.at_level(logging.WARNING, logger="picovdb_tpu"):
+        db.rebuild_index()
+    assert db._ivf is None
+    assert any("sharded exact scan" in r.message for r in caplog.records)
+    res = db.query(vecs[3], top_k=1)
+    assert res[0][K_ID] == "id3"
+    assert db._last_topk_strategy.startswith("sharded")
