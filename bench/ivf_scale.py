@@ -52,7 +52,8 @@ def make_mixture(n, dim, centers, rng, noise=0.35, chunk=65_536):
     return out
 
 
-def make_mixture_device(n, dim, centers_dev, key, noise=0.35, chunk=262_144):
+def make_mixture_device(n, dim, centers_dev, key, noise=0.35, chunk=262_144,
+                        out_dtype=None, normalize=False):
     """Unit-sphere Gaussian mixture generated entirely on the TPU.
 
     Fills a preallocated HBM buffer chunk-by-chunk with donated updates
@@ -60,31 +61,43 @@ def make_mixture_device(n, dim, centers_dev, key, noise=0.35, chunk=262_144):
     so host-side generation + upload of an 8 GB corpus costs the better
     part of an hour; on-device generation costs seconds and feeds
     `PicoVectorDB.ingest_device` with zero host traffic.
+
+    `out_dtype=jnp.bfloat16, normalize=True` builds a pre-normalized
+    storage-dtype corpus chunk-wise — the only way a 4M x 1024 corpus
+    (8 GB bf16, 16 GB f32) ever fits a 16 GB chip; `ingest_device`
+    then adopts it with `normalize=False` at zero extra HBM.
     """
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def fill(buf, centers, key, start):
-        k1, k2 = jax.random.split(key)
-        c = jax.random.randint(k1, (chunk,), 0, centers.shape[0])
-        rows = centers[c] + noise * jax.random.normal(
-            k2, (chunk, dim), dtype=jnp.float32
-        )
-        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
-
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
-    def fill_tail(buf, centers, key, start, m):
-        k1, k2 = jax.random.split(key)
+    def _rows(centers, k1, k2, m):
         c = jax.random.randint(k1, (m,), 0, centers.shape[0])
         rows = centers[c] + noise * jax.random.normal(
             k2, (m, dim), dtype=jnp.float32
         )
-        return jax.lax.dynamic_update_slice(buf, rows, (start, 0))
+        if normalize:
+            rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+        return rows
 
-    buf = jnp.zeros((n, dim), dtype=jnp.float32)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fill(buf, centers, key, start):
+        k1, k2 = jax.random.split(key)
+        rows = _rows(centers, k1, k2, chunk)
+        return jax.lax.dynamic_update_slice(
+            buf, rows.astype(buf.dtype), (start, 0)
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(4,))
+    def fill_tail(buf, centers, key, start, m):
+        k1, k2 = jax.random.split(key)
+        rows = _rows(centers, k1, k2, m)
+        return jax.lax.dynamic_update_slice(
+            buf, rows.astype(buf.dtype), (start, 0)
+        )
+
+    buf = jnp.zeros((n, dim), dtype=out_dtype or jnp.float32)
     s = 0
     while s < n:
         m = min(chunk, n - s)
@@ -118,6 +131,10 @@ def main() -> int:
                         "the host upload path); device: on-TPU datagen + "
                         "ingest_device (zero host traffic — the only viable "
                         "path for >=2M rows over the dev-harness relay)")
+    p.add_argument("--index", choices=["ivf", "exact"], default="ivf",
+                   help="exact: no ANN tier — measures the exact scan only "
+                        "(the 4M x 1024 bf16 config, where corpus + IVF "
+                        "mirror can't both fit 16 GB HBM)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-cache", default="",
                    help="npz path to save/load the generated corpus "
@@ -159,8 +176,11 @@ def main() -> int:
         )
         print(f"# generating {args.n}x{args.dim} mixture on device "
               f"({args.centers} centers)", file=sys.stderr)
+        # Generate pre-normalized rows straight into the storage dtype: at
+        # 4M x 1024 the f32 intermediate alone would be 16 GB.
+        sdt = jnp.bfloat16 if args.storage_dtype == "bfloat16" else None
         corpus_dev = make_mixture_device(
-            args.n, args.dim, centers_dev, kd
+            args.n, args.dim, centers_dev, kd, out_dtype=sdt, normalize=True
         )
         corpus_dev.block_until_ready()
         q_dev = make_mixture_device(qmax, args.dim, centers_dev, kq)
@@ -196,13 +216,14 @@ def main() -> int:
         db = PicoVectorDB(
             embedding_dim=args.dim,
             storage_file=f"{tmp}/ivf_scale",
-            index="ivf",
+            index=args.index,
             ivf_nlist=args.nlist or None,
             storage_dtype=args.storage_dtype,
         )
         t0 = time.perf_counter()
         if corpus_dev is not None:
-            db.ingest_device(corpus_dev, ids=[str(i) for i in range(args.n)])
+            db.ingest_device(corpus_dev, ids=[str(i) for i in range(args.n)],
+                             normalize=False)  # rows pre-normalized above
             corpus_dev = None  # engine owns (a cast of) it now
         else:
             db.upsert_columnar(data, ids=[str(i) for i in range(args.n)],
@@ -210,6 +231,57 @@ def main() -> int:
         t_insert = time.perf_counter() - t0
         print(f"# insert: {t_insert:.2f} s ({args.n/t_insert:.0f} vec/s)",
               file=sys.stderr)
+
+        k = args.topk
+        dev = db._dev
+
+        if args.index == "exact":
+            db.rebuild_index()  # mirror upload only (no ANN tier)
+            m = min(args.recall_queries, 32)
+            ev, ei = dev.query(queries[:m], k, None, force_exact=True)
+            assert np.isfinite(ev[:, 0]).all()
+            M = args.pipeline
+
+            def _drain(pend):
+                for rec in pend:
+                    for arr in rec[:2]:
+                        arr.copy_to_host_async()
+                for rec in pend:
+                    np.asarray(rec[0]), np.asarray(rec[1])
+
+            rows = []
+            for q in qs:
+                qdevs = [
+                    jax.device_put(queries[i * q: (i + 1) * q])
+                    for i in range(min(4, qmax // q) or 1)
+                ]
+
+                def run_exact():
+                    _drain([dev.query_async(qdevs[i % len(qdevs)], k, None)
+                            for i in range(M)])
+
+                run_exact()  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    run_exact()
+                    best = min(best, time.perf_counter() - t0)
+                t_ex = best / M
+                rows.append((q, t_ex))
+                print(f"# Q={q:5d}: exact {t_ex*1000:8.2f} ms "
+                      f"({q/t_ex:9.0f} QPS)", file=sys.stderr)
+            best = max(rows, key=lambda r: r[0] / r[1])
+            print(json.dumps({
+                "metric": f"exact_qps_{args.n}x{args.dim}d_Q{best[0]}"
+                          + (f"_{args.storage_dtype}"
+                             if args.storage_dtype else ""),
+                "value": round(best[0] / best[1], 1),
+                "unit": "qps",
+                "insert_s": round(t_insert, 2),
+                "exact_ms_q1": (round(rows[0][1] * 1000, 3)
+                                if qs[0] == 1 else None),
+            }))
+            return 0
 
         t0 = time.perf_counter()
         db.rebuild_index()  # device mirror upload + IVF train/layout
@@ -222,9 +294,6 @@ def main() -> int:
         print(f"# build: cold {t_build_cold:.1f} s / warm {t_build_warm:.1f} s"
               f" (nlist={ivf.nlist}, mirror dtype={ivf.vectors.dtype})",
               file=sys.stderr)
-
-        k = args.topk
-        dev = db._dev
 
         # ---- recall sweep: smallest nprobe reaching the target -----------
         m = args.recall_queries

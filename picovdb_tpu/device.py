@@ -242,13 +242,17 @@ class DeviceIndex:
             jax.jit, static_argnums=(1, 2), donate_argnums=(0,)
         )
         def _prep(x, pad, do_norm):
-            x = x.astype(jnp.float32)
             if do_norm:
+                x = x.astype(jnp.float32)
                 nrm = jnp.linalg.norm(x, axis=1, keepdims=True)
                 # zero rows map to e0, matching utils.normalize_batch and
                 # the reference (picovdb/pico_vdb.py:58-68)
                 e0 = jnp.zeros_like(x).at[:, 0].set(1.0)
                 x = jnp.where(nrm > 0.0, x / jnp.where(nrm > 0, nrm, 1), e0)
+            # normalize=False with matching dtype and no padding is a pure
+            # donation pass-through: pre-normalized storage-dtype input
+            # (e.g. a 4M x 1024 bf16 matrix built chunk-wise on device)
+            # costs zero extra HBM here.
             x = x.astype(sdt)
             if pad:
                 x = jnp.pad(x, ((0, pad), (0, 0)))

@@ -164,3 +164,20 @@ def test_ingest_ivf_tier_builds_from_device(db_path):
     assert db._ivf is not None
     assert db._last_ann_rebuild_mode == "full"
     assert db._host_lazy  # the lazy sync never pulled the corpus to host
+
+
+def test_ingest_prenormalized_no_normalize(db_path):
+    """normalize=False adopts pre-normalized rows as-is (the chunk-wise
+    storage-dtype generation path used at 4M x 1024, where a f32
+    intermediate would not fit HBM)."""
+    n, dim = 32, 16
+    data = _mk(n, dim)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    db.ingest_device(jnp.asarray(data), ids=[f"p{i}" for i in range(n)],
+                     normalize=False)
+    top = db.query(data[4], top_k=1)[0]
+    assert top[K_ID] == "p4"
+    assert top[K_METRICS] == pytest.approx(1.0, abs=1e-5)
+    rec = db.get("p9", include_vector=True)
+    np.testing.assert_allclose(rec[K_VECTOR], data[9], atol=1e-6)
