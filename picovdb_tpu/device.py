@@ -457,7 +457,14 @@ class DeviceIndex:
             mask_dev = jax.device_put(m, self._mask_sharding())
             if mask_key is not None:
                 if len(self._mask_cache) >= self.MASK_CACHE_MAX:
-                    self._mask_cache.pop(next(iter(self._mask_cache)))
+                    # concurrent readers may evict the same entry; dict ops
+                    # are GIL-atomic but the oldest key may already be gone
+                    try:
+                        self._mask_cache.pop(
+                            next(iter(self._mask_cache)), None
+                        )
+                    except (StopIteration, RuntimeError):
+                        pass
                 self._mask_cache[mask_key] = mask_dev
 
         # Dispatch with the exact k: the fused kernel's selection cost is

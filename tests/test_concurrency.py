@@ -148,3 +148,51 @@ def test_reentrant_read_lock_allowed():
             pass
     with lock.write_lock():
         pass
+
+
+def test_filtered_queries_under_concurrent_writes(db_path, rng):
+    """Mask-cache correctness under contention: readers issue the same
+    dict-`where` query (device mask cache hits) while a writer mutates
+    tags; every result must satisfy its filter against a consistent
+    snapshot."""
+    import threading
+
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    dim, n = 16, 300
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    db.upsert(
+        [{K_ID: f"c{i}", K_VECTOR: vecs[i], "par": i % 2} for i in range(n)]
+    )
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        q = rng.normal(size=dim).astype(np.float32)
+        while not stop.is_set():
+            for want in (0, 1):
+                hits = db.query(q, top_k=5, where={"par": want})
+                if any(h["par"] != want for h in hits):
+                    errors.append(("filter violated", want, hits))
+                    return
+
+    def writer():
+        j = 0
+        while not stop.is_set():
+            i = j % n
+            db.upsert(
+                [{K_ID: f"c{i}", K_VECTOR: vecs[i], "par": (i + j) % 2}]
+            )
+            j += 1
+
+    threads = [threading.Thread(target=reader) for _ in range(3)] + [
+        threading.Thread(target=writer)
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(2.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors[:1]
