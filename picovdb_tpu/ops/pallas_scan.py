@@ -332,12 +332,21 @@ def _segmax_kernel(q_ref, v_ref, m_ref, out_ref, *, bn: int, compute_dtype):
 
 def segmax_scan(queries, vectors, mask, compute_dtype=None,
                 qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
-                interpret: bool = False):
+                interpret: bool = False, raw: bool = False):
     """Per-128-segment top-2 candidates over the masked corpus.
 
     Returns (vals (Q, 2*cap/128) f32 quantized, idx (Q, 2*cap/128) int32):
     candidate slabs for a global top-k + exact rescore. Masked / padding
     segments carry -inf.
+
+    `raw=True` instead returns (keys (Q, C) int32 packed sortable keys,
+    ns): callers run `lax.top_k` straight on the keys (monotonic in score)
+    and decode ONLY the k winners — the full-slab decode plus the
+    (Q, C) -> (Q, k) `take_along_axis` it forces cost ~7 ms at
+    8192 x 100k on v5e, pure elementwise math on (Q, k) costs none.
+    Column c of the slab holds tile c//(2ns), segment (c%(2ns))%ns, so
+    `global_row = ((c//(2ns))*ns + (c%(2ns))%ns)*128 + (key & 127)`;
+    `key == KEY_MIN` marks masked/padding entries.
     """
     num_q, dim = queries.shape
     cap = vectors.shape[0]
@@ -382,6 +391,8 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
         interpret=interpret,
     )(queries, vectors, mask2d)
     keys = keys.T  # (Q, n_tiles * 2 * ns)
+    if raw:
+        return keys, ns
     # decode packed keys -> (quantized value, global row id); row r of the
     # transposed layout holds tile r//(2ns), round (r%(2ns))//ns, segment
     # (r%(2ns))%ns, so the segment base is a pure function of the column.
@@ -419,21 +430,32 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
 
             queries = normalize_on_device(queries)
         try:
-            cvals, cidx = segmax_scan(queries, scan_vectors, mask,
-                                      compute_dtype, interpret=interpret)
+            keys, ns = segmax_scan(queries, scan_vectors, mask,
+                                   compute_dtype, interpret=interpret,
+                                   raw=True)
         except ValueError:  # geometry unservable (huge dim) -> exact scan
             from .exact import exact_topk
 
             return exact_topk(queries, rescore_vectors, mask,
                               min(k, rescore_vectors.shape[0]), compute_dtype)
-        k_sel = min(k + guard, cvals.shape[1])
-        tv, ti = jax.lax.top_k(cvals, k_sel)
-        gidx = jnp.take_along_axis(cidx, ti, axis=1)
+        # top_k on the packed int32 keys (monotonic in score), decode only
+        # the winners: column -> segment base is pure arithmetic, the lane
+        # sits in the key's low bits. Avoids materializing the decoded
+        # (Q, C) val/idx slabs and the (Q, C)->(Q, k) gather (~7 ms at
+        # 8192 x 100k).
+        k_sel = min(k + guard, keys.shape[1])
+        tk, ti = jax.lax.top_k(keys, k_sel)
+        tile = ti // (2 * ns)
+        s = jax.lax.rem(ti, jnp.int32(2 * ns))
+        s = jnp.where(s >= ns, s - ns, s)
+        gidx = (tile * ns + s) * SEG + (tk & jnp.int32(SEG - 1))
+        empty = tk == jnp.int32(KEY_MIN)
+        gidx = jnp.where(empty, 0, gidx)
         gathered = jnp.take(rescore_vectors, gidx, axis=0)
         exact = jnp.einsum("qd,qkd->qk", queries,
                            gathered.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
-        exact = jnp.where(jnp.isneginf(tv), -jnp.inf, exact)
+        exact = jnp.where(empty, -jnp.inf, exact)
         order = jnp.argsort(-exact, axis=1)
         vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
         idx = jnp.take_along_axis(gidx, order, axis=1)[:, :k]
