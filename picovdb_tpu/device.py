@@ -335,6 +335,40 @@ class DeviceIndex:
 
     # -- query -----------------------------------------------------------------
 
+    def snapshot(self):
+        """Immutable handles to the current corpus arrays.
+
+        jax.Arrays are immutable, so holding these gives snapshot isolation
+        even if a concurrent writer swaps the mirror afterwards. Callers
+        that re-dispatch after releasing the engine lock (the segmax
+        underfill retry) MUST query through these captured handles — going
+        back to `self.vectors` would pair a new mirror with result
+        bookkeeping (docs/ids) captured against the old one.
+        """
+        return (self.vectors, self.active)
+
+    def query_exact_snapshot(self, snap, qnorm, k):
+        """Exact masked top-k against a captured `snapshot()`.
+
+        Blocking; returns host (vals, idxs) of (Q, min(k, cap)). Used by
+        the segmax underfill retry so the re-dispatch sees exactly the
+        arrays the original dispatch saw (round-2 review item 6).
+        """
+        vectors, active = snap
+        num_q = qnorm.shape[0]
+        if isinstance(qnorm, np.ndarray):
+            q_dev = jax.device_put(
+                np.ascontiguousarray(qnorm, dtype=Float), self._replicated()
+            )
+        else:
+            q_dev = qnorm
+            if q_dev.dtype != jnp.float32:
+                q_dev = q_dev.astype(jnp.float32)
+        k_eff = min(k, vectors.shape[0])
+        fn = make_exact_topk(k_eff, self.compute_dtype)
+        vals, idxs = fn(q_dev, vectors, active)
+        return np.asarray(vals)[:num_q], np.asarray(idxs)[:num_q]
+
     def query(
         self,
         qnorm: np.ndarray,

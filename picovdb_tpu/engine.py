@@ -26,9 +26,6 @@ Known deviations from the reference (documented intentionally):
     by calling the dict, picovdb/pico_vdb.py:643-645.)
   * In memmap mode `save()` flushes the on-disk store in place instead of
     rewriting it through np.save (see picovdb_tpu/persistence.py docstring).
-  * Single-vector queries on an empty (or fully filtered-out) store return
-    `[]`. (The reference returns `[[]]` there — an early return that skips
-    its own single-query unwrapping, picovdb/pico_vdb.py:595-596, 672-673.)
   * `vacuum()` compacts into an in-RAM array; a memmap store becomes RAM
     until the next `save()` (the reference has the same effect via fancy
     indexing, picovdb/pico_vdb.py:841).
@@ -741,6 +738,11 @@ class PicoVectorDB:
         Requires an empty store (no prior rows, no fixed `capacity`, not
         memmapped) and explicit unique ids (content-md5 auto-IDs would need
         the bytes on host — use `upsert_columnar` for that).
+
+        The input array is DONATED: its device buffer is consumed by the
+        normalization/cast/pad program (keeping peak HBM to input + padded
+        output), so `vectors` must not be used after this call — reading it
+        raises jax's deleted-buffer error. Pass a copy if you still need it.
         """
         import jax as _jax
 
@@ -955,15 +957,19 @@ class PicoVectorDB:
         # Lazy device synchronization (write lock), mirroring the reference's
         # lazy FAISS rebuild upgrade (picovdb/pico_vdb.py:660-665).
         with self._synced_read():
+            # Empty / fully-filtered-out stores return [[]]*num_q even for
+            # single-vector queries — matching the reference's early return,
+            # which skips its own single-query unwrap
+            # (picovdb/pico_vdb.py:595-596, 672-673).
             if not self._id2idx:
-                return [] if is_single else [[] for _ in range(num_q)]
+                return [[] for _ in range(num_q)]
             filtered = ids is not None or where is not None
             filter_mask: Optional[np.ndarray] = None
             if filtered:
                 filter_mask = self._build_filter_mask(where, ids)
                 n_cand = int(filter_mask.sum())
                 if n_cand == 0:
-                    return [] if is_single else [[] for _ in range(num_q)]
+                    return [[] for _ in range(num_q)]
             else:
                 n_cand = len(self._id2idx)
             # Over-fetch is only needed when assembly can still reject hits:
@@ -1112,6 +1118,12 @@ class PicoVectorDB:
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
                                                      mask_key=mask_key))
             segmax = self._dev.last_strategy == "segmax_mixed"
+            # Captured INSIDE the lock: the underfill retry below runs after
+            # release, and a concurrent writer may swap the mirror between —
+            # retrying against self._dev would pair new slot indices with
+            # the stale docs_ref snapshot. (Segmax only runs unfiltered, so
+            # the snapshot's active mask is the full candidate mask.)
+            snap = self._dev.snapshot() if segmax else None
             docs_ref = list(self._docs)
 
         _start_host_copies(pending)
@@ -1120,9 +1132,7 @@ class PicoVectorDB:
             vals = np.asarray(vals_dev)[:nq, :ke]
             idxs = np.asarray(idxs_dev)[:nq, :ke]
             if segmax and np.isneginf(vals).any():
-                vals, idxs = self._dev.query(
-                    chunk, k_eff, filter_mask, force_exact=True
-                )
+                vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
             out.extend(
                 self._assemble(vals, idxs, docs_ref, top_k, better_than, where)
             )
@@ -1181,6 +1191,8 @@ class PicoVectorDB:
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
                                                      mask_key=mask_key))
             segmax = self._dev.last_strategy == "segmax_mixed"
+            # see query_batched: retry must use the dispatch-time snapshot
+            snap = self._dev.snapshot() if segmax else None
             ids_arr = self._ids_array()
             docs_len = len(self._docs)
 
@@ -1192,9 +1204,7 @@ class PicoVectorDB:
             vals = np.asarray(vals_dev)[:nq, :ke]
             idxs = np.asarray(idxs_dev)[:nq, :ke]
             if segmax and np.isneginf(vals).any():
-                vals, idxs = self._dev.query(
-                    chunk, k_eff, filter_mask, force_exact=True
-                )
+                vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
             valid = np.isfinite(vals) & (idxs >= 0) & (idxs < docs_len)
             if better_than is not None:
                 valid &= vals >= better_than
@@ -1387,9 +1397,13 @@ class PicoVectorDB:
                         return None
                     parts.append((key, "$in", tuple(val["$in"])))
                 else:
-                    hash(val)
                     parts.append((key, "=", val))
-            return tuple(parts)
+            frozen = tuple(parts)
+            # Unhashable values (filters.py's in_mask explicitly supports
+            # e.g. {"$in": [[1, 2]]}) must fall back to uncached masks
+            # instead of raising at the mask-cache lookup downstream.
+            hash(frozen)
+            return frozen
         except TypeError:
             return None
 
@@ -1410,10 +1424,28 @@ class PicoVectorDB:
         """Compile ids/where prefilters to one boolean slot mask."""
         if ids is not None:
             mask = np.zeros(len(self._ids), dtype=bool)
-            for s in ids:
-                idx = self._id2idx.get(s)
+            n = len(ids)
+            if n == 1:
+                idx = self._id2idx.get(ids[0])
                 if idx is not None:
                     mask[idx] = True
+            elif n:
+                # itemgetter iterates the dict in C; with the vectorized
+                # fancy-index write this is ~3x the per-id Python loop at
+                # 100k ids (the ids-10% profiler scenario was 0.37x the
+                # unfiltered baseline before, round-2 review item 10).
+                # Missing ids are the rare case: fall back per-id.
+                import operator
+
+                try:
+                    got = operator.itemgetter(*ids)(self._id2idx)
+                    mask[np.fromiter(got, dtype=np.int64, count=n)] = True
+                except KeyError:
+                    hit = [
+                        i for i in map(self._id2idx.get, ids) if i is not None
+                    ]
+                    if hit:
+                        mask[np.asarray(hit, dtype=np.int64)] = True
         else:
             mask = self._active_mask.copy()
         if where is not None:

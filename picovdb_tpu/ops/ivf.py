@@ -524,15 +524,22 @@ class IVFIndex:
             else jax.devices()[0].platform != "tpu"
         )
         # Static hot-grid bound: the union over the (real) batch probes at
-        # most num_q*nprobe clusters (+nprobe for the zero-pad queries,
-        # which all probe the same ones), each spanning ~n_tiles/nlist + 1
-        # tiles of the reorder. Without this bound the grid covers every
-        # tile and thousands of predicated no-op steps dominate (measured
-        # 17 ms vs 6.5 ms exact at 2M x 1024, Q=1, nprobe=128).
-        union_clusters = min(num_q * nprobe + nprobe, self.nlist) + 1
+        # most num_q*nprobe clusters (+nprobe for the pad queries, which all
+        # probe the same ones), each spanning ~n_tiles/nlist + 1 tiles of
+        # the reorder. Without this bound the grid covers every tile and
+        # thousands of predicated no-op steps dominate (measured 17 ms vs
+        # 6.5 ms exact at 2M x 1024, Q=1, nprobe=128). Sized from the
+        # padded batch and rounded up to 64-tile buckets so distinct batch
+        # sizes share the kernel specialization (g_tiles is part of the
+        # _make_ivf_search lru_cache key; each miss is a 1-40 s compile).
+        union_clusters = min(q_pad * nprobe + nprobe, self.nlist) + 1
         g_tiles = min(
             self.n_tiles,
-            int(1.25 * union_clusters * (self.n_tiles / self.nlist + 1)) + 16,
+            round_up(
+                int(1.25 * union_clusters * (self.n_tiles / self.nlist + 1))
+                + 16,
+                64,
+            ),
         )
         fn = _make_ivf_search(
             k, nprobe, self.n_tiles, self.nlist,
@@ -673,19 +680,24 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
         row_mask = (jnp.cumsum(delta)[:cap_ivf] > 0.5) & active
         tile_hot = (cluster_mask @ cluster2tile) > 0  # (n_tiles,)
         n_hot = tile_hot.sum().astype(jnp.int32)
-        # compacted ascending hot-tile ids; tail repeats the last hot tile so
-        # padded grid steps keep an unchanged BlockSpec index (no DMA)
-        tile_ids = jnp.where(
-            tile_hot,
-            jax.lax.broadcasted_iota(jnp.int32, (n_tiles,), 0),
-            jnp.int32(n_tiles),
-        )
+        # Compacted hot-tile ids; tail repeats the last hot tile so padded
+        # grid steps keep an unchanged BlockSpec index (no DMA). Overflow-
+        # region tiles (incrementally appended rows, ids >= ov_tile0) sort
+        # FIRST (negative keys): the static grid bound below truncates the
+        # sorted list, and shedding probed-cluster tiles costs a little
+        # recall on old rows, while shedding overflow tiles would silently
+        # exclude exactly the most recently upserted vectors.
+        ov_tile0 = seg_starts[nlist] // jnp.int32(bn)
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tiles,), 0)
+        sort_key = jnp.where(iota_t >= ov_tile0, iota_t - n_tiles, iota_t)
+        tile_ids = jnp.where(tile_hot, sort_key, jnp.int32(n_tiles))
         # Static grid bound: only the first `grid_b` sorted hot tiles are
         # scanned. `g_tiles` (sized from num_q*nprobe by the caller) rarely
-        # truncates in practice; when it does, the highest-id hot tiles are
-        # dropped and the recall sweep reflects it honestly.
+        # truncates in practice; when it does, the highest-id non-overflow
+        # hot tiles are dropped and the recall sweep reflects it honestly.
         grid_b = min(g_tiles, n_tiles) if g_tiles else n_tiles
         hot = jnp.sort(tile_ids)[:grid_b]
+        hot = jnp.where(hot < 0, hot + n_tiles, hot)
         n_hot = jnp.minimum(n_hot, jnp.int32(grid_b))
         last_hot = hot[jnp.maximum(n_hot - 1, 0)]
         hot = jnp.where(hot >= n_tiles, last_hot, hot)

@@ -196,3 +196,64 @@ def test_filtered_queries_under_concurrent_writes(db_path, rng):
     for t in threads:
         t.join(timeout=30)
     assert not errors, errors[:1]
+
+
+def test_segmax_retry_uses_dispatch_snapshot(db_path, rng, monkeypatch):
+    """A writer that full-reuploads the mirror between a segmax dispatch and
+    its underfill retry must not leak into the retry: results must match the
+    corpus captured at dispatch time (round-2 review item 6).
+
+    The mutation is injected at the exact race window by wrapping
+    engine._start_host_copies (runs after the read lock is released, before
+    assembly); the underfill is forced by poisoning one returned score.
+    """
+    import picovdb_tpu.engine as eng
+
+    dim, n = 16, 512
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      scan_mode="mixed")
+    db._dev.SEGMAX_MIN_CAP = 256  # segmax normally needs a 32k corpus
+    old_vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = [f"s{i}" for i in range(n)]
+    db.upsert_columnar(old_vecs.copy(), ids=ids)
+    q = rng.normal(size=(4, dim)).astype(np.float32)
+
+    # oracle over the OLD corpus (normalized cosine)
+    nv = old_vecs / np.linalg.norm(old_vecs, axis=1, keepdims=True)
+    nq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    oracle = np.argsort(-(nq @ nv.T), axis=1)[:, :4]
+
+    dispatched = {}
+    orig_async = db._dev.query_async
+
+    def poison_async(qnorm, k, filter_mask=None, force_exact=False,
+                     mask_key=None):
+        vals, idxs, num_q, ke = orig_async(
+            qnorm, k, filter_mask, force_exact=force_exact, mask_key=mask_key
+        )
+        if not force_exact and db._dev.last_strategy == "segmax_mixed":
+            vals = np.asarray(vals).copy()
+            vals[0, -1] = -np.inf  # fake an underfill -> retry path
+            dispatched["poisoned"] = True
+        return vals, idxs, num_q, ke
+
+    monkeypatch.setattr(db._dev, "query_async", poison_async)
+
+    orig_copies = eng._start_host_copies
+
+    def mutate_then_copy(pending):
+        # the racing writer: swap every vector and the device mirror handle
+        db.upsert_columnar(
+            rng.normal(size=(n, dim)).astype(np.float32), ids=ids
+        )
+        db.rebuild_index()  # full re-upload -> self._dev.vectors swaps
+        dispatched["mutated"] = True
+        orig_copies(pending)
+
+    monkeypatch.setattr(eng, "_start_host_copies", mutate_then_copy)
+
+    res = db.query_batched(q, top_k=4)
+    assert dispatched == {"poisoned": True, "mutated": True}
+    got = [[h[K_ID] for h in r] for r in res]
+    want = [[f"s{j}" for j in row] for row in oracle]
+    assert got == want

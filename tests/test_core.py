@@ -108,7 +108,7 @@ def test_better_than_floor(db_path, rng):
 def test_empty_db_query(db_path, rng):
     db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
     v = rng.normal(size=8).astype(np.float32)
-    assert db.query(v) == []
+    assert db.query(v) == [[]]  # reference parity: pico_vdb.py:595-596
     assert db.query(np.stack([v, v])) == [[], []]
 
 
@@ -154,7 +154,7 @@ def test_empty_ids_filter_returns_empty(db_path, rng):
     db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
     items, vecs = make_items(rng, 5, 8)
     db.upsert(items)
-    assert db.query(vecs[0], top_k=3, ids=[]) == []
+    assert db.query(vecs[0], top_k=3, ids=[]) == [[]]
     assert db.query(vecs[:2], top_k=3, ids=[]) == [[], []]
 
 

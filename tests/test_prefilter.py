@@ -78,16 +78,16 @@ def test_ids_and_where_combined(db_path, rng):
 
 def test_filter_no_matches_returns_empty(db_path, rng):
     db, vecs = _db(db_path, rng)
-    assert db.query(vecs[0], top_k=5, where={"tag": 99}) == []
+    assert db.query(vecs[0], top_k=5, where={"tag": 99}) == [[]]
     assert db.query(vecs[:2], top_k=5, where={"tag": 99}) == [[], []]
-    assert db.query(vecs[0], top_k=5, ids=["missing"]) == []
+    assert db.query(vecs[0], top_k=5, ids=["missing"]) == [[]]
 
 
 def test_filter_after_delete(db_path, rng):
     db, vecs = _db(db_path, rng, n=12)
     db.delete(["id0", "id3", "id6", "id9"])  # all tag 0
     res = db.query(vecs[0], top_k=12, where={"tag": 0})
-    assert res == []
+    assert res == [[]]
 
 
 def test_filter_mask_matches_naive_loop(db_path, rng):
@@ -172,3 +172,18 @@ def test_freeze_where_canonical_forms(db_path):
     assert fw(lambda d: True) is None
     assert fw({"a": {"$gt": 3}}) is None  # unknown operator -> uncached
     assert fw({"a": [1, 2]}) is None  # unhashable value -> uncached
+
+
+def test_freeze_where_unhashable_in_elements(db_path, rng):
+    """{'k': {'$in': [[...]]}} — list elements are supported by
+    filters.in_mask but unhashable; the frozen key must degrade to None
+    (uncached mask) instead of raising at the mask-cache lookup
+    (round-2 advisor finding)."""
+    from picovdb_tpu.engine import PicoVectorDB
+
+    assert PicoVectorDB._freeze_where({"k": {"$in": [[1, 2]]}}) is None
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    items, vecs = make_items(rng, 6, 8, extra=lambda i: {"k": [i % 2, 0]})
+    db.upsert(items)
+    res = db.query(vecs[0], top_k=6, where={"k": {"$in": [[1, 0]]}})
+    assert {h[K_ID] for h in res} == {"id1", "id3", "id5"}

@@ -1,10 +1,12 @@
 """Differential compatibility against the actual reference implementation.
 
-When a checkout of wensheng/picovdb is available (REFERENCE_DIR below, as
-in the development environment), these tests create stores with the
-*reference code itself* and load them with this engine — and vice versa —
-proving on-disk format and semantic parity directly rather than by
-reimplementation. Skipped cleanly elsewhere.
+When `PICOVDB_REFERENCE_DIR` points at a checkout of wensheng/picovdb
+(this repo's tests/conftest.py opts in to the known development-environment
+checkout), these tests create stores with the *reference code itself* and
+load them with this engine — and vice versa — proving on-disk format and
+semantic parity directly rather than by reimplementation. The explicit
+env-var gate means the suite never auto-imports code from a fixed path in
+other environments (supply-chain hygiene); skipped cleanly when unset.
 """
 
 import os
@@ -15,11 +17,14 @@ import pytest
 
 from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS, K_VECTOR
 
-REFERENCE_DIR = "/root/reference"
+REFERENCE_DIR = os.environ.get("PICOVDB_REFERENCE_DIR", "")
 
-ref_available = os.path.isdir(os.path.join(REFERENCE_DIR, "picovdb"))
+ref_available = bool(REFERENCE_DIR) and os.path.isdir(
+    os.path.join(REFERENCE_DIR, "picovdb")
+)
 pytestmark = pytest.mark.skipif(
-    not ref_available, reason="reference checkout not available"
+    not ref_available,
+    reason="PICOVDB_REFERENCE_DIR not set to a reference checkout",
 )
 
 
@@ -136,3 +141,33 @@ def test_query_semantics_parity_on_random_workload(tmp_path, rng, ref_mod):
             [h["_metrics_"] for h in refs],
             atol=1e-5,
         )
+
+
+def test_empty_store_return_shape_parity(tmp_path, rng, ref_mod):
+    """Single-vector queries on empty / fully-filtered stores return [[]],
+    exactly like the reference's early return (pico_vdb.py:595-596,
+    672-673) — the last observable API divergence, closed in round 3."""
+    ref_db = ref_mod.PicoVectorDB(
+        embedding_dim=8, storage_file=str(tmp_path / "e_ref"), no_faiss=True
+    )
+    db = PicoVectorDB(embedding_dim=8, storage_file=str(tmp_path / "e_our"))
+    q = rng.normal(size=8).astype(np.float32)
+    assert db.query(q.copy()) == ref_db.query(q.copy()) == [[]]
+    assert (
+        db.query(np.stack([q, q]))
+        == ref_db.query(np.stack([q, q]))
+        == [[], []]
+    )
+    # populated but fully filtered out
+    ref_db.upsert([{"_id_": "a", "_vector_": q.copy(), "t": 1}])
+    db.upsert([{K_ID: "a", K_VECTOR: q.copy(), "t": 1}])
+    assert (
+        db.query(q.copy(), where={"t": 2})
+        == ref_db.query(q.copy(), where={"t": 2})
+        == [[]]
+    )
+    assert (
+        db.query(q.copy(), ids=["missing"])
+        == ref_db.query(q.copy(), ids=["missing"])
+        == [[]]
+    )
