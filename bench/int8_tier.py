@@ -1,0 +1,149 @@
+"""int8 selection tier validation: Q=1 latency + recall vs the bf16 tier.
+
+Round-3 lever (VERDICT.md item 1): the reference serves a single query in
+0.4 ms via FAISS HNSW (reference README.md:75); the bf16 mirror sweep floors
+at ~0.77 ms at 100k x 1024. The int8 mirror reads 1 byte/element, halving
+the HBM sweep again. This harness measures, on the real chip:
+
+  - amortized Q=1 device latency: int8 ladder vs bf16 ladder vs XLA f32
+  - recall@10 vs a float64 oracle for both tiers (gate: int8 >= 0.999)
+  - batch-8192 segmax: bf16 (default) vs int8 (opt-in PICOVDB_SEGMAX_I8)
+
+Usage: python bench/int8_tier.py [--n 100000] [--dim 1024] [--out results.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def amortized_q1_ms(dev, q_dev_list, topk, m=64, rounds=3):
+    pend = [dev.query_async(q_dev_list[i % 8], topk, None) for i in range(2)]
+    for v, ix, _, _ in pend:
+        np.asarray(v), np.asarray(ix)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        pend = [dev.query_async(q_dev_list[i % 8], topk, None) for i in range(m)]
+        for v, ix, _, _ in pend:
+            v.copy_to_host_async(), ix.copy_to_host_async()
+        for v, ix, _, _ in pend:
+            np.asarray(v), np.asarray(ix)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000 / m, dev.last_strategy
+
+
+def recall_at_k(dev, queries, oracle, topk):
+    hits = 0
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    for i in range(queries.shape[0]):
+        vals, idx = dev.query(qn[i][None, :].astype(np.float32), topk)
+        hits += len(set(idx[0].tolist()) & set(oracle[i].tolist()))
+    return hits / (queries.shape[0] * topk)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=100_000)
+    p.add_argument("--dim", type=int, default=1024)
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--recall-sample", type=int, default=256)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/picovdb_tpu_xla")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from picovdb_tpu.device import DeviceIndex
+    from picovdb_tpu.utils import normalize_batch
+
+    rng = np.random.default_rng(0)
+    data = normalize_batch(
+        rng.standard_normal((args.n, args.dim), dtype=np.float32)
+    )
+    queries = rng.standard_normal((2048, args.dim), dtype=np.float32)
+
+    # Oracle: the exact f32 device scan (the ground truth the headline's
+    # "exact recall" claim is measured against; a host f64 oracle at this
+    # scale is minutes of single-core BLAS on the dev harness).
+    m = args.recall_sample
+    oracle_dev = DeviceIndex(args.dim, mixed_precision=False, int8_tier=False)
+    oracle_dev.full_upload(data, np.ones(args.n, dtype=bool))
+    qn_m = normalize_batch(queries[:m].copy())
+    _, oracle = oracle_dev.query(qn_m, args.topk, None, force_exact=True)
+    del oracle_dev
+
+    q_dev = [jax.device_put(queries[i][None, :]) for i in range(8)]
+    qbatch = jax.device_put(queries[: args.batch % 2048 or 2048])
+    # full batch for QPS: tile the 2048 up to args.batch
+    qb_np = np.tile(queries, (max(1, args.batch // 2048), 1))[: args.batch]
+    qbatch = jax.device_put(qb_np)
+
+    out = {}
+    configs = [
+        ("i8", dict(int8_tier=True, mixed_precision=True)),
+        ("bf16", dict(int8_tier=False, mixed_precision=True)),
+        ("xla_f32", dict(int8_tier=False, mixed_precision=False)),
+    ]
+    for name, kw in configs:
+        dev = DeviceIndex(args.dim, **kw)
+        dev.full_upload(data, np.ones(args.n, dtype=bool))
+        ms, strat = amortized_q1_ms(dev, q_dev, args.topk)
+        rec = recall_at_k(dev, queries[:m], oracle, args.topk)
+        out[name] = {"q1_ms": round(ms, 4), "strategy": strat,
+                     "recall": round(rec, 5)}
+        print(f"# {name}: Q=1 {ms:.3f} ms ({strat}), recall@{args.topk} "
+              f"{rec:.4f}", file=sys.stderr)
+
+        # batch segmax QPS through the same mirror family
+        if name in ("i8", "bf16"):
+            import os
+            if name == "i8":
+                dev.segmax_i8 = True  # opt-in routing, bypass env for bench
+            for _ in range(2):
+                v, ix, _, _ = dev.query_async(qbatch, args.topk, None)
+                np.asarray(v), np.asarray(ix)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                v, ix, _, _ = dev.query_async(qbatch, args.topk, None)
+                np.asarray(v), np.asarray(ix)
+                best = min(best, time.perf_counter() - t0)
+            strat = dev.last_strategy
+            qps = args.batch / best
+            # batch recall on the first m queries
+            vv, ii = dev.query(
+                normalize_batch(queries[:m].copy()), args.topk
+            )
+            brec = np.mean([
+                len(set(ii[i].tolist()) & set(oracle[i].tolist())) / args.topk
+                for i in range(m)
+            ])
+            out[name]["batch_ms"] = round(best * 1000, 2)
+            out[name]["batch_qps"] = round(qps, 0)
+            out[name]["batch_strategy"] = strat
+            out[name]["batch_recall"] = round(float(brec), 5)
+            print(f"# {name} batch {args.batch}: {best*1000:.1f} ms -> "
+                  f"{qps:.0f} QPS ({strat}), recall {brec:.4f}",
+                  file=sys.stderr)
+        del dev
+
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,16 @@ def run_suite(db_sizes, dim, num_queries, batch_sizes, top_k, seed=0,
         for scenario, kwargs_fn in scenario_generators(n).items():
             kwargs = kwargs_fn()
             for bs in batch_sizes:
+                # Per-(scenario, batch) warmup excluded from the stats:
+                # each (Q-bucket, filter-shape) pair compiles its own XLA
+                # specialization (1-40 s), and with it inside the timed
+                # loop p95 described compilation, not serving (r2
+                # artifacts showed p95 = 25x p50 on first-touch cells).
+                db.query(
+                    queries[0] if bs == 1 else queries[:bs],
+                    top_k=top_k,
+                    **kwargs,
+                )
                 lats = []
                 for it in range(num_queries):
                     q = (

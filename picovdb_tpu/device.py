@@ -39,6 +39,11 @@ def _scatter_mask(active, idx, vals):
     return active.at[idx].set(vals)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_1d(arr, idx, vals):
+    return arr.at[idx].set(vals)
+
+
 @jax.jit
 def _cast_bf16(vectors):
     return vectors.astype(jnp.bfloat16)
@@ -71,11 +76,14 @@ class DeviceIndex:
         storage_dtype: Optional[str] = None,
         scan_mode: str = "auto",
         mixed_precision: Optional[bool] = None,
+        int8_tier: Optional[bool] = None,
     ) -> None:
         self.dim = dim
         self.cap = 0
         self.vectors = None  # jax.Array (cap, dim) in storage_dtype
         self.vectors_lp = None  # bf16 scan mirror (mixed-precision tier)
+        self.vectors_i8 = None  # int8 selection mirror (latency tier)
+        self.vscale = None  # (cap,) f32 per-row scales of the int8 mirror
         self.active = None  # jax.Array (cap,) bool
         self.mesh = mesh
         self.shard_axis = shard_axis
@@ -117,6 +125,32 @@ class DeviceIndex:
                 and self.storage_dtype == "float32"
             ) or scan_mode == "mixed"
         self.mixed_precision = bool(mixed_precision) and mesh is None
+        # int8 selection tier: a per-row-scaled int8 mirror serves tiny-Q
+        # selection (the HBM sweep is 1 byte/element — half of bf16, a
+        # quarter of f32 — and tiny-Q scans are pure-bandwidth-bound), with
+        # the winners exact-rescored against the full-precision corpus.
+        # Measured at 100k x 1024 (BENCHMARKS.md "int8 latency tier"):
+        # quantization noise ~3e-4 on scaled scores, recall@10 = 1.000 with
+        # guard 6. Default: alongside the bf16 mirror on single-device TPU
+        # f32 stores. `PICOVDB_SEGMAX_I8=1` additionally routes the batch
+        # segmax tier through the int8 mirror (opt-in: the headline batch
+        # path keeps the bf16 mirror's measured recall 1.000 by default).
+        import os as _os
+
+        if int8_tier is None:
+            env = _os.getenv("PICOVDB_INT8_TIER")
+            if env is not None:
+                int8_tier = env not in ("0", "false", "False", "")
+            else:
+                int8_tier = (
+                    platform == "tpu"
+                    and mesh is None
+                    and self.storage_dtype == "float32"
+                )
+        self.int8_tier = bool(int8_tier) and mesh is None
+        self.segmax_i8 = self.int8_tier and _os.getenv(
+            "PICOVDB_SEGMAX_I8", ""
+        ) not in ("", "0", "false", "False")
         self.last_strategy: Optional[str] = None
         # Introspection: how the last device synchronization was applied
         # ("scatter" | "full" | None) — analog of the reference's
@@ -276,19 +310,37 @@ class DeviceIndex:
     MIXED_HBM_BUDGET = 12 * 2**30
 
     def _refresh_lp_mirror(self) -> None:
-        """(Re)cast the bf16 scan mirror from the committed corpus on device."""
-        if not self.mixed_precision or self.vectors is None:
-            self.vectors_lp = None
-            return
+        """(Re)build the low-precision scan mirrors from the committed corpus.
+
+        bf16 (selection for the batch segmax tier) and int8 + per-row scales
+        (the tiny-Q latency tier) are derived on device — no host traffic.
+        """
         import os as _os
 
         budget = int(
             float(_os.getenv("PICOVDB_MIXED_BUDGET_GB", "0") or 0) * 2**30
         ) or self.MIXED_HBM_BUDGET
-        if self.cap * self.dim * 6 > budget:
+        bpe = 4  # f32 corpus
+        if self.mixed_precision:
+            bpe += 2
+        if self.int8_tier:
+            bpe += 1  # + 4/dim for scales, negligible
+        if not self.mixed_precision or self.vectors is None:
             self.vectors_lp = None
-            return
-        self.vectors_lp = _cast_bf16(self.vectors)
+        elif self.cap * self.dim * bpe > budget:
+            self.vectors_lp = None
+        else:
+            self.vectors_lp = _cast_bf16(self.vectors)
+        if not self.int8_tier or self.vectors is None:
+            self.vectors_i8 = None
+            self.vscale = None
+        elif self.cap * self.dim * bpe > budget:
+            self.vectors_i8 = None
+            self.vscale = None
+        else:
+            from .ops.pallas_scan import quantize_rows_i8
+
+            self.vectors_i8, self.vscale = quantize_rows_i8(self.vectors)
 
     def scatter(
         self, idxs: np.ndarray, rows: Optional[np.ndarray], active_vals: np.ndarray
@@ -328,6 +380,14 @@ class DeviceIndex:
                     self.vectors_lp, dev_idx,
                     _cast_bf16(dev_rows),
                 )
+            if self.vectors_i8 is not None:
+                from .ops.pallas_scan import quantize_rows_i8
+
+                q_rows, q_scale = quantize_rows_i8(dev_rows)
+                self.vectors_i8 = _scatter_rows(
+                    self.vectors_i8, dev_idx, q_rows
+                )
+                self.vscale = _scatter_1d(self.vscale, dev_idx, q_scale)
         dev_act = jax.device_put(pad_act.astype(bool), self._replicated())
         self.active = _scatter_mask(self.active, dev_idx, dev_act)
         self._mask_cache.clear()
@@ -432,7 +492,10 @@ class DeviceIndex:
         # Callers that spot -inf underfill in a segmax result re-dispatch
         # with force_exact (engine safety net for clustered active sets).
         use_segmax = (
-            self.vectors_lp is not None
+            (
+                self.vectors_lp is not None
+                or (self.segmax_i8 and self.vectors_i8 is not None)
+            )
             and not force_exact
             and filter_mask is None
             and self.scan_mode in ("auto", "mixed")
@@ -443,11 +506,21 @@ class DeviceIndex:
             # scan_mode="mixed" forces segmax regardless for testing
             and (num_q > self.SMALL_Q_XLA or self.scan_mode == "mixed")
         )
-        # Small unfiltered batches with a bf16 mirror use the exact ladder
-        # kernel over the mirror + f32 rescore (HBM-bound at tiny Q, so the
-        # half-width sweep wins: 0.77 vs ~1.0 ms at Q=1, 100k x 1024).
+        # Small unfiltered batches are pure HBM-bandwidth-bound, so the
+        # narrowest mirror wins. Preference order: int8 (1 B/elem, the
+        # latency tier) > bf16 (2 B/elem) > XLA f32. Selection noise is
+        # absorbed by the guard + exact f32 rescore in both cases.
+        small_q_i8 = (
+            self.vectors_i8 is not None
+            and not force_exact
+            and filter_mask is None
+            and self.scan_mode == "auto"
+            and num_q <= self.SMALL_Q_XLA
+            and min(k, self.cap) + 6 <= 16  # guard 6 inside the wide ladder
+        )
         small_q_mixed = (
-            self.vectors_lp is not None
+            not small_q_i8
+            and self.vectors_lp is not None
             and not force_exact
             and filter_mask is None
             and self.scan_mode == "auto"
@@ -458,11 +531,12 @@ class DeviceIndex:
             self.mesh is None
             and self.scan_mode == "auto"
             and not use_segmax
+            and not small_q_i8
             and not small_q_mixed
             and num_q <= self.SMALL_Q_XLA
         )
         q_pad = (
-            num_q if (small_q_xla or small_q_mixed)
+            num_q if (small_q_xla or small_q_mixed or small_q_i8)
             else max(MIN_QUERY_PAD, next_pow2(num_q))
         )
         if isinstance(qnorm, np.ndarray):
@@ -528,6 +602,13 @@ class DeviceIndex:
             self.last_strategy = (
                 "sharded_scan_pallas" if use_pallas else "sharded_scan"
             )
+        elif use_segmax and self.segmax_i8 and self.vectors_i8 is not None:
+            from .ops.pallas_scan import make_segmax_topk_i8
+
+            seg8_fn = make_segmax_topk_i8(k_pad, interpret=interpret)
+            v8, vs, f32 = self.vectors_i8, self.vscale, self.vectors
+            fn = lambda q, v, m: seg8_fn(q, v8, vs, f32, m)  # noqa: E731
+            self.last_strategy = "segmax_i8"
         elif use_segmax:
             from .ops.pallas_scan import make_segmax_topk
 
@@ -536,6 +617,13 @@ class DeviceIndex:
             f32 = self.vectors
             fn = lambda q, v, m: seg_fn(q, lp, f32, m)  # noqa: E731
             self.last_strategy = "segmax_mixed"
+        elif small_q_i8:
+            from .ops.pallas_scan import make_fused_topk_i8
+
+            i8_fn = make_fused_topk_i8(k_pad, interpret=interpret)
+            v8, vs, f32 = self.vectors_i8, self.vscale, self.vectors
+            fn = lambda q, v, m: i8_fn(q, v8, vs, f32, m)  # noqa: E731
+            self.last_strategy = "i8_fused_smallq"
         elif small_q_mixed:
             from .ops.pallas_scan import make_mixed_fused_topk
 

@@ -138,6 +138,7 @@ class PicoVectorDB:
         use_pallas: Optional[bool] = None,
         scan_mode: Literal["auto", "mixed", "fused", "approx", "xla"] = "auto",
         mixed_precision: Optional[bool] = None,
+        int8_tier: Optional[bool] = None,
         index: Literal["auto", "exact", "ivf"] = "auto",
         ivf_nlist: Optional[int] = None,
         ivf_nprobe: Optional[int] = None,
@@ -225,6 +226,7 @@ class PicoVectorDB:
             storage_dtype=storage_dtype,
             scan_mode=scan_mode,
             mixed_precision=mixed_precision,
+            int8_tier=int8_tier,
         )
 
         # dirty tracking (device mirror out of sync with host state)
@@ -295,17 +297,25 @@ class PicoVectorDB:
                 blob = persistence.load_ann(self._path)
                 if blob is not None:
                     try:
-                        from .ops.ivf import IVFIndex
+                        if self._dev.mesh is not None:
+                            from .parallel.ivf_mesh import ShardedIVF
 
-                        self._ivf = IVFIndex.from_blob(
-                            blob, np.asarray(self._host_vectors),
-                            self._active_mask, self.dim,
-                            dev_vectors=(
-                                self._dev.vectors
-                                if self._dev.mesh is None else None
-                            ),
-                            storage_dtype=self._dev.storage_dtype,
-                        )
+                            self._ivf = ShardedIVF.from_blob(
+                                blob, np.asarray(self._host_vectors),
+                                self._active_mask, self.dim,
+                                mesh=self._dev.mesh,
+                                shard_axis=self._dev.shard_axis,
+                                storage_dtype=self._dev.storage_dtype,
+                            )
+                        else:
+                            from .ops.ivf import IVFIndex
+
+                            self._ivf = IVFIndex.from_blob(
+                                blob, np.asarray(self._host_vectors),
+                                self._active_mask, self.dim,
+                                dev_vectors=self._dev.vectors,
+                                storage_dtype=self._dev.storage_dtype,
+                            )
                     except Exception:
                         self._ivf = None
                 if self._ivf is None and self._index_kind == "ivf":
@@ -1117,7 +1127,7 @@ class PicoVectorDB:
                 chunks.append(chunk)
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
                                                      mask_key=mask_key))
-            segmax = self._dev.last_strategy == "segmax_mixed"
+            segmax = self._dev.last_strategy in ("segmax_mixed", "segmax_i8")
             # Captured INSIDE the lock: the underfill retry below runs after
             # release, and a concurrent writer may swap the mirror between —
             # retrying against self._dev would pair new slot indices with
@@ -1190,7 +1200,7 @@ class PicoVectorDB:
                 chunks.append(chunk)
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
                                                      mask_key=mask_key))
-            segmax = self._dev.last_strategy == "segmax_mixed"
+            segmax = self._dev.last_strategy in ("segmax_mixed", "segmax_i8")
             # see query_batched: retry must use the dispatch-time snapshot
             snap = self._dev.snapshot() if segmax else None
             ids_arr = self._ids_array()
@@ -1499,9 +1509,9 @@ class PicoVectorDB:
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask,
                                      mask_key=mask_key)
         self._last_topk_strategy = self._dev.last_strategy
-        if self._last_topk_strategy == "segmax_mixed" and np.isneginf(
-            vals
-        ).any():
+        if self._last_topk_strategy in (
+            "segmax_mixed", "segmax_i8"
+        ) and np.isneginf(vals).any():
             # Underfill net: k_eff <= candidate count by construction, so a
             # -inf in a segmax result means >2 candidates shared a 128-row
             # segment (clustered active set) — re-run exact.
@@ -1605,16 +1615,46 @@ class PicoVectorDB:
     def _rebuild_ann(self) -> None:
         """(Re)build the IVF ANN tier when enabled and worthwhile."""
         if self._dev.mesh is not None:
-            # The IVF mirror is single-device; a mesh store serves through
-            # the sharded exact scan (per-shard fused top-k + ICI merge),
-            # which is already sublinear in wall-clock per chip. Probed
-            # sharded scanning is future work.
-            if self._index_kind == "ivf":
+            # Mesh stores use the sharded IVF tier: shared centroids,
+            # per-shard cluster-contiguous postings, probe fan-out under
+            # shard_map with the ICI top-k merge (parallel/ivf_mesh.py).
+            if self._index_kind == "exact":
+                self._ivf = None
+                return
+            try:
+                from .ops.ivf import should_build
+                from .parallel.ivf_mesh import ShardedIVF
+
+                n_active = len(self._id2idx)
+                if n_active and (
+                    self._index_kind == "ivf"
+                    or (self._index_kind == "auto" and should_build(n_active))
+                ):
+                    warm = (
+                        self._ivf._host_blob["centroids"]
+                        if self._ivf is not None and self._ivf._host_blob
+                        else None
+                    )
+                    self._ivf = None
+                    self._ensure_host_vectors()
+                    self._ivf = ShardedIVF.build(
+                        np.asarray(self._host_vectors[: len(self._ids)]),
+                        self._active_mask,
+                        self._dev.mesh,
+                        shard_axis=self._dev.shard_axis,
+                        nlist=self._ivf_nlist,
+                        dim=self.dim,
+                        warm_centroids=warm,
+                        storage_dtype=self._dev.storage_dtype,
+                    )
+                else:
+                    self._ivf = None
+            except Exception:  # pragma: no cover - ANN tier is optional
                 logger.warning(
-                    "index='ivf' is single-device; a mesh store keeps the "
-                    "sharded exact scan"
+                    "sharded ANN tier build failed; staying exact",
+                    exc_info=True,
                 )
-            self._ivf = None
+                self._ivf = None
             return
         if self._index_kind == "exact":
             self._ivf = None

@@ -464,6 +464,292 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
     return jax.jit(impl)
 
 
+# --------------------------------------------------------------------------
+# int8 selection tier: quantized mirror + per-row scales.
+#
+# The corpus mirror stores each row as int8 with its own float32 scale
+# (s_r = max_i |v_ri| / 127): for L2-normalized rows at dim=1024 the typical
+# |v_ri| is ~0.1, so per-row scaling keeps ~10x more precision than a global
+# [-1, 1] -> int8 map. Queries are quantized per row the same way at dispatch
+# time. Scoring runs int8 x int8 -> int32 on the MXU (2x the bf16 rate on
+# v5e, and the HBM sweep is 1 byte/element — half of bf16, quarter of f32);
+# the VPU then converts to float32 and multiplies by the corpus row scale,
+# after which the packed-key selection machinery applies unchanged. A
+# query's own scale is a positive per-row constant and cannot change that
+# query's ranking, so it is never applied — the exact f32 rescore of the
+# winners restores true cosine scores. Quantization noise on the scaled
+# scores is ~3e-4 absolute (vs bf16's ~2e-3), well inside the guard band.
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def quantize_rows_i8(v):
+    """Per-row symmetric int8 quantization: (rows int8, scales f32).
+
+    scales[r] = max|v[r]| / 127 (floored to avoid div-by-zero on deleted
+    all-zero rows, which quantize to 0 and are masked off anyway)."""
+    f = v.astype(jnp.float32)
+    a = jnp.max(jnp.abs(f), axis=1)
+    s = jnp.maximum(a, 1e-30) / 127.0
+    q = jnp.round(f / s[:, None])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), s
+
+
+def _scan_kernel_i8(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
+                    k: int, bn: int, lane_bits: int):
+    """int8 variant of `_scan_kernel`: MXU int32 scores, per-row rescale."""
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
+
+    s_i32 = jax.lax.dot_general(
+        q_ref[...],
+        v_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (QT, BN)
+    scores = s_i32.astype(jnp.float32) * vs_ref[...]  # corpus row scales
+    mask = m_ref[...]  # (1, BN)
+
+    qt = scores.shape[0]
+    low_mask = jnp.int32((1 << lane_bits) - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    bits = pltpu.bitcast(scores, jnp.int32)
+    keys = (_to_sortable(bits) & ~low_mask) | lane
+    keys = jnp.where(mask > 0, keys, jnp.int32(KEY_MIN))
+
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+    def body(j, carry):
+        keys, tvals, tidx = carry
+        m = jnp.max(keys, axis=1, keepdims=True)
+        amx = m & low_mask
+        approx = pltpu.bitcast(_from_sortable(m & ~low_mask), jnp.float32)
+        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+        here = col_k == j
+        tvals = jnp.where(here, approx, tvals)
+        tidx = jnp.where(here, amx, tidx)
+        keys = jnp.where(keys == m, jnp.int32(KEY_MIN), keys)
+        return keys, tvals, tidx
+
+    init = (
+        keys,
+        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.zeros((qt, k), jnp.int32),
+    )
+    _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
+                                               unroll=(k if k <= 16 else 1))
+    tile_idx = tile_idx + b * bn
+
+    vals, idx = _small_merge(vals_ref[...], idx_ref[...], tile_vals, tile_idx, k)
+    vals_ref[...] = vals
+    idx_ref[...] = idx
+
+
+def fused_topk_i8(q_i8, v_i8, vscale, mask, k: int,
+                  qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
+                  interpret: bool = False):
+    """Exact-ladder masked top-k over the int8 mirror.
+
+    Args:
+      q_i8: (Q, dim) int8 quantized queries (per-query scale irrelevant
+        for ranking, so not passed).
+      v_i8: (cap, dim) int8 mirror; vscale: (cap,) f32 per-row scales.
+      mask: (cap,) bool.
+    Returns ((Q, k) f32 scaled-approximate scores, (Q, k) int32 indices);
+    callers rescore against the f32 corpus for exact values.
+    """
+    num_q, dim = q_i8.shape
+    cap = v_i8.shape[0]
+    qt = min(qt, num_q)
+    bn = _pick_bn(dim, qt, k, 1, cap, bn)
+    assert k <= bn, (k, bn)
+    assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
+    lane_bits = max(1, int(bn - 1).bit_length())
+    mask2d = mask.reshape(1, cap).astype(jnp.int32)
+    vs2d = vscale.reshape(1, cap).astype(jnp.float32)
+
+    grid = (num_q // qt, cap // bn)
+    vals, idxs = pl.pallas_call(
+        functools.partial(_scan_kernel_i8, k=k, bn=bn, lane_bits=lane_bits),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, dim), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, dim), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_q, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_q, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_q * cap * dim + 2 * k * num_q * cap,
+            bytes_accessed=cap * dim * (num_q // qt) + num_q * dim,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, v_i8, vs2d, mask2d)
+
+    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    return vals, idxs
+
+
+def _segmax_kernel_i8(q_ref, v_ref, vs_ref, m_ref, out_ref, *, bn: int):
+    """int8 variant of `_segmax_kernel`: per-128-segment top-2 packed keys."""
+    s_i32 = jax.lax.dot_general(
+        q_ref[...], v_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (QT, BN)
+    scores = s_i32.astype(jnp.float32) * vs_ref[...]
+    mask = m_ref[...]
+    qt = scores.shape[0]
+    ns = bn // SEG
+
+    bits = pltpu.bitcast(scores, jnp.int32)
+    keys = _to_sortable(bits).reshape(qt, ns, SEG)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, ns, SEG), 2)
+    keys = (keys & ~jnp.int32(SEG - 1)) | lane
+    keys = jnp.where(mask.reshape(1, ns, SEG) > 0, keys, jnp.int32(KEY_MIN))
+
+    m1 = jnp.max(keys, axis=2)
+    keys = jnp.where(keys == m1[:, :, None], jnp.int32(KEY_MIN), keys)
+    m2 = jnp.max(keys, axis=2)
+    out_ref[...] = jnp.concatenate([m1, m2], axis=1).T  # (2*NS, QT)
+
+
+def segmax_scan_i8(q_i8, v_i8, vscale, mask,
+                   qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
+                   interpret: bool = False):
+    """Per-128-segment top-2 over the int8 mirror; returns (keys, ns) raw —
+    same contract as `segmax_scan(raw=True)`."""
+    num_q, dim = q_i8.shape
+    cap = v_i8.shape[0]
+    qt = min(qt, num_q)
+    bn = _pick_bn(dim, qt, 2, 1, cap, bn, budget=9 * 2**20)
+    if bn < 8 * SEG and cap // bn > 1:
+        raise ValueError(f"segmax needs bn >= {8 * SEG}; got {bn}")
+    assert cap % bn == 0 and bn % SEG == 0, (cap, bn)
+    assert num_q % qt == 0, (num_q, qt)
+    n_tiles = cap // bn
+    ns = bn // SEG
+    grid = (num_q // qt, n_tiles)
+    mask2d = mask.reshape(1, cap).astype(jnp.int32)
+    vs2d = vscale.reshape(1, cap).astype(jnp.float32)
+
+    keys = pl.pallas_call(
+        functools.partial(_segmax_kernel_i8, bn=bn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, dim), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, dim), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * ns, qt), lambda i, b: (b, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * ns, num_q), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_q * cap * dim + 4 * num_q * cap,
+            bytes_accessed=cap * dim * (num_q // qt) + num_q * dim,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, v_i8, vs2d, mask2d)
+    return keys.T, ns
+
+
+@functools.lru_cache(maxsize=256)
+def make_segmax_topk_i8(k: int, interpret: bool = False, guard: int = 6,
+                        normalize: bool = True):
+    """Jitted int8 top-k: segmax over the int8 mirror -> global top-k ->
+    exact f32 rescore.
+
+    fn(queries (Q, dim) f32, v_i8 (cap, dim) int8, vscale (cap,) f32,
+    rescore_vectors (cap, dim) f32, mask (cap,) bool) -> (vals, idx).
+    """
+
+    def impl(queries, v_i8, vscale, rescore_vectors, mask):
+        if normalize:
+            from .exact import normalize_on_device
+
+            queries = normalize_on_device(queries)
+        q_i8, _ = quantize_rows_i8(queries)
+        try:
+            keys, ns = segmax_scan_i8(q_i8, v_i8, vscale, mask,
+                                      interpret=interpret)
+        except ValueError:
+            from .exact import exact_topk
+
+            return exact_topk(queries, rescore_vectors, mask,
+                              min(k, rescore_vectors.shape[0]), None)
+        k_sel = min(k + guard, keys.shape[1])
+        tk, ti = jax.lax.top_k(keys, k_sel)
+        tile = ti // (2 * ns)
+        s = jax.lax.rem(ti, jnp.int32(2 * ns))
+        s = jnp.where(s >= ns, s - ns, s)
+        gidx = (tile * ns + s) * SEG + (tk & jnp.int32(SEG - 1))
+        empty = tk == jnp.int32(KEY_MIN)
+        gidx = jnp.where(empty, 0, gidx)
+        gathered = jnp.take(rescore_vectors, gidx, axis=0)
+        exact = jnp.einsum("qd,qkd->qk", queries,
+                           gathered.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        exact = jnp.where(empty, -jnp.inf, exact)
+        order = jnp.argsort(-exact, axis=1)
+        vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+        idx = jnp.take_along_axis(gidx, order, axis=1)[:, :k]
+        return vals, idx.astype(jnp.int32)
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=256)
+def make_fused_topk_i8(k: int, guard: int = 4, interpret: bool = False,
+                       normalize: bool = True):
+    """Small-batch int8 top-k: the exact selection ladder over the int8
+    mirror + exact f32 rescore.
+
+    The Q=1 serving path: the corpus sweep reads 1 byte/element — half the
+    bf16 mirror, a quarter of f32 — and tiny-Q scans are HBM-bound, so this
+    is the latency tier (the round-2 review's single-query lever).
+
+    fn(queries f32, v_i8, vscale, rescore_vectors f32, mask) -> (vals, idx)
+    """
+
+    def impl(queries, v_i8, vscale, rescore_vectors, mask):
+        if normalize:
+            from .exact import normalize_on_device
+
+            queries = normalize_on_device(queries)
+        q_i8, _ = quantize_rows_i8(queries)
+        k_sel = k + max(0, guard)
+        vals, idx = fused_topk_i8(q_i8, v_i8, vscale, mask, k_sel,
+                                  interpret=interpret)
+        vals, idx = rescore_exact(queries, rescore_vectors, vals, idx)
+        return vals[:, :k], idx[:, :k]
+
+    return jax.jit(impl)
+
+
 @functools.lru_cache(maxsize=256)
 def make_mixed_fused_topk(k: int, guard: int = 4, interpret: bool = False,
                           normalize: bool = True):

@@ -341,3 +341,110 @@ def test_engine_small_q_mixed_route(db_path, rng):
     assert db._last_topk_strategy not in (
         "segmax_mixed", "mixed_fused_smallq"
     )
+
+
+# --- int8 selection tier ----------------------------------------------------
+
+
+def test_quantize_rows_i8_roundtrip(rng):
+    from picovdb_tpu.ops.pallas_scan import quantize_rows_i8
+
+    V = normalize_batch(rng.normal(size=(64, 128)).astype(np.float32))
+    q, s = map(np.asarray, quantize_rows_i8(V))
+    assert q.dtype == np.int8 and s.dtype == np.float32
+    deq = q.astype(np.float32) * s[:, None]
+    # symmetric per-row quantization: error bounded by half a step
+    np.testing.assert_allclose(deq, V, atol=(s.max() / 2) + 1e-7)
+    # all-zero rows (deleted slots) quantize to zero without dividing by 0
+    z = np.zeros((4, 128), dtype=np.float32)
+    qz, sz = map(np.asarray, quantize_rows_i8(z))
+    assert (qz == 0).all() and np.isfinite(sz).all()
+
+
+def test_fused_topk_i8_matches_oracle(rng):
+    """int8 ladder + exact f32 rescore: exact scores, near-exact selection."""
+    from picovdb_tpu.ops.pallas_scan import make_fused_topk_i8, quantize_rows_i8
+
+    cap, dim, k = 2048, 128, 6
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(4, dim)).astype(np.float32))
+    mask = rng.random(cap) > 0.3
+    v8, vs = quantize_rows_i8(V)
+    fn = make_fused_topk_i8(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v8, vs, V, mask))
+    ovals, oidx, scores = oracle(Q, V, mask, k)
+    for qi in range(4):
+        # rescore makes returned scores exact for whatever was selected
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idx[qi]], rtol=1e-5, atol=1e-6
+        )
+    recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(4)])
+    assert recall >= 0.9, recall
+
+
+def test_fused_topk_i8_underfilled_and_all_masked(rng):
+    from picovdb_tpu.ops.pallas_scan import make_fused_topk_i8, quantize_rows_i8
+
+    cap, dim, k = 1024, 128, 8
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    v8, vs = quantize_rows_i8(V)
+    mask = np.zeros(cap, dtype=bool)
+    mask[:3] = True
+    fn = make_fused_topk_i8(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v8, vs, V, mask))
+    assert np.isneginf(vals[:, 3:]).all()
+    ovals, oidx, _ = oracle(Q, V, mask, 3)
+    np.testing.assert_allclose(vals[:, :3], ovals, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx[:, :3], oidx)
+    vals2, _ = map(
+        np.asarray, fn(Q, v8, vs, V, np.zeros(cap, dtype=bool))
+    )
+    assert np.isneginf(vals2).all()
+
+
+def test_segmax_topk_i8_matches_oracle(rng):
+    from picovdb_tpu.ops.pallas_scan import make_segmax_topk_i8, quantize_rows_i8
+
+    cap, dim, k = 4096, 128, 8
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = rng.random(cap) > 0.2
+    v8, vs = quantize_rows_i8(V)
+    fn = make_segmax_topk_i8(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v8, vs, V, mask))
+    ovals, oidx, scores = oracle(Q, V, mask, k)
+    for qi in range(8):
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idx[qi]], rtol=1e-5, atol=1e-6
+        )
+    recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(8)])
+    assert recall >= 0.9, recall
+
+
+def test_engine_int8_routes(db_path, rng, monkeypatch):
+    """int8 tier routing: tiny-Q ladder, opt-in segmax, scatter maintenance."""
+    from picovdb_tpu import PicoVectorDB, K_ID
+    from picovdb_tpu.device import DeviceIndex
+
+    monkeypatch.setenv("PICOVDB_SEGMAX_I8", "1")
+    dim, n = 16, DeviceIndex.SEGMAX_MIN_CAP
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, int8_tier=True
+    )
+    db.upsert_columnar(vecs, ids=[str(i) for i in range(n)], copy=False)
+    res = db.query(vecs[55], top_k=3)  # Q=1 -> int8 ladder
+    assert db._last_topk_strategy == "i8_fused_smallq"
+    assert res[0][K_ID] == "55"
+    out = db.query(vecs[:32], top_k=3)  # batch -> int8 segmax (opt-in env)
+    assert db._last_topk_strategy == "segmax_i8"
+    assert out[7][0][K_ID] == "7"
+    # mutations keep the int8 mirror in sync through the scatter path
+    db.delete(["55"])
+    res2 = db.query(vecs[55], top_k=3)
+    assert db._last_topk_strategy == "i8_fused_smallq"
+    assert all(r[K_ID] != "55" for r in res2)
+    # wide k overflows the unrolled ladder width -> not the int8 ladder
+    db.query(vecs[7], top_k=12)
+    assert db._last_topk_strategy != "i8_fused_smallq"
