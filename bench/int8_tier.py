@@ -14,6 +14,7 @@ Usage: python bench/int8_tier.py [--n 100000] [--dim 1024] [--out results.json]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -52,6 +53,10 @@ def main():
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--recall-sample", type=int, default=256)
     p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--configs", default="i8,bf16,xla_f32",
+                   help="comma-separated subset to run (one per invocation "
+                        "fits the dev harness's process timeout; compiles "
+                        "amortize through the persistent XLA cache)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -90,11 +95,16 @@ def main():
     qbatch = jax.device_put(qb_np)
 
     out = {}
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)  # merge across per-config invocations
+    wanted = set(args.configs.split(","))
     configs = [
         ("i8", dict(int8_tier=True, mixed_precision=True)),
         ("bf16", dict(int8_tier=False, mixed_precision=True)),
         ("xla_f32", dict(int8_tier=False, mixed_precision=False)),
     ]
+    configs = [(n, kw) for n, kw in configs if n in wanted]
     for name, kw in configs:
         dev = DeviceIndex(args.dim, **kw)
         dev.full_upload(data, np.ones(args.n, dtype=bool))
@@ -107,7 +117,6 @@ def main():
 
         # batch segmax QPS through the same mirror family
         if name in ("i8", "bf16"):
-            import os
             if name == "i8":
                 dev.segmax_i8 = True  # opt-in routing, bypass env for bench
             for _ in range(2):

@@ -629,11 +629,136 @@ def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
         idx_ref[...] = idx
 
 
+def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
+                     cluster2tile, *, k: int, k_sel: int, nprobe: int,
+                     nlist: int, g_tiles: Optional[int],
+                     interpret: bool, compute_dtype):
+    """Probe clusters -> hot-tile list -> block-skipping scan -> exact
+    rescore -> slot translation, over ONE device's local IVF arrays.
+
+    `q` must already be L2-normalized. Traceable both under plain jit (the
+    single-device tier below) and inside a shard_map body (the per-shard
+    mesh tier, parallel/ivf_mesh.py): every op is local — no collectives.
+    Returns ((Q, k) f32 exact scores, (Q, k) int32 slot ids; -1 marks
+    missing candidates).
+    """
+    num_q = q.shape[0]
+    cap_ivf = vectors.shape[0]
+    n_tiles = cap_ivf // IVF_BN
+    bn = IVF_BN
+    qt = min(DEFAULT_QT, num_q)
+    lane_bits = max(1, int(bn - 1).bit_length())
+    k_run = min(k_sel, bn)
+
+    # 1) probe clusters
+    cs = q @ centroids.T  # (Q, nlist_pad)
+    cs = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1) < nlist,
+        cs,
+        -jnp.inf,
+    )
+    _, probed = jax.lax.top_k(cs, min(nprobe, nlist))  # (Q, nprobe)
+
+    # 2) union-over-batch cluster mask -> row mask and hot tile list
+    onehot = jax.nn.one_hot(
+        probed.reshape(-1), centroids.shape[0], dtype=jnp.float32
+    )
+    cluster_mask = jnp.clip(onehot.sum(0), 0.0, 1.0)  # (nlist_pad,)
+    # the overflow bucket (incrementally appended rows) is probed by
+    # every query; freshly built indexes have no hot tiles for it, so
+    # this costs nothing until the first incremental update
+    cluster_mask = cluster_mask.at[nlist].set(1.0)
+    # Row mask via segment boundaries: the layout is cluster-contiguous,
+    # so per-row probe membership is piecewise-constant — scatter +/-1
+    # at the 2*(nlist+1) segment edges and cumsum, instead of gathering
+    # a (cap_ivf,)-row table (the gather costs 14.8 ms at 2M rows on
+    # v5e; this costs 1.3 ms, bit-identical output).
+    cm_main = cluster_mask[: nlist + 1]
+    delta = jnp.zeros(cap_ivf + 1, jnp.float32)
+    delta = delta.at[seg_starts[:-1]].add(cm_main)
+    delta = delta.at[seg_starts[1:]].add(-cm_main)
+    row_mask = (jnp.cumsum(delta)[:cap_ivf] > 0.5) & active
+    tile_hot = (cluster_mask @ cluster2tile) > 0  # (n_tiles,)
+    n_hot = tile_hot.sum().astype(jnp.int32)
+    # Compacted hot-tile ids; tail repeats the last hot tile so padded
+    # grid steps keep an unchanged BlockSpec index (no DMA). Overflow-
+    # region tiles (incrementally appended rows, ids >= ov_tile0) sort
+    # FIRST (negative keys): the static grid bound below truncates the
+    # sorted list, and shedding probed-cluster tiles costs a little
+    # recall on old rows, while shedding overflow tiles would silently
+    # exclude exactly the most recently upserted vectors.
+    ov_tile0 = seg_starts[nlist] // jnp.int32(bn)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tiles,), 0)
+    sort_key = jnp.where(iota_t >= ov_tile0, iota_t - n_tiles, iota_t)
+    tile_ids = jnp.where(tile_hot, sort_key, jnp.int32(n_tiles))
+    # Static grid bound: only the first `grid_b` sorted hot tiles are
+    # scanned. `g_tiles` (sized from num_q*nprobe by the caller) rarely
+    # truncates in practice; when it does, the highest-id non-overflow
+    # hot tiles are dropped and the recall sweep reflects it honestly.
+    grid_b = min(g_tiles, n_tiles) if g_tiles else n_tiles
+    hot = jnp.sort(tile_ids)[:grid_b]
+    hot = jnp.where(hot < 0, hot + n_tiles, hot)
+    n_hot = jnp.minimum(n_hot, jnp.int32(grid_b))
+    last_hot = hot[jnp.maximum(n_hot - 1, 0)]
+    hot = jnp.where(hot >= n_tiles, last_hot, hot)
+    # n_hot == 0 (every probed cluster empty — possible with stale warm
+    # centroids) leaves last_hot == n_tiles, which would feed the corpus
+    # BlockSpec an out-of-bounds DMA; clamp unconditionally. The kernel's
+    # `b < n_hot` predicate already makes those steps no-ops, so the
+    # clamped tile is loaded but never scored.
+    hot = jnp.minimum(hot, jnp.int32(n_tiles - 1))
+
+    mask2d = row_mask.reshape(1, cap_ivf).astype(jnp.int32)
+    q_tiles = num_q // qt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(q_tiles, grid_b),
+        in_specs=[
+            pl.BlockSpec((qt, q.shape[1]), lambda i, b, hot, nh: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, q.shape[1]),
+                         lambda i, b, hot, nh: (hot[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b, hot, nh: (0, hot[b]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        functools.partial(_ivf_kernel, k=k_run, bn=bn,
+                          lane_bits=lane_bits,
+                          compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_q, k_run), jnp.float32),
+            jax.ShapeDtypeStruct((num_q, k_run), jnp.int32),
+        ],
+        # Off-TPU (no Mosaic) the kernel runs in plain pallas interpret
+        # mode — same code path, CPU-testable (matches DeviceIndex).
+        interpret=interpret,
+    )(hot, n_hot.reshape(1), q, vectors, mask2d)
+
+    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    vals, idxs = rescore_exact(q, vectors, vals, idxs)
+    vals, idxs = vals[:, :k], idxs[:, :k]
+    # translate IVF rows -> engine slot ids (pad rows carry slot -1)
+    slot_ids = jnp.take(slots, idxs, axis=0)
+    slot_ids = jnp.where(jnp.isneginf(vals), -1, slot_ids)
+    return vals, slot_ids
+
+
 @functools.lru_cache(maxsize=256)
 def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
                      compute_dtype_name: Optional[str] = None,
                      interpret: bool = False,
                      g_tiles: Optional[int] = None):
+    """Jitted single-device probed search (see `probe_scan_local`)."""
     k_sel = k + 4  # guard band, see pallas_scan.make_fused_topk
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
@@ -643,113 +768,10 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
         from .exact import normalize_on_device
 
         q = normalize_on_device(q)
-        num_q = q.shape[0]
-        cap_ivf = vectors.shape[0]
-        bn = IVF_BN
-        qt = min(DEFAULT_QT, num_q)
-        lane_bits = max(1, int(bn - 1).bit_length())
-        k_run = min(k_sel, bn)
-
-        # 1) probe clusters
-        cs = q @ centroids.T  # (Q, nlist_pad)
-        cs = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, cs.shape, 1) < nlist,
-            cs,
-            -jnp.inf,
+        return probe_scan_local(
+            q, centroids, vectors, slots, seg_starts, active, cluster2tile,
+            k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
+            interpret=interpret, compute_dtype=compute_dtype,
         )
-        _, probed = jax.lax.top_k(cs, min(nprobe, nlist))  # (Q, nprobe)
-
-        # 2) union-over-batch cluster mask -> row mask and hot tile list
-        onehot = jax.nn.one_hot(
-            probed.reshape(-1), centroids.shape[0], dtype=jnp.float32
-        )
-        cluster_mask = jnp.clip(onehot.sum(0), 0.0, 1.0)  # (nlist_pad,)
-        # the overflow bucket (incrementally appended rows) is probed by
-        # every query; freshly built indexes have no hot tiles for it, so
-        # this costs nothing until the first incremental update
-        cluster_mask = cluster_mask.at[nlist].set(1.0)
-        # Row mask via segment boundaries: the layout is cluster-contiguous,
-        # so per-row probe membership is piecewise-constant — scatter +/-1
-        # at the 2*(nlist+1) segment edges and cumsum, instead of gathering
-        # a (cap_ivf,)-row table (the gather costs 14.8 ms at 2M rows on
-        # v5e; this costs 1.3 ms, bit-identical output).
-        cm_main = cluster_mask[: nlist + 1]
-        delta = jnp.zeros(cap_ivf + 1, jnp.float32)
-        delta = delta.at[seg_starts[:-1]].add(cm_main)
-        delta = delta.at[seg_starts[1:]].add(-cm_main)
-        row_mask = (jnp.cumsum(delta)[:cap_ivf] > 0.5) & active
-        tile_hot = (cluster_mask @ cluster2tile) > 0  # (n_tiles,)
-        n_hot = tile_hot.sum().astype(jnp.int32)
-        # Compacted hot-tile ids; tail repeats the last hot tile so padded
-        # grid steps keep an unchanged BlockSpec index (no DMA). Overflow-
-        # region tiles (incrementally appended rows, ids >= ov_tile0) sort
-        # FIRST (negative keys): the static grid bound below truncates the
-        # sorted list, and shedding probed-cluster tiles costs a little
-        # recall on old rows, while shedding overflow tiles would silently
-        # exclude exactly the most recently upserted vectors.
-        ov_tile0 = seg_starts[nlist] // jnp.int32(bn)
-        iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tiles,), 0)
-        sort_key = jnp.where(iota_t >= ov_tile0, iota_t - n_tiles, iota_t)
-        tile_ids = jnp.where(tile_hot, sort_key, jnp.int32(n_tiles))
-        # Static grid bound: only the first `grid_b` sorted hot tiles are
-        # scanned. `g_tiles` (sized from num_q*nprobe by the caller) rarely
-        # truncates in practice; when it does, the highest-id non-overflow
-        # hot tiles are dropped and the recall sweep reflects it honestly.
-        grid_b = min(g_tiles, n_tiles) if g_tiles else n_tiles
-        hot = jnp.sort(tile_ids)[:grid_b]
-        hot = jnp.where(hot < 0, hot + n_tiles, hot)
-        n_hot = jnp.minimum(n_hot, jnp.int32(grid_b))
-        last_hot = hot[jnp.maximum(n_hot - 1, 0)]
-        hot = jnp.where(hot >= n_tiles, last_hot, hot)
-        # n_hot == 0 (every probed cluster empty — possible with stale warm
-        # centroids) leaves last_hot == n_tiles, which would feed the corpus
-        # BlockSpec an out-of-bounds DMA; clamp unconditionally. The kernel's
-        # `b < n_hot` predicate already makes those steps no-ops, so the
-        # clamped tile is loaded but never scored.
-        hot = jnp.minimum(hot, jnp.int32(n_tiles - 1))
-
-        mask2d = row_mask.reshape(1, cap_ivf).astype(jnp.int32)
-        q_tiles = num_q // qt
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(q_tiles, grid_b),
-            in_specs=[
-                pl.BlockSpec((qt, q.shape[1]), lambda i, b, hot, nh: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, q.shape[1]),
-                             lambda i, b, hot, nh: (hot[b], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bn), lambda i, b, hot, nh: (0, hot[b]),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-        )
-        vals, idxs = pl.pallas_call(
-            functools.partial(_ivf_kernel, k=k_run, bn=bn,
-                              lane_bits=lane_bits,
-                              compute_dtype=compute_dtype),
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((num_q, k_run), jnp.float32),
-                jax.ShapeDtypeStruct((num_q, k_run), jnp.int32),
-            ],
-            # Off-TPU (no Mosaic) the kernel runs in plain pallas interpret
-            # mode — same code path, CPU-testable (matches DeviceIndex).
-            interpret=interpret,
-        )(hot, n_hot.reshape(1), q, vectors, mask2d)
-
-        vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
-        vals, idxs = rescore_exact(q, vectors, vals, idxs)
-        vals, idxs = vals[:, :k], idxs[:, :k]
-        # translate IVF rows -> engine slot ids (pad rows carry slot -1)
-        slot_ids = jnp.take(slots, idxs, axis=0)
-        slot_ids = jnp.where(jnp.isneginf(vals), -1, slot_ids)
-        return vals, slot_ids
 
     return jax.jit(fn)

@@ -1,0 +1,419 @@
+"""Sharded IVF tier: shared centroids, per-shard postings, ICI merge.
+
+Replaces the reference's FAISS HNSW acceleration tier
+(picovdb/pico_vdb.py:171-212) at multi-chip scale — the round-2 gap where a
+mesh store with `index="ivf"` fell back to the sharded exact scan.
+
+Design (classic distributed IVF, re-laid-out for a TPU mesh):
+
+  * **One shared centroid table** (replicated, ~nlist x dim — tiny): k-means
+    trains once on a sample of the whole corpus, so probing semantics are
+    identical to the single-device tier and recall does not depend on the
+    shard count.
+  * **Per-shard postings**: each shard holds its own cluster-contiguous
+    reorder of the rows it owns — local `seg_starts`, `cluster2tile`, and a
+    `slots` table that maps local IVF rows straight to *global* engine slot
+    ids. Random row->shard partition keeps every cluster's posting list
+    spread ~uniformly across shards, so per-shard hot-tile counts stay
+    balanced.
+  * **Search** runs under `shard_map`: queries are replicated; every shard
+    probes the shared centroids (redundant (Q, nlist) matmul — far cheaper
+    than a collective), builds its local hot-tile list, runs the same
+    block-skipping Pallas scan as the single-device tier
+    (`ops.ivf.probe_scan_local`), and emits a local top-k of (exact score,
+    global slot) pairs. The k*nshards candidate slabs merge exactly like the
+    sharded exact path (parallel/sharded_query.py): XLA lowers the final
+    top-k to an allgather over ICI + on-device selection.
+
+Incremental maintenance is deliberately full-rebuild for now: `update()`
+returns False, steering the engine to `_rebuild_ann` (the single-device
+tier keeps its in-place overflow region). Sidecar persistence reuses the
+single-device blob schema, so `index="ivf"` stores round-trip between mesh
+and single-device processes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.6 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older JAX
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..constants import Float
+from ..utils import next_pow2, round_up
+from ..ops.ivf import (
+    IVF_BN,
+    _assign,
+    _kmeans,
+    default_nlist,
+    ef_to_nprobe,
+    probe_scan_local,
+)
+
+_CACHE: dict = {}
+
+
+class ShardedIVF:
+    """Shared-centroid IVF with per-shard postings over a device mesh."""
+
+    def __init__(self, centroids, vectors, slots, active, seg_starts,
+                 cluster2tile, nlist: int, n_tiles: int, cap_shard: int,
+                 dim: int, mesh, shard_axis: str) -> None:
+        self.centroids = centroids  # (nlist_pad, dim) replicated f32
+        self.vectors = vectors  # (nshards*cap_shard, dim) P(shard, None)
+        self.slots = slots  # (nshards*cap_shard,) P(shard) int32 GLOBAL ids
+        self.active = active  # (nshards*cap_shard,) P(shard) bool
+        self.seg_starts = seg_starts  # (nshards, nlist+2) P(shard, None)
+        self.cluster2tile = cluster2tile  # (nshards, nlist_pad, n_tiles)
+        self.nlist = nlist
+        self.n_tiles = n_tiles  # per shard
+        self.cap_shard = cap_shard
+        self.dim = dim
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        self._host_blob: Optional[dict] = None
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        host_vectors: np.ndarray,
+        active_mask: np.ndarray,
+        mesh,
+        shard_axis: str = "shard",
+        nlist: Optional[int] = None,
+        dim: Optional[int] = None,
+        iters: int = 8,
+        seed: int = 0,
+        warm_centroids: Optional[np.ndarray] = None,
+        storage_dtype: Optional[str] = None,
+    ) -> "ShardedIVF":
+        """Train shared centroids, lay out per-shard postings, upload sharded.
+
+        The build is host-orchestrated (the mesh tier is (re)built at load /
+        bulk-ingest time, where the corpus is host-resident anyway); k-means
+        and assignment run on device. Vector payload flows host -> HBM once,
+        already in its sharded layout.
+        """
+        dim = int(dim if dim is not None else host_vectors.shape[1])
+        nshards = mesh.shape[shard_axis]
+        size = host_vectors.shape[0]
+        act_rows = np.nonzero(active_mask[:size])[0]
+        n_active = act_rows.shape[0]
+        if n_active == 0:
+            raise ValueError("cannot build IVF over an empty corpus")
+        nlist = int(nlist) if nlist else default_nlist(n_active)
+        nlist = min(nlist, n_active)
+
+        rng = np.random.default_rng(seed)
+        # --- shared centroids (train on a sample, device k-means) ---------
+        if warm_centroids is not None and warm_centroids.shape == (nlist, dim):
+            init = jax.device_put(np.ascontiguousarray(warm_centroids, Float))
+            train_iters = max(0, min(iters, 2))
+        else:
+            pick = act_rows[rng.choice(n_active, size=nlist, replace=False)]
+            init = jax.device_put(
+                np.ascontiguousarray(host_vectors[pick], dtype=Float)
+            )
+            train_iters = iters
+        if train_iters:
+            n_train = min(n_active, max(nlist * 50, 10_000))
+            tr = (
+                act_rows
+                if n_train >= n_active
+                else act_rows[
+                    np.sort(rng.choice(n_active, size=n_train, replace=False))
+                ]
+            )
+            tv = jax.device_put(
+                np.ascontiguousarray(host_vectors[tr], dtype=Float)
+            )
+            centroids = np.asarray(
+                _kmeans(tv, jnp.ones(tv.shape[0], bool), init,
+                        nlist=nlist, iters=train_iters)
+            )
+            del tv
+        else:
+            centroids = np.asarray(init)
+
+        # --- global assignment (chunked device matmul) --------------------
+        cent_dev = jax.device_put(np.ascontiguousarray(centroids, Float))
+        assign = np.empty(n_active, dtype=np.int64)
+        a_chunk = 131_072
+        for s in range(0, n_active, a_chunk):
+            e = min(n_active, s + a_chunk)
+            assign[s:e] = np.asarray(
+                _assign(
+                    jax.device_put(
+                        np.ascontiguousarray(
+                            host_vectors[act_rows[s:e]], dtype=Float
+                        )
+                    ),
+                    cent_dev,
+                )
+            )
+
+        # --- per-shard cluster-contiguous layout --------------------------
+        # Contiguous equal split of the active rows (insertion order is
+        # effectively random w.r.t. clusters, so posting lists spread
+        # uniformly). All shards share cap_shard so the stacked arrays are
+        # uniform; slack is the tile padding only — the mesh tier rebuilds
+        # rather than appending in place.
+        per = -(-n_active // nshards)  # ceil
+        cap_shard = round_up(per + 1, IVF_BN)
+        n_tiles = cap_shard // IVF_BN
+        nlist_pad = round_up(nlist + 1, 8)
+
+        if storage_dtype in (None, "float32"):
+            np_dtype = np.dtype(Float)
+        else:
+            import ml_dtypes  # ships with jax
+
+            np_dtype = np.dtype(getattr(ml_dtypes, storage_dtype))
+
+        vecs_np = np.zeros((nshards * cap_shard, dim), dtype=np_dtype)
+        slots_np = np.full(nshards * cap_shard, -1, dtype=np.int32)
+        act_np = np.zeros(nshards * cap_shard, dtype=bool)
+        segs_np = np.zeros((nshards, nlist + 2), dtype=np.int32)
+        c2t_np = np.zeros((nshards, nlist_pad, n_tiles), dtype=Float)
+
+        for s in range(nshards):
+            lo, hi = s * per, min((s + 1) * per, n_active)
+            local_rows = act_rows[lo:hi]  # global engine slots of this shard
+            local_assign = assign[lo:hi]
+            order = np.argsort(local_assign, kind="stable")
+            sorted_clusters = local_assign[order]
+            n_local = local_rows.shape[0]
+            base = s * cap_shard
+            vecs_np[base : base + n_local] = host_vectors[
+                local_rows[order]
+            ].astype(np_dtype, copy=False)
+            slots_np[base : base + n_local] = local_rows[order].astype(
+                np.int32
+            )
+            act_np[base : base + n_local] = True
+            starts = np.searchsorted(sorted_clusters, np.arange(nlist + 1))
+            segs_np[s] = np.concatenate([starts, [cap_shard]]).astype(
+                np.int32
+            )
+            local_cluster = np.full(cap_shard, nlist, dtype=np.int64)
+            local_cluster[:n_local] = sorted_clusters
+            c2t_np[s][local_cluster, np.arange(cap_shard) // IVF_BN] = 1.0
+            c2t_np[s][nlist] = 0.0  # pad bucket probes nothing
+
+        cent_np = np.zeros((nlist_pad, dim), dtype=Float)
+        cent_np[:nlist] = centroids
+
+        row_sh = NamedSharding(mesh, P(shard_axis, None))
+        vec_sh = NamedSharding(mesh, P(shard_axis))
+        rep = NamedSharding(mesh, P())
+        idx = cls(
+            centroids=jax.device_put(cent_np, rep),
+            vectors=jax.device_put(vecs_np, row_sh),
+            slots=jax.device_put(slots_np, vec_sh),
+            active=jax.device_put(act_np, vec_sh),
+            seg_starts=jax.device_put(segs_np, row_sh),
+            cluster2tile=jax.device_put(
+                c2t_np, NamedSharding(mesh, P(shard_axis, None, None))
+            ),
+            nlist=nlist,
+            n_tiles=n_tiles,
+            cap_shard=cap_shard,
+            dim=dim,
+            mesh=mesh,
+            shard_axis=shard_axis,
+        )
+        idx._host_blob = {
+            "centroids": cent_np[:nlist],
+            "assign_rows": act_rows.astype(np.int64),
+            "assign_cluster": assign.astype(np.int32),
+            "nlist": np.asarray(nlist),
+        }
+        return idx
+
+    # -- maintenance (full-rebuild policy) ---------------------------------
+
+    @property
+    def overflow_fraction(self) -> float:
+        """The mesh tier has no in-place overflow region; any mutation set
+        exceeds the (zero-width) incremental window, so the engine's
+        threshold check always routes to a full rebuild."""
+        return 1.0
+
+    def update(self, changed_slots, rows, active_flags) -> bool:
+        """Mesh postings rebuild rather than appending in place (a shared
+        always-probed overflow region would need a cross-shard append
+        protocol for ~no serving win). False = caller rebuilds."""
+        return False
+
+    def to_blob(self) -> Optional[dict]:
+        """Same sidecar schema as the single-device tier — stores built on a
+        mesh reload into single-device processes and vice versa."""
+        return self._host_blob
+
+    @classmethod
+    def from_blob(
+        cls,
+        blob: dict,
+        host_vectors: np.ndarray,
+        active_mask: np.ndarray,
+        dim: int,
+        mesh=None,
+        shard_axis: str = "shard",
+        storage_dtype: Optional[str] = None,
+    ) -> Optional["ShardedIVF"]:
+        """Relayout from a persisted sidecar without retraining k-means."""
+        try:
+            cent = np.asarray(blob["centroids"], dtype=Float)
+            if cent.ndim != 2 or cent.shape[1] != dim:
+                return None
+            size = host_vectors.shape[0]
+            act_rows = np.nonzero(active_mask[:size])[0]
+            saved = np.asarray(blob["assign_rows"])
+            if act_rows.shape != saved.shape or not np.array_equal(
+                act_rows, saved
+            ):
+                return None  # active set changed since save -> retrain
+            return cls.build(
+                host_vectors,
+                active_mask,
+                mesh,
+                shard_axis=shard_axis,
+                nlist=int(blob["nlist"]),
+                dim=dim,
+                warm_centroids=cent,
+                iters=0,
+                storage_dtype=storage_dtype,
+            )
+        except Exception:
+            return None
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, queries, k: int, ef: int, dev,
+               nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Probed sharded top-k; host (vals, GLOBAL slot ids) of (Q, k)."""
+        vals, slot_ids, num_q = self.search_async(queries, k, ef, dev, nprobe)
+        vals_np = np.asarray(vals)[:num_q, :k]
+        slots_np = np.asarray(slot_ids)[:num_q, :k]
+        if not np.isfinite(vals_np).any():
+            # self-healing exact fallback, same contract as IVFIndex.search
+            return dev.query(np.asarray(queries)[:num_q], k, None)
+        return vals_np, slots_np
+
+    def search_async(self, queries, k: int, ef: int, dev,
+                     nprobe: Optional[int] = None):
+        """Dispatch without blocking; same contract as IVFIndex.search_async."""
+        if nprobe is None:
+            nprobe = ef_to_nprobe(ef, self.nlist)
+        nprobe = int(max(1, min(self.nlist, nprobe)))
+        num_q = queries.shape[0]
+        q_pad = max(8, next_pow2(num_q))
+        if isinstance(queries, np.ndarray):
+            if q_pad != num_q:
+                buf = np.empty((q_pad, self.dim), dtype=Float)
+                buf[:num_q] = queries
+                buf[num_q:] = queries[0]  # duplicate probes are free
+                queries = buf
+            q_dev = jax.device_put(
+                np.ascontiguousarray(queries, Float),
+                NamedSharding(self.mesh, P()),
+            )
+        else:
+            q_dev = queries.astype(jnp.float32)
+            if q_pad != num_q:
+                q_dev = jnp.pad(q_dev, ((0, q_pad - num_q), (0, 0)),
+                                mode="edge")
+            q_dev = jax.device_put(q_dev, NamedSharding(self.mesh, P()))
+        interpret = jax.devices()[0].platform != "tpu"
+        # Per-shard hot-grid bound: a cluster's posting list on one shard
+        # spans ~n_tiles/nlist + 1 local tiles (same estimate as the
+        # single-device tier, per-shard tile counts). Bucketed to 64 so
+        # batch sizes share kernel specializations.
+        union_clusters = min(q_pad * nprobe + nprobe, self.nlist) + 1
+        g_tiles = min(
+            self.n_tiles,
+            round_up(
+                int(1.25 * union_clusters * (self.n_tiles / self.nlist + 1))
+                + 16,
+                64,
+            ),
+        )
+        fn = _make_sharded_ivf_search(
+            id(self.mesh), self.mesh, self.shard_axis, k, nprobe, self.nlist,
+            None if self.vectors.dtype == jnp.float32
+            else str(self.vectors.dtype),
+            interpret, g_tiles,
+        )
+        vals, slot_ids = fn(
+            q_dev, self.centroids, self.vectors, self.slots,
+            self.seg_starts, self.active, self.cluster2tile,
+        )
+        return vals, slot_ids, num_q
+
+
+def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
+                             nprobe: int, nlist: int,
+                             compute_dtype_name: Optional[str],
+                             interpret: bool, g_tiles: int):
+    key = (mesh_key, mesh.shape_tuple, shard_axis, k, nprobe, nlist,
+           compute_dtype_name, interpret, g_tiles)
+    fn = _CACHE.get(key)
+    if fn is None:
+        fn = _build_sharded_ivf_search(
+            mesh, shard_axis, k, nprobe, nlist, compute_dtype_name,
+            interpret, g_tiles,
+        )
+        _CACHE[key] = fn
+    return fn
+
+
+def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
+                              compute_dtype_name, interpret, g_tiles):
+    k_sel = k + 4  # guard band, see ops/pallas_scan.make_fused_topk
+    compute_dtype = (
+        jnp.dtype(compute_dtype_name) if compute_dtype_name else None
+    )
+
+    def local(q, cent, v, slots, segs, act, c2t):
+        # block args carry the leading shard axis of size 1
+        vals, slot_ids = probe_scan_local(
+            q, cent, v, slots, segs[0], act, c2t[0],
+            k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
+            interpret=interpret, compute_dtype=compute_dtype,
+        )
+        return vals, slot_ids  # slots are global already — no base offset
+
+    mapped = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(shard_axis, None), P(shard_axis),
+                  P(shard_axis, None), P(shard_axis),
+                  P(shard_axis, None, None)),
+        out_specs=(P(None, shard_axis), P(None, shard_axis)),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # out_specs declare the sharding explicitly (see sharded_query.py)
+        check_vma=False,
+    )
+
+    def merged(q, cent, v, slots, segs, act, c2t):
+        from ..ops.exact import normalize_on_device
+
+        q = normalize_on_device(q)
+        vals, sids = mapped(q, cent, v, slots, segs, act, c2t)
+        # (Q, nshards*k) candidate slabs -> final top-k over ICI
+        k_final = min(k, vals.shape[1])
+        top_vals, order = jax.lax.top_k(vals, k_final)
+        top_sids = jnp.take_along_axis(sids, order, axis=1)
+        return top_vals, top_sids
+
+    return jax.jit(merged)

@@ -1,0 +1,138 @@
+"""Sharded IVF tier on the virtual 8-device CPU mesh.
+
+Round-3 capability (VERDICT.md round-2 item 2): a mesh store with
+`index="ivf"` must serve probed results with oracle parity at full nprobe,
+replacing the round-2 warn-and-fall-back-to-exact behavior. The reference
+role being replaced at multi-chip scale: FAISS HNSW
+(picovdb/pico_vdb.py:171-212).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+from picovdb_tpu.parallel import make_mesh
+from picovdb_tpu.parallel.ivf_mesh import ShardedIVF
+from picovdb_tpu.utils import normalize_batch
+from test_ivf import clustered_data
+
+# NOTE: unlike test_ivf.py, these tests deliberately do NOT wrap in
+# pltpu.force_tpu_interpret_mode(): the mosaic TPU interpreter's
+# core-emulation barriers deadlock when 8 shard_map bodies run pallas_call
+# concurrently on the CPU mesh. Off-TPU, ShardedIVF.search already passes
+# interpret=True (the plain pallas interpreter, which handles the
+# scalar-prefetch grid and is shard_map-safe — same approach as
+# tests/test_sharded.py).
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+def test_sharded_ivf_full_probe_is_exact(rng):
+    """nprobe = nlist probes every cluster on every shard -> oracle parity."""
+    mesh = make_mesh()
+    n, dim, k = 4000, 32, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    ivf = ShardedIVF.build(vectors, mask, mesh, nlist=16, dim=dim)
+    assert ivf.slots.shape[0] == mesh.shape["shard"] * ivf.cap_shard
+
+    queries = normalize_batch(
+        vectors[:16] + 0.01 * rng.normal(size=(16, dim)).astype(np.float32)
+    )
+    vals, slots = ivf.search(queries, k, ef=1000, dev=None)  # all lists
+    scores = queries @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    ovals = np.take_along_axis(scores, oidx, axis=1)
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+    for qi in range(16):
+        np.testing.assert_allclose(
+            scores[qi][slots[qi]], ovals[qi], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_sharded_ivf_nprobe_tradeoff_and_mask(rng):
+    mesh = make_mesh()
+    n, dim, k = 4000, 32, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    mask[100:200] = False  # deleted rows must never surface
+    ivf = ShardedIVF.build(vectors, mask, mesh, nlist=32, dim=dim)
+    queries = normalize_batch(
+        vectors[:8] + 0.01 * rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    scores = np.where(mask[None, :], queries @ vectors.T, -np.inf)
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    recalls = {}
+    for ef in (2, 128):
+        vals, slots = ivf.search(queries, k, ef=ef, dev=None)
+        assert not (set(range(100, 200)) & set(slots.ravel().tolist()))
+        recalls[ef] = np.mean(
+            [len(set(slots[i]) & set(oidx[i])) / k for i in range(8)]
+        )
+    assert recalls[128] >= recalls[2]
+    assert recalls[128] >= 0.9, recalls
+
+
+def test_engine_mesh_ivf_end_to_end(db_path, rng):
+    """index='ivf' on a mesh store serves through the sharded probe scan."""
+    mesh = make_mesh()
+    dim, n, k = 24, 3000, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        ivf_nlist=32,
+    )
+    db.upsert(
+        [{K_ID: str(i), K_VECTOR: vectors[i]} for i in range(n)]
+    )
+    res = db.query(vectors[77], top_k=k, ef_search=1000)
+    assert db._last_topk_strategy == "ivf"
+    assert res[0][K_ID] == "77"
+    # sharded-exact agreement at full probe width
+    db_exact = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_exact", mesh=mesh,
+        index="exact",
+    )
+    db_exact.upsert(
+        [{K_ID: str(i), K_VECTOR: vectors[i]} for i in range(n)]
+    )
+    r2 = db_exact.query(vectors[77], top_k=k)
+    assert [r[K_ID] for r in res] == [r[K_ID] for r in r2]
+
+    # deletes route through the full-rebuild policy and disappear
+    db.delete(["77"])
+    res3 = db.query(vectors[77], top_k=k, ef_search=1000)
+    assert db._last_topk_strategy == "ivf"
+    assert db._last_ann_rebuild_mode == "full"
+    assert all(r[K_ID] != "77" for r in res3)
+
+
+def test_engine_mesh_ivf_sidecar_roundtrip(db_path, rng):
+    """Mesh IVF persists the shared sidecar schema and reloads warm."""
+    mesh = make_mesh()
+    dim, n, k = 24, 2500, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        ivf_nlist=16,
+    )
+    db.upsert([{K_ID: str(i), K_VECTOR: vectors[i]} for i in range(n)])
+    db.save()
+
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        ivf_nlist=16,
+    )
+    assert db2._ivf is not None  # sidecar reused, no cold retrain
+    res = db2.query(vectors[42], top_k=k, ef_search=1000)
+    assert db2._last_topk_strategy == "ivf"
+    assert res[0][K_ID] == "42"
+
+    # the same sidecar loads into a single-device process (shared schema)
+    db3 = PicoVectorDB(embedding_dim=dim, storage_file=db_path, index="ivf")
+    assert db3._ivf is not None
+    r3 = db3.query(vectors[42], top_k=k, ef_search=1000)
+    assert r3[0][K_ID] == "42"
