@@ -37,12 +37,17 @@ def amortized_q1_ms(dev, q_dev_list, topk, m=64, rounds=3):
     return best * 1000 / m, dev.last_strategy
 
 
-def recall_at_k(dev, queries, oracle, topk):
+def recall_at_k(dev, queries, oracle, topk, chunk=8):
+    """Recall through the small-Q route: chunks of 8 stay under the
+    SMALL_Q_XLA threshold (so the tiny-Q mirror tier is what's measured)
+    while cutting the relay round trips 8x vs per-query loops."""
     hits = 0
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-    for i in range(queries.shape[0]):
-        vals, idx = dev.query(qn[i][None, :].astype(np.float32), topk)
-        hits += len(set(idx[0].tolist()) & set(oracle[i].tolist()))
+    for s in range(0, queries.shape[0], chunk):
+        e = min(queries.shape[0], s + chunk)
+        vals, idx = dev.query(qn[s:e].astype(np.float32), topk)
+        for i in range(e - s):
+            hits += len(set(idx[i].tolist()) & set(oracle[s + i].tolist()))
     return hits / (queries.shape[0] * topk)
 
 
@@ -122,12 +127,22 @@ def main():
             for _ in range(2):
                 v, ix, _, _ = dev.query_async(qbatch, args.topk, None)
                 np.asarray(v), np.asarray(ix)
+            # Amortized device time: M dispatches back-to-back, one fetch.
+            # Compute serializes on the single TPU core, so elapsed/M is
+            # the device time per batch without the ~tens-of-ms relay
+            # variance a per-iteration fetch would add (same method as the
+            # Q=1 probe; r2-style single-fetch timings varied 3x run to
+            # run through this harness's tunnel).
+            M = 6
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                v, ix, _, _ = dev.query_async(qbatch, args.topk, None)
-                np.asarray(v), np.asarray(ix)
-                best = min(best, time.perf_counter() - t0)
+                pend = [
+                    dev.query_async(qbatch, args.topk, None)
+                    for _ in range(M)
+                ]
+                np.asarray(pend[-1][0]), np.asarray(pend[-1][1])
+                best = min(best, (time.perf_counter() - t0) / M)
             strat = dev.last_strategy
             qps = args.batch / best
             # batch recall on the first m queries

@@ -27,8 +27,11 @@ import os
 import sys
 import time
 
-# Virtual mesh must be configured before jax initializes.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Virtual CPU mesh, forced the way tests/conftest.py does it: the ambient
+# environment presets a TPU platform (sitecustomize imports jax at
+# interpreter start), so both the env var and the live config must be
+# overridden before any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 if "xla_force_host_platform_device_count" not in os.environ.get(
     "XLA_FLAGS", ""
 ):
@@ -36,6 +39,9 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     ).strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
@@ -110,8 +116,21 @@ def main() -> int:
         print(f"# reload: {load_s:.1f} s", file=sys.stderr)
 
         # ---- serve + exact-oracle correctness -------------------------
+        # Pre-touch every shard's corpus pages with local (collective-free)
+        # reductions first: XLA CPU's in-process rendezvous terminates the
+        # program when shards arrive at a collective more than 40 s apart,
+        # and on a 1-core host the first sweep's page faults over GBs of
+        # freshly-written corpus can exceed that window per shard.
+        t0 = time.perf_counter()
+        for sh in db2._dev.vectors.addressable_shards:
+            float(np.asarray(sh.data.sum()))
+        for sh in db2._dev.active.addressable_shards:
+            float(np.asarray(sh.data.sum()))
+        print(f"# page pre-touch: {time.perf_counter()-t0:.1f} s",
+              file=sys.stderr)
         m = args.queries
         q = rng.standard_normal((m, args.dim), dtype=np.float32)
+        db2.query_columnar(q[:1], top_k=args.topk)  # per-shard compile warm
         ids_col, scores_col = db2.query_columnar(q, top_k=args.topk)  # warm
         t0 = time.perf_counter()
         ids_col, scores_col = db2.query_columnar(q, top_k=args.topk)

@@ -125,16 +125,18 @@ class DeviceIndex:
                 and self.storage_dtype == "float32"
             ) or scan_mode == "mixed"
         self.mixed_precision = bool(mixed_precision) and mesh is None
-        # int8 selection tier: a per-row-scaled int8 mirror serves tiny-Q
-        # selection (the HBM sweep is 1 byte/element — half of bf16, a
-        # quarter of f32 — and tiny-Q scans are pure-bandwidth-bound), with
-        # the winners exact-rescored against the full-precision corpus.
-        # Measured at 100k x 1024 (BENCHMARKS.md "int8 latency tier"):
-        # quantization noise ~3e-4 on scaled scores, recall@10 = 1.000 with
-        # guard 6. Default: alongside the bf16 mirror on single-device TPU
-        # f32 stores. `PICOVDB_SEGMAX_I8=1` additionally routes the batch
-        # segmax tier through the int8 mirror (opt-in: the headline batch
-        # path keeps the bf16 mirror's measured recall 1.000 by default).
+        # int8 selection tier: a per-row-scaled int8 mirror serves
+        # *selection* at 1 byte/element — half of bf16, a quarter of f32 —
+        # with winners exact-rescored against the full-precision corpus.
+        # Measured interleaved-A/B at 100k x 1024
+        # (bench/results/int8_ab_r3.json): recall@10 = 1.000 on every int8
+        # route; the tiny-Q ladder is 1.24x the bf16 ladder (and gets
+        # bn=4096 blocks the 2-byte mirror can't fit), so it is the
+        # small-Q default. The batch segmax measured 0.88x bf16 (the
+        # int8->f32 convert + rescale on the (256, BN) score tile outweighs
+        # the halved sweep at large qt), so batch stays on the bf16 mirror;
+        # PICOVDB_SEGMAX_I8=1 opts the segmax tier into int8 for
+        # re-measurement on other hardware.
         import os as _os
 
         if int8_tier is None:
@@ -516,7 +518,7 @@ class DeviceIndex:
             and filter_mask is None
             and self.scan_mode == "auto"
             and num_q <= self.SMALL_Q_XLA
-            and min(k, self.cap) + 6 <= 16  # guard 6 inside the wide ladder
+            and min(k, self.cap) + 4 <= 16  # guard 4 inside the wide ladder
         )
         small_q_mixed = (
             not small_q_i8

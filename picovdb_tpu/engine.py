@@ -1328,6 +1328,10 @@ class PicoVectorDB:
                 "device_capacity": self._dev.cap,
                 "scan_mode": self._dev.scan_mode,
                 "storage_dtype": self._dev.storage_dtype,
+                "mirrors": {
+                    "bf16": self._dev.vectors_lp is not None,
+                    "int8": self._dev.vectors_i8 is not None,
+                },
                 "index_kind": self._index_kind,
                 "ann_active": self._ivf is not None,
                 "ann_rebuild_mode": self._last_ann_rebuild_mode,

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -48,7 +49,14 @@ from .pallas_scan import (
     rescore_exact,
 )
 
-IVF_BN = 1024  # scan block for the IVF mirror (clusters are small)
+# Scan block for the IVF mirror. Larger blocks amortize the ~2-3 us
+# per-grid-step cost of the dynamic-index pipeline (the dominant residual
+# at small nprobe unions) against coarser skipping granularity (a probed
+# cluster of ~sqrt(N)/2 rows spans ~size/IVF_BN + 1 tiles, so bigger tiles
+# DMA more cold rows). 1024 measured best at 2M x 1024 in round 2;
+# PICOVDB_IVF_BN overrides for tuning at other scales (layout-coupled:
+# takes effect at the next build).
+IVF_BN = int(os.getenv("PICOVDB_IVF_BN", "1024") or 1024)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -166,7 +166,10 @@ def _pick_bn(dim: int, qt: int, k: int, v_itemsize: int, cap: int,
     carry allocations were measured to blow the scoped-vmem stack).
     """
     q_bytes = qt * dim * 4
-    for bn in (2048, 1024, 512, 256, 128):
+    # 4096 only ever fits narrow mirrors at tiny query tiles (int8 at
+    # qt<=8, dim 1024: 8.4 MB) — exactly the Q=1 latency path, where
+    # halving the grid-step count halves the dominant per-step overhead.
+    for bn in (4096, 2048, 1024, 512, 256, 128):
         if bn > bn_max or bn > cap or cap % bn:
             continue
         if k > 16 and bn > 512:
@@ -550,7 +553,7 @@ def _scan_kernel_i8(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
 
 
 def fused_topk_i8(q_i8, v_i8, vscale, mask, k: int,
-                  qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
+                  qt: int = DEFAULT_QT, bn: int = 4096,
                   interpret: bool = False):
     """Exact-ladder masked top-k over the int8 mirror.
 
@@ -729,8 +732,11 @@ def make_fused_topk_i8(k: int, guard: int = 4, interpret: bool = False,
     mirror + exact f32 rescore.
 
     The Q=1 serving path: the corpus sweep reads 1 byte/element — half the
-    bf16 mirror, a quarter of f32 — and tiny-Q scans are HBM-bound, so this
-    is the latency tier (the round-2 review's single-query lever).
+    bf16 mirror, a quarter of f32 — and tiny Q admits bn=4096 blocks
+    (halving the dominant per-grid-step overhead). guard 4 matches the
+    bf16 ladder: int8 per-row-scaled noise (~3e-4) is ~7x smaller than
+    bf16's, so the bf16-proven band is conservative here (measured
+    recall@10 = 1.000 at 100k x 1024, bench/results/int8_tier_r3.json).
 
     fn(queries f32, v_i8, vscale, rescore_vectors f32, mask) -> (vals, idx)
     """

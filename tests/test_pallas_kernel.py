@@ -446,5 +446,5 @@ def test_engine_int8_routes(db_path, rng, monkeypatch):
     assert db._last_topk_strategy == "i8_fused_smallq"
     assert all(r[K_ID] != "55" for r in res2)
     # wide k overflows the unrolled ladder width -> not the int8 ladder
-    db.query(vecs[7], top_k=12)
+    db.query(vecs[7], top_k=13)  # 13 + guard 4 > 16
     assert db._last_topk_strategy != "i8_fused_smallq"
