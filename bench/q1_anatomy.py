@@ -8,6 +8,10 @@ Three probes over the int8 ladder kernel (the current Q=1 tier):
      time scales ~linearly; fixed-overhead time doesn't.
   3. noop scale: a trivial jitted add dispatched 64-deep — the pure
      Python + relay + program-launch floor of this harness.
+  4. on-device loop: lax.scan over K distinct queries inside ONE program —
+     iterations serialize on the device and each sweeps the full corpus
+     from HBM, so elapsed/K is the true per-query device latency with the
+     host dispatch floor (probe 3) amortized to nothing.
 
 Usage: python bench/q1_anatomy.py
 """
@@ -78,7 +82,34 @@ def main():
         print(f"# n={n}: total {best_total*1000/M:.3f} ms/q, dispatch loop "
               f"{best_disp*1000/M:.3f} ms/q, drain "
               f"{(best_total-best_disp)*1000:.1f} ms", file=sys.stderr)
-        del v, v8, vs, data
+
+        # --- probe 4: on-device serial loop (one dispatch, K queries) ---
+        qs = jax.device_put(
+            rng.standard_normal((M, 1, dim), dtype=np.float32)
+        )
+
+        @jax.jit
+        def loop(qs, v8, vs, v, mask):
+            def body(_, q):
+                vals, idx = fn(q, v8, vs, v, mask)
+                return 0, (vals, idx)
+
+            _, outs = jax.lax.scan(body, 0, qs)
+            return outs
+
+        vals, idx = loop(qs, v8, vs, v, mask)
+        np.asarray(vals), np.asarray(idx)  # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            vals, idx = loop(qs, v8, vs, v, mask)
+            np.asarray(vals), np.asarray(idx)
+            best = min(best, time.perf_counter() - t0)
+        out[f"n{n}_device_loop_ms"] = round(best * 1000 / M, 4)
+        print(f"# n={n}: on-device loop {best*1000/M:.3f} ms/q "
+              f"({M} serialized corpus sweeps in one program)",
+              file=sys.stderr)
+        del v, v8, vs, data, qs
 
     print(json.dumps(out))
     return 0

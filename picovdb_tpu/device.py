@@ -49,6 +49,22 @@ def _cast_bf16(vectors):
     return vectors.astype(jnp.bfloat16)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_serial_loop(inner):
+    """Jitted M-serial-Q=1 runner over a (cached) query kernel. Keyed on
+    the kernel closure, which the make_* builders lru_cache themselves."""
+
+    @jax.jit
+    def loop(qs, *args):
+        def body(c, q):
+            vals, idx = inner(q[None, :], *args)
+            return c, (vals[0], idx[0])
+
+        return jax.lax.scan(body, 0, qs)[1]
+
+    return loop
+
+
 def _pad_rows(arr: np.ndarray, cap: int, fill=0) -> np.ndarray:
     if arr.shape[0] == cap:
         return arr
@@ -658,3 +674,57 @@ class DeviceIndex:
         vals, idxs = fn(q_dev, self.vectors, mask_dev)
 
         return vals, idxs, num_q, k_eff
+
+    def query_serial_loop(self, queries, k: int):
+        """Run M independent Q=1 queries serially inside ONE device program.
+
+        `lax.scan` serializes the iterations on the device, each sweeping
+        the full corpus from HBM through the same kernel the production
+        small-Q route dispatches (int8 mirror when present, else the bf16
+        ladder, else the XLA exact scan). One launch amortizes per-dispatch
+        host/driver overhead across all M queries, so the marginal cost per
+        additional query — the slope of wall time vs M — is the device-side
+        single-query serving latency, free of host and transport noise
+        (bench/q1_anatomy.py measures the methodology; bench.py reports it
+        as `single_query_device_ms` against the reference's 0.4 ms FAISS
+        HNSW number, /root/reference/README.md:75).
+
+        `queries` is an (M, dim) float32 array (host or device); rows are
+        normalized on device like every query path. Returns host
+        ((M, k) f32 exact scores, (M, k) int32 slot ids). Single-device
+        stores only.
+        """
+        if self.mesh is not None:
+            raise ValueError("query_serial_loop is single-device only")
+        if self.vectors is None:
+            raise ValueError(
+                "empty device mirror; sync first (or use "
+                "PicoVectorDB.query_serial_loop, which does)"
+            )
+        k_eff = min(k, self.cap)
+        interpret = getattr(self._device, "platform", "cpu") != "tpu"
+        if self.vectors_i8 is not None and k_eff + 4 <= 16:
+            from .ops.pallas_scan import make_fused_topk_i8
+
+            inner = make_fused_topk_i8(k_eff, interpret=interpret)
+            args = (self.vectors_i8, self.vscale, self.vectors, self.active)
+            self.last_strategy = "i8_fused_smallq_loop"
+        elif self.vectors_lp is not None and k_eff + 4 <= 16:
+            from .ops.pallas_scan import make_mixed_fused_topk
+
+            inner = make_mixed_fused_topk(k_eff, interpret=interpret)
+            args = (self.vectors_lp, self.vectors, self.active)
+            self.last_strategy = "mixed_fused_smallq_loop"
+        else:
+            inner = make_exact_topk(k_eff, self.compute_dtype)
+            args = (self.vectors, self.active)
+            self.last_strategy = "xla_topk_loop"
+
+        loop = _make_serial_loop(inner)
+
+        if isinstance(queries, np.ndarray):
+            queries = jax.device_put(
+                np.ascontiguousarray(queries, dtype=Float), self._device
+            )
+        vals, idxs = loop(queries, *args)
+        return np.asarray(vals), np.asarray(idxs)

@@ -1071,6 +1071,23 @@ class PicoVectorDB:
             hnsw_ef_search=hnsw_ef_search,
         )
 
+    def query_serial_loop(self, query_vecs: np.ndarray, top_k: int = 10):
+        """Measurement lane: M independent Q=1 queries serialized inside
+        one device program (see DeviceIndex.query_serial_loop). Returns
+        ((M, k) exact scores, (M, k) slot indices) — slot-level results,
+        no id mapping; used by bench.py to report device-side single-query
+        latency as the slope of wall time vs M."""
+        vecs = np.ascontiguousarray(query_vecs, dtype=Float)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(
+                f"query_serial_loop expects (M, {self.dim}); got "
+                f"{tuple(vecs.shape)}"
+            )
+        with self._synced_read():
+            if not self._id2idx:
+                raise ValueError("query_serial_loop on an empty store")
+            return self._dev.query_serial_loop(vecs, top_k)
+
     def query_batched(
         self,
         query_vecs: np.ndarray,

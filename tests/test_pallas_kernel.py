@@ -448,3 +448,24 @@ def test_engine_int8_routes(db_path, rng, monkeypatch):
     # wide k overflows the unrolled ladder width -> not the int8 ladder
     db.query(vecs[7], top_k=13)  # 13 + guard 4 > 16
     assert db._last_topk_strategy != "i8_fused_smallq"
+
+
+def test_query_serial_loop_matches_dispatch(db_path, rng):
+    """query_serial_loop (the device-latency measurement path) returns the
+    same winners as the per-call dispatch path, kernel in interpret mode."""
+    from picovdb_tpu import PicoVectorDB
+    from picovdb_tpu.device import DeviceIndex
+
+    dim, n, k = 16, 2048, 5
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path, int8_tier=True)
+    db.upsert_columnar(vecs, ids=[str(i) for i in range(n)], copy=False)
+    q = rng.normal(size=(6, dim)).astype(np.float32)
+    lv, li = db.query_serial_loop(q, k)
+    assert db._dev.last_strategy.endswith("_loop")
+    assert lv.shape == (6, k) and li.shape == (6, k)
+    pv, pi, nq, ke = db._dev.query_async(q, k, None)
+    pv = np.asarray(pv)[:nq, :k]
+    pi = np.asarray(pi)[:nq, :k]
+    np.testing.assert_array_equal(li, pi)
+    np.testing.assert_allclose(lv, pv, rtol=1e-5, atol=1e-6)
