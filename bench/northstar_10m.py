@@ -22,6 +22,7 @@ Usage:
 """
 
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -39,6 +40,14 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     ).strip()
+# XLA CPU's in-process collectives kill the program when the shard threads
+# arrive at a rendezvous more than 40 s apart — on a 1-core host the 8
+# serialized shard sweeps of a 10M-row store can exceed that legitimately.
+if "collective_call_terminate" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -54,6 +63,11 @@ def main() -> int:
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--queries", type=int, default=64)
     p.add_argument("--out", default="bench/results/northstar10m_r3.json")
+    p.add_argument("--reuse", default="",
+                   help="path prefix of an existing sharded store: skip "
+                        "gen/ingest/save and serve straight from it "
+                        "(ingest/save numbers carried from the build run "
+                        "are then reported as 0)")
     args = p.parse_args()
 
     import jax
@@ -70,39 +84,56 @@ def main() -> int:
     rng = np.random.default_rng(0)
     out = {"rows": args.rows, "dim": args.dim, "shards": args.shards}
 
-    with tempfile.TemporaryDirectory() as tmp:
-        path = f"{tmp}/northstar"
+    ctx = (
+        tempfile.TemporaryDirectory()
+        if not args.reuse
+        else contextlib.nullcontext(os.path.dirname(args.reuse) or ".")
+    )
+    with ctx as tmp:
+        path = f"{tmp}/northstar" if not args.reuse else args.reuse
 
-        # ---- build: columnar ingest of 10M rows ------------------------
-        t0 = time.perf_counter()
-        data = rng.standard_normal((args.rows, args.dim), dtype=np.float32)
-        gen_s = time.perf_counter() - t0
-        db = PicoVectorDB(
-            embedding_dim=args.dim, storage_file=path, mesh=mesh,
-            index="exact",
-        )
-        ids = [str(i) for i in range(args.rows)]
-        t0 = time.perf_counter()
-        db.upsert_columnar(data, ids=ids, copy=False)
-        ingest_s = time.perf_counter() - t0
-        out["ingest_s"] = round(ingest_s, 2)
-        out["ingest_vec_per_s"] = round(args.rows / ingest_s, 0)
-        print(f"# gen {gen_s:.1f} s; ingest {args.rows} rows in "
-              f"{ingest_s:.1f} s ({args.rows/ingest_s:.0f} vec/s)",
-              file=sys.stderr)
+        if args.reuse:
+            shard_files = persistence.find_shards(path)
+            assert len(shard_files) == args.shards, shard_files
+            out["reused_store"] = True
+            out["shard_files"] = len(shard_files)
+            out["bytes_per_shard"] = os.path.getsize(shard_files[0])
+            print(f"# reusing store {path} ({len(shard_files)} shards)",
+                  file=sys.stderr)
+        else:
+            # ---- build: columnar ingest of 10M rows --------------------
+            t0 = time.perf_counter()
+            data = rng.standard_normal(
+                (args.rows, args.dim), dtype=np.float32
+            )
+            gen_s = time.perf_counter() - t0
+            db = PicoVectorDB(
+                embedding_dim=args.dim, storage_file=path, mesh=mesh,
+                index="exact",
+            )
+            ids = [str(i) for i in range(args.rows)]
+            t0 = time.perf_counter()
+            db.upsert_columnar(data, ids=ids, copy=False)
+            ingest_s = time.perf_counter() - t0
+            out["ingest_s"] = round(ingest_s, 2)
+            out["ingest_vec_per_s"] = round(args.rows / ingest_s, 0)
+            print(f"# gen {gen_s:.1f} s; ingest {args.rows} rows in "
+                  f"{ingest_s:.1f} s ({args.rows/ingest_s:.0f} vec/s)",
+                  file=sys.stderr)
 
-        # ---- sharded persistence --------------------------------------
-        t0 = time.perf_counter()
-        db.save(shards=args.shards)
-        save_s = time.perf_counter() - t0
-        shard_files = persistence.find_shards(path)
-        assert len(shard_files) == args.shards, shard_files
-        out["save_s"] = round(save_s, 2)
-        out["shard_files"] = len(shard_files)
-        out["bytes_per_shard"] = os.path.getsize(shard_files[0])
-        print(f"# sharded save: {save_s:.1f} s, {len(shard_files)} files x "
-              f"{out['bytes_per_shard']/2**20:.0f} MiB", file=sys.stderr)
-        del db
+            # ---- sharded persistence ----------------------------------
+            t0 = time.perf_counter()
+            db.save(shards=args.shards)
+            save_s = time.perf_counter() - t0
+            shard_files = persistence.find_shards(path)
+            assert len(shard_files) == args.shards, shard_files
+            out["save_s"] = round(save_s, 2)
+            out["shard_files"] = len(shard_files)
+            out["bytes_per_shard"] = os.path.getsize(shard_files[0])
+            print(f"# sharded save: {save_s:.1f} s, "
+                  f"{len(shard_files)} files x "
+                  f"{out['bytes_per_shard']/2**20:.0f} MiB", file=sys.stderr)
+            del db
 
         # ---- reload through the sharded loader ------------------------
         t0 = time.perf_counter()

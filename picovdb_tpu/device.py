@@ -169,6 +169,18 @@ class DeviceIndex:
         self.segmax_i8 = self.int8_tier and _os.getenv(
             "PICOVDB_SEGMAX_I8", ""
         ) not in ("", "0", "false", "False")
+        # Corpus-resident ("stream") grid order for the batch segmax sweep:
+        # the corpus streams through HBM once per BATCH instead of once per
+        # 256-query tile (32x fewer corpus bytes at Q=8192), at the price
+        # of re-reading the small query tiles. Pays off once the batch
+        # spans several query tiles; below that the classic order reads
+        # less. Routed per-dispatch in query_async; PICOVDB_SEGMAX_STREAM
+        # ∈ {auto,0,1} overrides.
+        env_stream = _os.getenv("PICOVDB_SEGMAX_STREAM", "auto")
+        self.segmax_stream = (
+            None if env_stream in ("auto", "") else
+            env_stream not in ("0", "false", "False")
+        )
         self.last_strategy: Optional[str] = None
         # Introspection: how the last device synchronization was applied
         # ("scatter" | "full" | None) — analog of the reference's
@@ -623,18 +635,32 @@ class DeviceIndex:
         elif use_segmax and self.segmax_i8 and self.vectors_i8 is not None:
             from .ops.pallas_scan import make_segmax_topk_i8
 
-            seg8_fn = make_segmax_topk_i8(k_pad, interpret=interpret)
+            stream = (q_pad > 256 if self.segmax_stream is None
+                      else self.segmax_stream)
+            seg8_fn = make_segmax_topk_i8(k_pad, interpret=interpret,
+                                          stream=stream)
             v8, vs, f32 = self.vectors_i8, self.vscale, self.vectors
             fn = lambda q, v, m: seg8_fn(q, v8, vs, f32, m)  # noqa: E731
-            self.last_strategy = "segmax_i8"
+            self.last_strategy = (
+                "segmax_i8_stream" if stream else "segmax_i8"
+            )
         elif use_segmax:
             from .ops.pallas_scan import make_segmax_topk
 
-            seg_fn = make_segmax_topk(k_pad, None, interpret=interpret)
+            # auto: the corpus-resident order wins from the 2nd query tile
+            # up (query re-reads cost <= 1/8th of the corpus re-reads they
+            # replace at qt=256/bn=2048; measured A/B in
+            # bench/results/segmax_stream_r3.json).
+            stream = (q_pad > 256 if self.segmax_stream is None
+                      else self.segmax_stream)
+            seg_fn = make_segmax_topk(k_pad, None, interpret=interpret,
+                                      stream=stream)
             lp = self.vectors_lp
             f32 = self.vectors
             fn = lambda q, v, m: seg_fn(q, lp, f32, m)  # noqa: E731
-            self.last_strategy = "segmax_mixed"
+            self.last_strategy = (
+                "segmax_mixed_stream" if stream else "segmax_mixed"
+            )
         elif small_q_i8:
             from .ops.pallas_scan import make_fused_topk_i8
 

@@ -45,7 +45,9 @@ from .pallas_scan import (
     DEFAULT_QT,
     KEY_MIN,
     NEG_INF,
+    SEG,
     _from_sortable,
+    _to_sortable,
     rescore_exact,
 )
 
@@ -540,14 +542,34 @@ class IVFIndex:
         # padded batch and rounded up to 64-tile buckets so distinct batch
         # sizes share the kernel specialization (g_tiles is part of the
         # _make_ivf_search lru_cache key; each miss is a 1-40 s compile).
-        union_clusters = min(q_pad * nprobe + nprobe, self.nlist) + 1
+        # Expected distinct clusters: draws overlap, so the union grows as
+        # nlist*(1-(1-nprobe/nlist)^Q), not Q*nprobe; expected distinct hot
+        # tiles then follows the same birthday bound over tile spans. The
+        # old linear estimate (1.25*Q*nprobe*span) saturated to the full
+        # grid from Q=8 up, burning ~2 ms of predicated no-op steps per
+        # dispatch at 2M rows. A 1.35x margin + 64-tile bucket keeps the
+        # truncation probability negligible (and truncation is safe: the
+        # sorted hot list sheds highest-id probed tiles, measured honestly
+        # by the recall sweep — overflow tiles sort first and are never
+        # shed).
+        p_cluster = min(1.0, nprobe / self.nlist)
+        uniq = self.nlist * (1.0 - (1.0 - p_cluster) ** q_pad) + 1
+        span = self.n_tiles / self.nlist + 1.0  # tiles per cluster (avg)
+        e_hot = self.n_tiles * (
+            1.0 - math.exp(-uniq * span / self.n_tiles)
+        )
         g_tiles = min(
             self.n_tiles,
-            round_up(
-                int(1.25 * union_clusters * (self.n_tiles / self.nlist + 1))
-                + 16,
-                64,
-            ),
+            round_up(int(1.35 * e_hot) + 16, 64),
+        )
+        # Kernel style: the selection-ladder kernel pays ~k_sel serial VPU
+        # passes per hot tile (fine at Q=1 where few tiles are hot), the
+        # segmax kernel pays `per_seg` max passes + a global top-k outside
+        # (wins once the hot-tile count grows with the batch). Routed by
+        # measured crossover (bench/results/ivf2m_r3.json);
+        # PICOVDB_IVF_STYLE ∈ {ladder, segmax} overrides.
+        style = os.getenv("PICOVDB_IVF_STYLE", "") or (
+            "segmax" if num_q > 1 and k + 4 <= 16 else "ladder"
         )
         fn = _make_ivf_search(
             k, nprobe, self.n_tiles, self.nlist,
@@ -555,6 +577,7 @@ class IVFIndex:
             else str(self.vectors.dtype),
             interpret,
             g_tiles,
+            style,
         )
         vals, slot_ids = fn(
             q_dev,
@@ -658,6 +681,62 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     lane_bits = max(1, int(bn - 1).bit_length())
     k_run = min(k_sel, bn)
 
+    row_mask, hot, n_hot, grid_b = _probe_preamble(
+        q, centroids, active, seg_starts, cluster2tile,
+        nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
+        cap_ivf=cap_ivf, n_tiles=n_tiles, bn=bn,
+    )
+
+    mask2d = row_mask.reshape(1, cap_ivf).astype(jnp.int32)
+    q_tiles = num_q // qt
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(q_tiles, grid_b),
+        in_specs=[
+            pl.BlockSpec((qt, q.shape[1]), lambda i, b, hot, nh: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, q.shape[1]),
+                         lambda i, b, hot, nh: (hot[b], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b, hot, nh: (0, hot[b]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        functools.partial(_ivf_kernel, k=k_run, bn=bn,
+                          lane_bits=lane_bits,
+                          compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_q, k_run), jnp.float32),
+            jax.ShapeDtypeStruct((num_q, k_run), jnp.int32),
+        ],
+        # Off-TPU (no Mosaic) the kernel runs in plain pallas interpret
+        # mode — same code path, CPU-testable (matches DeviceIndex).
+        interpret=interpret,
+    )(hot, n_hot.reshape(1), q, vectors, mask2d)
+
+    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    vals, idxs = rescore_exact(q, vectors, vals, idxs)
+    vals, idxs = vals[:, :k], idxs[:, :k]
+    # translate IVF rows -> engine slot ids (pad rows carry slot -1)
+    slot_ids = jnp.take(slots, idxs, axis=0)
+    slot_ids = jnp.where(jnp.isneginf(vals), -1, slot_ids)
+    return vals, slot_ids
+
+
+def _probe_preamble(q, centroids, active, seg_starts, cluster2tile, *,
+                    nprobe: int, nlist: int, g_tiles: Optional[int],
+                    cap_ivf: int, n_tiles: int, bn: int):
+    """Probe clusters and build the (row_mask, hot tile list, n_hot,
+    grid_b) quadruple shared by both IVF scan kernels (ladder + segmax)."""
     # 1) probe clusters
     cs = q @ centroids.T  # (Q, nlist_pad)
     cs = jnp.where(
@@ -715,7 +794,85 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     # `b < n_hot` predicate already makes those steps no-ops, so the
     # clamped tile is loaded but never scored.
     hot = jnp.minimum(hot, jnp.int32(n_tiles - 1))
+    return row_mask, hot, n_hot, grid_b
 
+
+def _ivf_segmax_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, out_ref, *,
+                       bn: int, per_seg: int, compute_dtype=None):
+    """Segmax-style IVF tile scan: emit each 128-segment's top-`per_seg`
+    packed keys instead of running the k-rank selection ladder per tile.
+
+    The ladder kernel's per-step cost is ~k_sel serial (max + select) VPU
+    passes over the whole (qt, bn) score tile — at Q=8 over 2M rows that
+    compute co-dominates the probed sweep. Here each grid step costs the
+    dot plus `per_seg` max passes; the global top-k over the emitted
+    candidate slab and the exact rescore happen once, outside the kernel
+    (same structure as pallas_scan._segmax_kernel).
+
+    per_seg=4 (vs the exact tier's 2): the IVF reorder is
+    cluster-contiguous, so a query's true top-k concentrate in its probed
+    clusters' few segments — deeper per-segment extraction keeps the
+    truncation probability negligible for k<=16 while still replacing ~14
+    serial ladder ranks with 4 max passes.
+
+    Steps at-or-past `nhot_ref[0]` still write their block (it is this
+    step's only chance — every (i, b) block is distinct) but emit KEY_MIN,
+    marking the whole tile's candidates invalid.
+    """
+    b = pl.program_id(1)
+    q = q_ref[...]
+    v = v_ref[...]
+    if compute_dtype is not None:
+        q = q.astype(compute_dtype)
+        v = v.astype(compute_dtype)
+    elif v.dtype != q.dtype:
+        q = q.astype(v.dtype)
+    scores = jax.lax.dot_general(
+        q, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (QT, BN)
+    mask = m_ref[...]  # (1, BN)
+    qt = scores.shape[0]
+    ns = bn // SEG
+
+    bits = pltpu.bitcast(scores, jnp.int32)
+    keys = _to_sortable(bits).reshape(qt, ns, SEG)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, ns, SEG), 2)
+    keys = (keys & ~jnp.int32(SEG - 1)) | lane
+    live = (mask.reshape(1, ns, SEG) > 0) & (b < nhot_ref[0])
+    keys = jnp.where(live, keys, jnp.int32(KEY_MIN))
+
+    tops = []
+    for _ in range(per_seg):
+        m = jnp.max(keys, axis=2)  # (QT, NS)
+        tops.append(m)
+        keys = jnp.where(keys == m[:, :, None], jnp.int32(KEY_MIN), keys)
+    out_ref[...] = jnp.concatenate(tops, axis=1).T  # (per_seg*NS, QT)
+
+
+def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
+                      cluster2tile, *, k: int, k_sel: int, nprobe: int,
+                      nlist: int, g_tiles: Optional[int],
+                      interpret: bool, compute_dtype, per_seg: int = 4):
+    """Probed IVF top-k via per-segment extraction (see
+    `_ivf_segmax_kernel`): probe -> hot tiles -> segmax sweep -> global
+    top-k over the candidate slab -> exact rescore -> slot translation.
+
+    Same contract as `probe_scan_local`; preferable for mid-size batches
+    (Q >= 8) where the ladder's per-tile selection compute co-dominates.
+    """
+    num_q = q.shape[0]
+    cap_ivf = vectors.shape[0]
+    n_tiles = cap_ivf // IVF_BN
+    bn = IVF_BN
+    qt = min(DEFAULT_QT, num_q)
+    ns = bn // SEG
+
+    row_mask, hot, n_hot, grid_b = _probe_preamble(
+        q, centroids, active, seg_starts, cluster2tile,
+        nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
+        cap_ivf=cap_ivf, n_tiles=n_tiles, bn=bn,
+    )
     mask2d = row_mask.reshape(1, cap_ivf).astype(jnp.int32)
     q_tiles = num_q // qt
 
@@ -731,31 +888,41 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
             pl.BlockSpec((1, bn), lambda i, b, hot, nh: (0, hot[b]),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qt, k_run), lambda i, b, hot, nh: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=pl.BlockSpec((per_seg * ns, qt),
+                               lambda i, b, hot, nh: (b, i),
+                               memory_space=pltpu.VMEM),
     )
-    vals, idxs = pl.pallas_call(
-        functools.partial(_ivf_kernel, k=k_run, bn=bn,
-                          lane_bits=lane_bits,
+    keys = pl.pallas_call(
+        functools.partial(_ivf_segmax_kernel, bn=bn, per_seg=per_seg,
                           compute_dtype=compute_dtype),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((num_q, k_run), jnp.float32),
-            jax.ShapeDtypeStruct((num_q, k_run), jnp.int32),
-        ],
-        # Off-TPU (no Mosaic) the kernel runs in plain pallas interpret
-        # mode — same code path, CPU-testable (matches DeviceIndex).
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_b * per_seg * ns, num_q), jnp.int32
+        ),
         interpret=interpret,
     )(hot, n_hot.reshape(1), q, vectors, mask2d)
+    keys = keys.T  # (Q, grid_b * per_seg * ns)
 
-    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
-    vals, idxs = rescore_exact(q, vectors, vals, idxs)
-    vals, idxs = vals[:, :k], idxs[:, :k]
-    # translate IVF rows -> engine slot ids (pad rows carry slot -1)
+    # Decode: column c belongs to grid step b = c // (per_seg*ns), segment
+    # (c % (per_seg*ns)) % ns of tile hot[b]; the lane is the key's low 7
+    # bits. Global top-k on the raw keys (monotonic in score), then decode
+    # only the winners — same trick as pallas_scan.make_segmax_topk.
+    k_run = min(k_sel, keys.shape[1])
+    tk, ti = jax.lax.top_k(keys, k_run)
+    step = ti // (per_seg * ns)
+    s = jax.lax.rem(ti, jnp.int32(per_seg * ns))
+    s = jax.lax.rem(s, jnp.int32(ns))
+    base_tile = jnp.take(hot, step)  # (Q, k_run) hot-tile remap
+    gidx = (base_tile * ns + s) * SEG + (tk & jnp.int32(SEG - 1))
+    empty = tk == jnp.int32(KEY_MIN)
+    gidx = jnp.where(empty, 0, gidx)
+    gathered = jnp.take(vectors, gidx, axis=0)
+    exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(empty, -jnp.inf, exact)
+    order = jnp.argsort(-exact, axis=1)
+    vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+    idxs = jnp.take_along_axis(gidx, order, axis=1)[:, :k].astype(jnp.int32)
     slot_ids = jnp.take(slots, idxs, axis=0)
     slot_ids = jnp.where(jnp.isneginf(vals), -1, slot_ids)
     return vals, slot_ids
@@ -765,18 +932,21 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
 def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
                      compute_dtype_name: Optional[str] = None,
                      interpret: bool = False,
-                     g_tiles: Optional[int] = None):
-    """Jitted single-device probed search (see `probe_scan_local`)."""
+                     g_tiles: Optional[int] = None,
+                     style: str = "ladder"):
+    """Jitted single-device probed search (see `probe_scan_local` /
+    `probe_scan_segmax`)."""
     k_sel = k + 4  # guard band, see pallas_scan.make_fused_topk
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )
+    scan = probe_scan_segmax if style == "segmax" else probe_scan_local
 
     def fn(q, centroids, vectors, slots, seg_starts, active, cluster2tile):
         from .exact import normalize_on_device
 
         q = normalize_on_device(q)
-        return probe_scan_local(
+        return scan(
             q, centroids, vectors, slots, seg_starts, active, cluster2tile,
             k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
             interpret=interpret, compute_dtype=compute_dtype,

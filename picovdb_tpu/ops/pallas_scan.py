@@ -335,7 +335,8 @@ def _segmax_kernel(q_ref, v_ref, m_ref, out_ref, *, bn: int, compute_dtype):
 
 def segmax_scan(queries, vectors, mask, compute_dtype=None,
                 qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
-                interpret: bool = False, raw: bool = False):
+                interpret: bool = False, raw: bool = False,
+                stream: bool = False):
     """Per-128-segment top-2 candidates over the masked corpus.
 
     Returns (vals (Q, 2*cap/128) f32 quantized, idx (Q, 2*cap/128) int32):
@@ -350,6 +351,17 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
     Column c of the slab holds tile c//(2ns), segment (c%(2ns))%ns, so
     `global_row = ((c//(2ns))*ns + (c%(2ns))%ns)*128 + (key & 127)`;
     `key == KEY_MIN` marks masked/padding entries.
+
+    `stream=True` swaps the grid to (corpus_tiles, q_tiles): the corpus
+    tile is the slow axis (Mosaic keeps it resident across the inner query
+    sweep, so the corpus streams through HBM exactly ONCE per batch instead
+    of once per query tile), and the small query tiles re-stream instead.
+    Every (corpus, query) output block is independent — no running state —
+    so the two orders compute bit-identical keys; only HBM traffic changes:
+    ~cap*dim*itemsize + q_tiles-per-corpus-tile re-reads of the queries,
+    vs q_tiles full corpus sweeps. Wins once Q is large enough that query
+    re-reads are cheaper than corpus re-reads (large-batch serving); pair
+    with queries pre-cast to the scan dtype to halve the inner-loop DMA.
     """
     num_q, dim = queries.shape
     cap = vectors.shape[0]
@@ -368,27 +380,35 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
     assert num_q % qt == 0, (num_q, qt)
     n_tiles = cap // bn
     ns = bn // SEG
-    grid = (num_q // qt, n_tiles)
     mask2d = mask.reshape(1, cap).astype(jnp.int32)
+
+    if stream:
+        grid = (n_tiles, num_q // qt)
+        q_map, v_map = (lambda b, i: (i, 0)), (lambda b, i: (b, 0))
+        m_map, o_map = (lambda b, i: (0, b)), (lambda b, i: (b, i))
+        bytes_est = (cap * dim * vectors.dtype.itemsize
+                     + num_q * dim * queries.dtype.itemsize * n_tiles)
+    else:
+        grid = (num_q // qt, n_tiles)
+        q_map, v_map = (lambda i, b: (i, 0)), (lambda i, b: (b, 0))
+        m_map, o_map = (lambda i, b: (0, b)), (lambda i, b: (b, i))
+        bytes_est = (cap * dim * vectors.dtype.itemsize * (num_q // qt)
+                     + num_q * dim * 4)
 
     keys = pl.pallas_call(
         functools.partial(_segmax_kernel, bn=bn, compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((qt, dim), lambda i, b: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, dim), lambda i, b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, b: (0, b),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, dim), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, dim), v_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), m_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2 * ns, qt), lambda i, b: (b, i),
+        out_specs=pl.BlockSpec((2 * ns, qt), o_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * ns, num_q), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * num_q * cap * dim + 4 * num_q * cap,
-            bytes_accessed=(cap * dim * vectors.dtype.itemsize * (num_q // qt)
-                            + num_q * dim * 4),
+            bytes_accessed=bytes_est,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -416,7 +436,7 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
 @functools.lru_cache(maxsize=256)
 def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
                      interpret: bool = False, guard: int = 6,
-                     normalize: bool = True):
+                     normalize: bool = True, stream: bool = False):
     """Jitted mixed-precision top-k: segmax candidates -> global top-k ->
     exact f32 rescore.
 
@@ -424,6 +444,11 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
     (cap, dim) f32-or-bf16, rescore_vectors (cap, dim) f32, mask (cap,)
     bool) -> ((Q, k) f32 exact scores, (Q, k) int32 slot ids). Pass the
     same array twice for a single-precision corpus.
+
+    `stream=True` selects the corpus-resident grid order and pre-casts the
+    normalized queries to the scan mirror's dtype, so the whole batch costs
+    one corpus read plus bf16 query re-reads (see `segmax_scan`). The
+    rescore still uses the float32 queries.
     """
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
 
@@ -432,10 +457,17 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
             from .exact import normalize_on_device
 
             queries = normalize_on_device(queries)
+        q_scan = queries
+        if stream and scan_vectors.dtype != queries.dtype \
+                and compute_dtype is None:
+            # Cast once outside the kernel: the inner grid re-streams the
+            # query tiles n_tiles times, so their width sets the residual
+            # HBM traffic after the corpus drops to a single pass.
+            q_scan = queries.astype(scan_vectors.dtype)
         try:
-            keys, ns = segmax_scan(queries, scan_vectors, mask,
+            keys, ns = segmax_scan(q_scan, scan_vectors, mask,
                                    compute_dtype, interpret=interpret,
-                                   raw=True)
+                                   raw=True, stream=stream)
         except ValueError:  # geometry unservable (huge dim) -> exact scan
             from .exact import exact_topk
 
@@ -637,9 +669,12 @@ def _segmax_kernel_i8(q_ref, v_ref, vs_ref, m_ref, out_ref, *, bn: int):
 
 def segmax_scan_i8(q_i8, v_i8, vscale, mask,
                    qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
-                   interpret: bool = False):
+                   interpret: bool = False, stream: bool = False):
     """Per-128-segment top-2 over the int8 mirror; returns (keys, ns) raw —
-    same contract as `segmax_scan(raw=True)`."""
+    same contract as `segmax_scan(raw=True)`. `stream=True` uses the
+    corpus-resident grid order (see `segmax_scan`): with a 1 B/element
+    mirror AND 1 B/element queries the whole sweep's HBM traffic drops to
+    ~cap*dim bytes once, leaving the int8 MXU rate as the floor."""
     num_q, dim = q_i8.shape
     cap = v_i8.shape[0]
     qt = min(qt, num_q)
@@ -650,29 +685,35 @@ def segmax_scan_i8(q_i8, v_i8, vscale, mask,
     assert num_q % qt == 0, (num_q, qt)
     n_tiles = cap // bn
     ns = bn // SEG
-    grid = (num_q // qt, n_tiles)
     mask2d = mask.reshape(1, cap).astype(jnp.int32)
     vs2d = vscale.reshape(1, cap).astype(jnp.float32)
+
+    if stream:
+        grid = (n_tiles, num_q // qt)
+        q_map, v_map = (lambda b, i: (i, 0)), (lambda b, i: (b, 0))
+        m_map, o_map = (lambda b, i: (0, b)), (lambda b, i: (b, i))
+        bytes_est = cap * dim + num_q * dim * n_tiles
+    else:
+        grid = (num_q // qt, n_tiles)
+        q_map, v_map = (lambda i, b: (i, 0)), (lambda i, b: (b, 0))
+        m_map, o_map = (lambda i, b: (0, b)), (lambda i, b: (b, i))
+        bytes_est = cap * dim * (num_q // qt) + num_q * dim
 
     keys = pl.pallas_call(
         functools.partial(_segmax_kernel_i8, bn=bn),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((qt, dim), lambda i, b: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, dim), lambda i, b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, b: (0, b),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, b: (0, b),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, dim), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, dim), v_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), m_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), m_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2 * ns, qt), lambda i, b: (b, i),
+        out_specs=pl.BlockSpec((2 * ns, qt), o_map,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * ns, num_q), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=2 * num_q * cap * dim + 4 * num_q * cap,
-            bytes_accessed=cap * dim * (num_q // qt) + num_q * dim,
+            bytes_accessed=bytes_est,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -682,12 +723,13 @@ def segmax_scan_i8(q_i8, v_i8, vscale, mask,
 
 @functools.lru_cache(maxsize=256)
 def make_segmax_topk_i8(k: int, interpret: bool = False, guard: int = 6,
-                        normalize: bool = True):
+                        normalize: bool = True, stream: bool = False):
     """Jitted int8 top-k: segmax over the int8 mirror -> global top-k ->
     exact f32 rescore.
 
     fn(queries (Q, dim) f32, v_i8 (cap, dim) int8, vscale (cap,) f32,
     rescore_vectors (cap, dim) f32, mask (cap,) bool) -> (vals, idx).
+    `stream=True`: corpus-resident grid order (see `segmax_scan_i8`).
     """
 
     def impl(queries, v_i8, vscale, rescore_vectors, mask):
@@ -698,7 +740,7 @@ def make_segmax_topk_i8(k: int, interpret: bool = False, guard: int = 6,
         q_i8, _ = quantize_rows_i8(queries)
         try:
             keys, ns = segmax_scan_i8(q_i8, v_i8, vscale, mask,
-                                      interpret=interpret)
+                                      interpret=interpret, stream=stream)
         except ValueError:
             from .exact import exact_topk
 

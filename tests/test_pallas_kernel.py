@@ -469,3 +469,56 @@ def test_query_serial_loop_matches_dispatch(db_path, rng):
     pi = np.asarray(pi)[:nq, :k]
     np.testing.assert_array_equal(li, pi)
     np.testing.assert_allclose(lv, pv, rtol=1e-5, atol=1e-6)
+
+
+def test_segmax_stream_grid_order_bit_identical(rng):
+    """Corpus-resident (stream) grid order vs classic: every output block
+    is independent, so the raw packed keys must be bit-identical — only
+    the HBM traffic pattern differs (pallas_scan.segmax_scan docstring)."""
+    from picovdb_tpu.ops.pallas_scan import segmax_scan, segmax_scan_i8, \
+        quantize_rows_i8
+    import jax.numpy as jnp
+
+    cap, dim, q = 8192, 128, 512  # several corpus tiles x 2 query tiles
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(q, dim)).astype(np.float32))
+    mask = rng.random(cap) < 0.8
+    Vlp = jnp.asarray(V).astype(jnp.bfloat16)
+    Qlp = jnp.asarray(Q).astype(jnp.bfloat16)
+
+    k_classic, ns1 = segmax_scan(Qlp, Vlp, jnp.asarray(mask), None,
+                                 interpret=True, raw=True)
+    k_stream, ns2 = segmax_scan(Qlp, Vlp, jnp.asarray(mask), None,
+                                interpret=True, raw=True, stream=True)
+    assert ns1 == ns2
+    np.testing.assert_array_equal(np.asarray(k_classic), np.asarray(k_stream))
+
+    q8, _ = quantize_rows_i8(jnp.asarray(Q))
+    v8, vs = quantize_rows_i8(jnp.asarray(V))
+    k8c, _ = segmax_scan_i8(q8, v8, vs, jnp.asarray(mask), interpret=True)
+    k8s, _ = segmax_scan_i8(q8, v8, vs, jnp.asarray(mask), interpret=True,
+                            stream=True)
+    np.testing.assert_array_equal(np.asarray(k8c), np.asarray(k8s))
+
+
+def test_segmax_stream_topk_matches_oracle(rng):
+    """End-to-end stream tier (bf16 pre-cast queries + corpus-resident
+    sweep + f32 rescore) against the NumPy oracle."""
+    from picovdb_tpu.ops.pallas_scan import make_segmax_topk
+    import jax.numpy as jnp
+
+    cap, dim, k, q = 8192, 64, 8, 512
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(q, dim)).astype(np.float32))
+    mask = np.ones(cap, dtype=bool)
+    Vlp = jnp.asarray(V).astype(jnp.bfloat16)
+
+    fn = make_segmax_topk(k, None, interpret=True, stream=True)
+    vals, idx = map(np.asarray, fn(Q, Vlp, V, mask))
+    _, oidx, scores = oracle(Q, V, mask, k)
+    for qi in range(0, q, 37):
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idx[qi]], rtol=1e-5, atol=1e-6
+        )
+    recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(q)])
+    assert recall >= 0.9, recall
