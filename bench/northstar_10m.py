@@ -45,7 +45,6 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
 # serialized shard sweeps of a 10M-row store can exceed that legitimately.
 if "collective_call_terminate" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] += (
-        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
         " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     )
 import jax  # noqa: E402

@@ -1144,6 +1144,7 @@ class PicoVectorDB:
                 chunks.append(chunk)
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
                                                      mask_key=mask_key))
+            self._last_topk_strategy = self._dev.last_strategy
             segmax = self._dev.last_strategy in ("segmax_mixed", "segmax_i8")
             # Captured INSIDE the lock: the underfill retry below runs after
             # release, and a concurrent writer may swap the mirror between —
@@ -1217,6 +1218,8 @@ class PicoVectorDB:
                 chunks.append(chunk)
                 pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
                                                      mask_key=mask_key))
+            self._last_topk_strategy = self._dev.last_strategy
+            self._last_k_eff = int(k_eff)
             segmax = self._dev.last_strategy in ("segmax_mixed", "segmax_i8")
             # see query_batched: retry must use the dispatch-time snapshot
             snap = self._dev.snapshot() if segmax else None

@@ -568,8 +568,25 @@ class IVFIndex:
         # (wins once the hot-tile count grows with the batch). Routed by
         # measured crossover (bench/results/ivf2m_r3.json);
         # PICOVDB_IVF_STYLE ∈ {ladder, segmax} overrides.
+        #
+        # Segment-concentration guard: the IVF layout is cluster-contiguous,
+        # so a query's true top-k concentrate inside its probed clusters'
+        # few 128-row segments — the opposite of the exact tier's scattered
+        # insertion order. Segmax keeps only `per_seg` keys per segment; if
+        # a typical cluster spans too few segments to surface k_sel winners
+        # at depth 8, the ladder kernel serves instead (measured failure
+        # without this: recall 0.78 at 3k rows / 32 clusters, where one
+        # cluster fits inside a single segment and 6 of the top-10 were
+        # truncated). `per_seg` deepens adaptively up to 8 as clusters
+        # shrink relative to k_sel; each extra rank is one more VPU max
+        # pass per tile, cheap next to the dot.
+        cap_rows = int(self.vectors.shape[0])
+        span_segs = max(1e-6, (cap_rows / max(1, self.nlist)) / SEG)
+        need = math.ceil(1.5 * (k + 4) / span_segs)
+        per_seg = max(4, min(8, need))
         style = os.getenv("PICOVDB_IVF_STYLE", "") or (
-            "segmax" if num_q > 1 and k + 4 <= 16 else "ladder"
+            "segmax" if num_q > 1 and k + 4 <= 16 and need <= 8
+            else "ladder"
         )
         fn = _make_ivf_search(
             k, nprobe, self.n_tiles, self.nlist,
@@ -578,6 +595,7 @@ class IVFIndex:
             interpret,
             g_tiles,
             style,
+            per_seg,
         )
         vals, slot_ids = fn(
             q_dev,
@@ -933,14 +951,18 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
                      compute_dtype_name: Optional[str] = None,
                      interpret: bool = False,
                      g_tiles: Optional[int] = None,
-                     style: str = "ladder"):
+                     style: str = "ladder",
+                     per_seg: int = 4):
     """Jitted single-device probed search (see `probe_scan_local` /
     `probe_scan_segmax`)."""
     k_sel = k + 4  # guard band, see pallas_scan.make_fused_topk
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )
-    scan = probe_scan_segmax if style == "segmax" else probe_scan_local
+    if style == "segmax":
+        scan = functools.partial(probe_scan_segmax, per_seg=per_seg)
+    else:
+        scan = probe_scan_local
 
     def fn(q, centroids, vectors, slots, seg_starts, active, cluster2tile):
         from .exact import normalize_on_device

@@ -328,3 +328,59 @@ def test_ivf_incremental_sidecar_reload(db_path, rng):
     assert db2._ivf is not None
     res = db2.query(nv[0], top_k=1)
     assert res[0][K_ID] == "late"
+
+
+def test_ivf_segmax_style_recall(rng, monkeypatch):
+    """Segmax IVF kernel (probe_scan_segmax) at a scale where it routes:
+    clusters span multiple 128-row segments, so per-segment extraction at
+    the adaptive depth surfaces the true top-k (regression: with fixed
+    per_seg=4 and single-segment clusters it truncated 6 of the top-10)."""
+    monkeypatch.setenv("PICOVDB_IVF_STYLE", "segmax")
+    n, dim, k = 8192, 32, 10
+    vectors, _ = clustered_data(rng, n, dim, n_clusters=8)
+    mask = np.ones(n, dtype=bool)
+    ivf = IVFIndex.build(vectors, mask, nlist=8, dim=dim)
+
+    queries = normalize_batch(
+        vectors[:16] + 0.01 * rng.normal(size=(16, dim)).astype(np.float32)
+    )
+    vals, slots = ivf.search(queries, k, ef=64, dev=None)  # nprobe = all
+    scores = queries @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(slots[i]) & set(oidx[i])) / k for i in range(16)]
+    )
+    assert recall >= 0.9, recall
+    # scores must be exact f32 (rescored), matching the oracle's values
+    osc = np.take_along_axis(scores, oidx, axis=1)
+    assert np.allclose(np.sort(vals, axis=1)[:, ::-1][:, :3],
+                       np.sort(osc, axis=1)[:, ::-1][:, :3], atol=2e-3)
+
+
+def test_ivf_segmax_guard_small_clusters(rng, monkeypatch):
+    """Default routing must NOT pick segmax when clusters are smaller than
+    a segment (the concentration regime where it truncates winners): the
+    ladder path serves and recall stays high at full probe."""
+    import picovdb_tpu.ops.ivf as ivf_mod
+
+    def _boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("segmax routed despite single-segment clusters")
+
+    monkeypatch.delenv("PICOVDB_IVF_STYLE", raising=False)
+    monkeypatch.setattr(ivf_mod, "probe_scan_segmax", _boom)
+    ivf_mod._make_ivf_search.cache_clear()
+    n, dim, k = 3000, 64, 10
+    vectors, _ = clustered_data(rng, n, dim, n_clusters=32)
+    mask = np.ones(n, dtype=bool)
+    ivf = IVFIndex.build(vectors, mask, nlist=32, dim=dim)
+    queries = normalize_batch(
+        vectors[:16] + 0.01 * rng.normal(size=(16, dim)).astype(np.float32)
+    )
+    vals, slots = ivf.search(queries, k, ef=64, dev=None)
+    scores = queries @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(slots[i]) & set(oidx[i])) / k for i in range(16)]
+    )
+    ivf_mod._make_ivf_search.cache_clear()
+    assert recall >= 0.9, recall
