@@ -222,11 +222,13 @@ def test_sharded_incremental_scatter_sync_parity(db_path, rng):
     assert all(h[K_ID] not in dels for hits in rm for h in hits)
 
 
-def test_mesh_store_skips_single_device_ivf(db_path, rng, caplog):
-    """index='ivf' on a mesh store stays on the sharded exact scan (the
-    IVF mirror is single-device) and says so, instead of building a
-    wrong-placement index."""
-    import logging
+def test_mesh_store_builds_sharded_ivf(db_path, rng):
+    """index='ivf' on a mesh store builds the sharded IVF tier (shared
+    centroids, per-shard postings — parallel/ivf_mesh.py) instead of the
+    single-device mirror, and single-query serving routes through it.
+    (Until r3 a mesh store warned and fell back to the sharded exact
+    scan; this asserts the replacement is live end-to-end.)"""
+    from picovdb_tpu.parallel.ivf_mesh import ShardedIVF
 
     db = PicoVectorDB(
         embedding_dim=16, storage_file=db_path, mesh=make_mesh(),
@@ -234,10 +236,8 @@ def test_mesh_store_skips_single_device_ivf(db_path, rng, caplog):
     )
     items, vecs = make_items(rng, 64, 16)
     db.upsert(items)
-    with caplog.at_level(logging.WARNING, logger="picovdb_tpu"):
-        db.rebuild_index()
-    assert db._ivf is None
-    assert any("sharded exact scan" in r.message for r in caplog.records)
-    res = db.query(vecs[3], top_k=1)
+    db.rebuild_index()
+    assert isinstance(db._ivf, ShardedIVF)
+    res = db.query(vecs[3], top_k=1, ef_search=1000)  # full probe
     assert res[0][K_ID] == "id3"
-    assert db._last_topk_strategy.startswith("sharded")
+    assert db._last_topk_strategy == "ivf"
