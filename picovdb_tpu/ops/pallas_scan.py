@@ -336,7 +336,7 @@ def _segmax_kernel(q_ref, v_ref, m_ref, out_ref, *, bn: int, compute_dtype):
 def segmax_scan(queries, vectors, mask, compute_dtype=None,
                 qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
                 interpret: bool = False, raw: bool = False,
-                stream: bool = False):
+                stream: bool = False, raw_t: bool = False):
     """Per-128-segment top-2 candidates over the masked corpus.
 
     Returns (vals (Q, 2*cap/128) f32 quantized, idx (Q, 2*cap/128) int32):
@@ -413,6 +413,8 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
         ),
         interpret=interpret,
     )(queries, vectors, mask2d)
+    if raw_t:
+        return keys, ns  # (C, Q) — feed topk_packed_keys, skip the .T
     keys = keys.T  # (Q, n_tiles * 2 * ns)
     if raw:
         return keys, ns
@@ -431,6 +433,90 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
     vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
     idx = base + (keys & jnp.int32(SEG - 1))
     return vals, idx
+
+
+def _topk_keys_kernel(kt_ref, vals_ref, cols_ref, *, k_sel: int, cc: int):
+    """Iterative top-k_sel over one (CC, QT) chunk of the packed-key slab.
+
+    Works on the slab's native pre-transpose layout (candidates on
+    sublanes, queries on lanes): each round is one cross-sublane max, one
+    argmax via iota, and one single-element mask-out per query — no
+    cross-lane shuffles, no 52 MB transpose, no O(C log C) sort. Rounds
+    emit in descending order, so the per-chunk output is already sorted.
+    Duplicated max values mask out one element per round (largest column
+    first), matching `lax.top_k`'s multiplicity semantics.
+    """
+    kt = kt_ref[...]  # (CC, QT) int32 packed keys
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 0)
+    base = pl.program_id(1) * cc  # global slab row of this chunk's row 0
+    vrows, crows = [], []
+    for _ in range(k_sel):
+        m = jnp.max(kt, axis=0)  # (QT,)
+        col = jnp.max(
+            jnp.where(kt == m[None, :], iota_c, jnp.int32(-1)), axis=0
+        )
+        kt = jnp.where(iota_c == col[None, :], jnp.int32(KEY_MIN), kt)
+        vrows.append(m)
+        crows.append(col + base)
+    while len(vrows) < vals_ref.shape[0]:  # pad sublane rows to 8-align
+        vrows.append(jnp.full_like(vrows[0], jnp.int32(KEY_MIN)))
+        crows.append(jnp.zeros_like(crows[0]))
+    vals_ref[...] = jnp.stack(vrows, axis=0)
+    cols_ref[...] = jnp.stack(crows, axis=0)
+
+
+def topk_packed_keys(keys_t, k_sel: int, interpret: bool = False):
+    """Top-k_sel of a packed-key slab in its (C, Q) pre-transpose layout.
+
+    Drop-in for `jax.lax.top_k(keys_t.T, k_sel)` -> (tk, ti), for the
+    monotonic int32 keys emitted by `segmax_scan(raw_t=True)` /
+    `segmax_scan_i8(raw_t=True)`. lax.top_k sorts all C candidates per
+    query (~8-9 ms at 8192 x 1600 on v5e — a third of the whole serving
+    batch); this extracts only the k_sel winners in-VMEM (~0.5 ms).
+    Requires Q % 128 == 0 and k_sel <= 32 (callers fall back to lax.top_k
+    otherwise). Chunks C when one block would not fit VMEM; per-chunk
+    winners then merge through a tiny (Q, nc*k_sel) lax.top_k.
+    """
+    c, num_q = keys_t.shape
+    assert num_q % 128 == 0 and k_sel <= 32, (num_q, k_sel)
+    qt = 256 if num_q % 256 == 0 else 128
+    cc = c if c <= 2048 else 2048
+    if c % cc:
+        pad = -(-c // cc) * cc - c
+        keys_t = jnp.pad(keys_t, ((0, pad), (0, 0)),
+                         constant_values=KEY_MIN)
+        c += pad
+    nc = c // cc
+    k_pad = -(-k_sel // 8) * 8
+    vals_t, cols_t = pl.pallas_call(
+        functools.partial(_topk_keys_kernel, k_sel=k_sel, cc=cc),
+        grid=(num_q // qt, nc),
+        in_specs=[
+            pl.BlockSpec((cc, qt), lambda i, b: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k_pad, qt), lambda i, b: (b, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, qt), lambda i, b: (b, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc * k_pad, num_q), jnp.int32),
+            jax.ShapeDtypeStruct((nc * k_pad, num_q), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * k_sel * c * num_q,
+            bytes_accessed=c * num_q * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(keys_t)
+    if nc == 1:
+        # single chunk: rounds already emitted in descending order
+        return vals_t[:k_sel].T, cols_t[:k_sel].T
+    tk, pos = jax.lax.top_k(vals_t.T, k_sel)  # (Q, nc*k_pad) — tiny
+    return tk, jnp.take_along_axis(cols_t.T, pos, axis=1)
 
 
 @functools.lru_cache(maxsize=256)
@@ -465,9 +551,9 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
             # HBM traffic after the corpus drops to a single pass.
             q_scan = queries.astype(scan_vectors.dtype)
         try:
-            keys, ns = segmax_scan(q_scan, scan_vectors, mask,
-                                   compute_dtype, interpret=interpret,
-                                   raw=True, stream=stream)
+            keys_t, ns = segmax_scan(q_scan, scan_vectors, mask,
+                                     compute_dtype, interpret=interpret,
+                                     raw_t=True, stream=stream)
         except ValueError:  # geometry unservable (huge dim) -> exact scan
             from .exact import exact_topk
 
@@ -477,9 +563,16 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
         # the winners: column -> segment base is pure arithmetic, the lane
         # sits in the key's low bits. Avoids materializing the decoded
         # (Q, C) val/idx slabs and the (Q, C)->(Q, k) gather (~7 ms at
-        # 8192 x 100k).
-        k_sel = min(k + guard, keys.shape[1])
-        tk, ti = jax.lax.top_k(keys, k_sel)
+        # 8192 x 100k). The selection itself runs in the Pallas
+        # `topk_packed_keys` kernel on the pre-transpose slab (lax.top_k
+        # sorts all C candidates per query: measured 8-9 ms of the 40 ms
+        # batch at 8192 x 100k, bench/results/segmax_stage_r3.json).
+        k_sel = min(k + guard, keys_t.shape[0])
+        num_q = keys_t.shape[1]
+        if num_q % 128 == 0 and k_sel <= 32:
+            tk, ti = topk_packed_keys(keys_t, k_sel, interpret=interpret)
+        else:
+            tk, ti = jax.lax.top_k(keys_t.T, k_sel)
         tile = ti // (2 * ns)
         s = jax.lax.rem(ti, jnp.int32(2 * ns))
         s = jnp.where(s >= ns, s - ns, s)
@@ -669,7 +762,8 @@ def _segmax_kernel_i8(q_ref, v_ref, vs_ref, m_ref, out_ref, *, bn: int):
 
 def segmax_scan_i8(q_i8, v_i8, vscale, mask,
                    qt: int = DEFAULT_QT, bn: int = DEFAULT_BN,
-                   interpret: bool = False, stream: bool = False):
+                   interpret: bool = False, stream: bool = False,
+                   raw_t: bool = False):
     """Per-128-segment top-2 over the int8 mirror; returns (keys, ns) raw —
     same contract as `segmax_scan(raw=True)`. `stream=True` uses the
     corpus-resident grid order (see `segmax_scan`): with a 1 B/element
@@ -718,6 +812,8 @@ def segmax_scan_i8(q_i8, v_i8, vscale, mask,
         ),
         interpret=interpret,
     )(q_i8, v_i8, vs2d, mask2d)
+    if raw_t:
+        return keys, ns  # (C, Q)
     return keys.T, ns
 
 
@@ -739,15 +835,19 @@ def make_segmax_topk_i8(k: int, interpret: bool = False, guard: int = 6,
             queries = normalize_on_device(queries)
         q_i8, _ = quantize_rows_i8(queries)
         try:
-            keys, ns = segmax_scan_i8(q_i8, v_i8, vscale, mask,
-                                      interpret=interpret, stream=stream)
+            keys_t, ns = segmax_scan_i8(q_i8, v_i8, vscale, mask,
+                                        interpret=interpret, stream=stream,
+                                        raw_t=True)
         except ValueError:
             from .exact import exact_topk
 
             return exact_topk(queries, rescore_vectors, mask,
                               min(k, rescore_vectors.shape[0]), None)
-        k_sel = min(k + guard, keys.shape[1])
-        tk, ti = jax.lax.top_k(keys, k_sel)
+        k_sel = min(k + guard, keys_t.shape[0])
+        if keys_t.shape[1] % 128 == 0 and k_sel <= 32:
+            tk, ti = topk_packed_keys(keys_t, k_sel, interpret=interpret)
+        else:
+            tk, ti = jax.lax.top_k(keys_t.T, k_sel)
         tile = ti // (2 * ns)
         s = jax.lax.rem(ti, jnp.int32(2 * ns))
         s = jnp.where(s >= ns, s - ns, s)

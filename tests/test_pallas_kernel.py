@@ -522,3 +522,27 @@ def test_segmax_stream_topk_matches_oracle(rng):
         )
     recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(q)])
     assert recall >= 0.9, recall
+
+
+def test_topk_packed_keys_matches_lax(rng):
+    """Pallas slab top-k (pre-transpose layout) vs lax.top_k, single-chunk
+    and chunked+padded (C % chunk != 0) geometries, with masked sentinels
+    and underfilled columns."""
+    import jax
+    import jax.numpy as jnp
+    from picovdb_tpu.ops.pallas_scan import KEY_MIN, topk_packed_keys
+
+    for c, q, k_sel in ((640, 128, 16), (4160, 256, 9)):
+        # distinct keys so index comparison is well-defined under ties
+        keys = rng.choice(2**31 - 1, size=c * q, replace=False).astype(
+            np.int64
+        )
+        keys = (keys - 2**30).astype(np.int32).reshape(c, q)
+        keys[rng.random((c, q)) < 0.3] = KEY_MIN  # masked candidates
+        keys[:, 3] = KEY_MIN  # one fully-masked (empty) query
+        kt = jnp.asarray(keys)
+        tk, ti = map(np.asarray, topk_packed_keys(kt, k_sel, interpret=True))
+        ok, oi = map(np.asarray, jax.lax.top_k(kt.T, k_sel))
+        np.testing.assert_array_equal(tk, ok)
+        live = ok != KEY_MIN  # sentinel rows: any masked column is valid
+        np.testing.assert_array_equal(ti[live], oi[live])
