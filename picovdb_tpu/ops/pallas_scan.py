@@ -291,6 +291,17 @@ def rescore_exact(queries, vectors, vals, idxs):
 # HBM sweep, 2x MXU rate), ranking rescores against the float32 corpus.
 # --------------------------------------------------------------------------
 
+def _segmax_budget() -> int:
+    """Segmax VMEM budget (bytes); PICOVDB_SEGMAX_BUDGET_MB overrides."""
+    import os as _os
+
+    try:
+        return int(float(_os.getenv("PICOVDB_SEGMAX_BUDGET_MB", "9"))
+                   * 2**20)
+    except ValueError:
+        return 9 * 2**20
+
+
 SEG = 128  # one vector-lane row per segment
 
 
@@ -369,8 +380,9 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
     # Tighter budget than the ladder kernel: the segment extraction keeps
     # scores + packed keys + two functional key updates live (measured
     # 16.13 MB actual at the 13 MB-model bn=2048 pick -> scoped-vmem OOM).
+    # PICOVDB_SEGMAX_BUDGET_MB overrides for tile experiments.
     bn = _pick_bn(dim, qt, 2, vectors.dtype.itemsize, cap, bn,
-                  budget=9 * 2**20)
+                  budget=_segmax_budget())
     if bn < 8 * SEG and cap // bn > 1:
         # The transposed (segments, queries) output block needs ns = bn/128
         # on the 8-aligned sublane dim; very large dims can push the VMEM
@@ -772,7 +784,7 @@ def segmax_scan_i8(q_i8, v_i8, vscale, mask,
     num_q, dim = q_i8.shape
     cap = v_i8.shape[0]
     qt = min(qt, num_q)
-    bn = _pick_bn(dim, qt, 2, 1, cap, bn, budget=9 * 2**20)
+    bn = _pick_bn(dim, qt, 2, 1, cap, bn, budget=_segmax_budget())
     if bn < 8 * SEG and cap // bn > 1:
         raise ValueError(f"segmax needs bn >= {8 * SEG}; got {bn}")
     assert cap % bn == 0 and bn % SEG == 0, (cap, bn)
