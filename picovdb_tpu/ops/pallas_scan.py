@@ -291,12 +291,20 @@ def rescore_exact(queries, vectors, vals, idxs):
 # HBM sweep, 2x MXU rate), ranking rescores against the float32 corpus.
 # --------------------------------------------------------------------------
 
-def _segmax_budget() -> int:
-    """Segmax VMEM budget (bytes); PICOVDB_SEGMAX_BUDGET_MB overrides."""
+def _segmax_budget(v_itemsize: int = 4) -> int:
+    """Segmax VMEM budget (bytes); PICOVDB_SEGMAX_BUDGET_MB overrides.
+
+    14 MB for <=2-byte mirrors (bf16/int8): unlocks bn=2048 at dim=1024,
+    measured 16.1 -> 13.0 ms on the 8192 x 100k key sweep and 209 -> 215k
+    QPS end-to-end at recall 1.0000 (bench/results/segmax_tile_r3.json).
+    f32 mirrors keep the conservative 9 MB model — the wider corpus tile
+    pushed actuals past the model there (older scoped-vmem OOM note above).
+    """
     import os as _os
 
+    default = "14" if v_itemsize <= 2 else "9"
     try:
-        return int(float(_os.getenv("PICOVDB_SEGMAX_BUDGET_MB", "9"))
+        return int(float(_os.getenv("PICOVDB_SEGMAX_BUDGET_MB", default))
                    * 2**20)
     except ValueError:
         return 9 * 2**20
@@ -382,7 +390,7 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
     # 16.13 MB actual at the 13 MB-model bn=2048 pick -> scoped-vmem OOM).
     # PICOVDB_SEGMAX_BUDGET_MB overrides for tile experiments.
     bn = _pick_bn(dim, qt, 2, vectors.dtype.itemsize, cap, bn,
-                  budget=_segmax_budget())
+                  budget=_segmax_budget(vectors.dtype.itemsize))
     if bn < 8 * SEG and cap // bn > 1:
         # The transposed (segments, queries) output block needs ns = bn/128
         # on the 8-aligned sublane dim; very large dims can push the VMEM
@@ -784,7 +792,10 @@ def segmax_scan_i8(q_i8, v_i8, vscale, mask,
     num_q, dim = q_i8.shape
     cap = v_i8.shape[0]
     qt = min(qt, num_q)
-    bn = _pick_bn(dim, qt, 2, 1, cap, bn, budget=_segmax_budget())
+    # Keep the conservative 9 MB model here: the int8 bn=2048 variant is
+    # opt-in-only (PICOVDB_SEGMAX_I8) and its Mosaic compile was observed
+    # to run 10+ minutes on v5e — not worth the risk for an opt-in path.
+    bn = _pick_bn(dim, qt, 2, 1, cap, bn, budget=_segmax_budget(4))
     if bn < 8 * SEG and cap // bn > 1:
         raise ValueError(f"segmax needs bn >= {8 * SEG}; got {bn}")
     assert cap % bn == 0 and bn % SEG == 0, (cap, bn)
