@@ -1139,13 +1139,18 @@ class PicoVectorDB:
             mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
+            pack = _pack_fetch_enabled()
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
-                pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
-                                                     mask_key=mask_key))
+                vd, xd, nq, ke = self._dev.query_async(
+                    chunk, k_eff, filter_mask, mask_key=mask_key)
+                if pack:
+                    pending.append((self._dev.pack_results(vd, xd), nq, ke))
+                else:
+                    pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
-            segmax = self._dev.last_strategy in ("segmax_mixed", "segmax_i8")
+            segmax = (self._dev.last_strategy or "").startswith("segmax")
             # Captured INSIDE the lock: the underfill retry below runs after
             # release, and a concurrent writer may swap the mirror between —
             # retrying against self._dev would pair new slot indices with
@@ -1156,9 +1161,14 @@ class PicoVectorDB:
 
         _start_host_copies(pending)
         out: list[list[dict[str, Any]]] = []
-        for chunk, (vals_dev, idxs_dev, nq, ke) in zip(chunks, pending):
-            vals = np.asarray(vals_dev)[:nq, :ke]
-            idxs = np.asarray(idxs_dev)[:nq, :ke]
+        for chunk, entry in zip(chunks, pending):
+            if len(entry) == 3:
+                packed, nq, ke = entry
+                vals, idxs = _unpack_fetch(np.asarray(packed), nq, ke)
+            else:
+                vals_dev, idxs_dev, nq, ke = entry
+                vals = np.asarray(vals_dev)[:nq, :ke]
+                idxs = np.asarray(idxs_dev)[:nq, :ke]
             if segmax and np.isneginf(vals).any():
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
             out.extend(
@@ -1213,14 +1223,19 @@ class PicoVectorDB:
             mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
+            pack = _pack_fetch_enabled()
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
-                pending.append(self._dev.query_async(chunk, k_eff, filter_mask,
-                                                     mask_key=mask_key))
+                vd, xd, nq, ke = self._dev.query_async(
+                    chunk, k_eff, filter_mask, mask_key=mask_key)
+                if pack:
+                    pending.append((self._dev.pack_results(vd, xd), nq, ke))
+                else:
+                    pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
             self._last_k_eff = int(k_eff)
-            segmax = self._dev.last_strategy in ("segmax_mixed", "segmax_i8")
+            segmax = (self._dev.last_strategy or "").startswith("segmax")
             # see query_batched: retry must use the dispatch-time snapshot
             snap = self._dev.snapshot() if segmax else None
             ids_arr = self._ids_array()
@@ -1230,9 +1245,14 @@ class PicoVectorDB:
         out_ids = np.full((num_q, top_k), None, dtype=object)
         out_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
         row = 0
-        for chunk, (vals_dev, idxs_dev, nq, ke) in zip(chunks, pending):
-            vals = np.asarray(vals_dev)[:nq, :ke]
-            idxs = np.asarray(idxs_dev)[:nq, :ke]
+        for chunk, entry in zip(chunks, pending):
+            if len(entry) == 3:
+                packed, nq, ke = entry
+                vals, idxs = _unpack_fetch(np.asarray(packed), nq, ke)
+            else:
+                vals_dev, idxs_dev, nq, ke = entry
+                vals = np.asarray(vals_dev)[:nq, :ke]
+                idxs = np.asarray(idxs_dev)[:nq, :ke]
             if segmax and np.isneginf(vals).any():
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
             valid = np.isfinite(vals) & (idxs >= 0) & (idxs < docs_len)
@@ -1733,9 +1753,24 @@ class PicoVectorDB:
 def _start_host_copies(pending) -> None:
     """Kick off async device->host copies for all pending result chunks so
     the per-chunk transfer round trips overlap instead of serializing."""
-    for vals_dev, idxs_dev, _, _ in pending:
-        for arr in (vals_dev, idxs_dev):
+    for entry in pending:
+        for arr in entry[:-2]:
             try:
                 arr.copy_to_host_async()
             except Exception:  # pragma: no cover
                 return
+
+
+def _pack_fetch_enabled() -> bool:
+    """One fetched buffer per chunk instead of two (PICOVDB_PACK_FETCH=0
+    disables). The dev-harness relay charges a fixed cost per transfer on
+    top of bandwidth, so halving the transfer count trims the serving wall
+    with identical bytes; scores travel bitcast inside the int32 buffer."""
+    return os.getenv("PICOVDB_PACK_FETCH", "1") not in ("0", "false")
+
+
+def _unpack_fetch(buf: np.ndarray, nq: int, ke: int):
+    """Split one fetched (Q, 2k) int32 buffer back into f32 vals + i32 idx."""
+    vals = np.ascontiguousarray(buf[:nq, :ke]).view(np.float32)
+    idxs = np.ascontiguousarray(buf[:nq, ke: 2 * ke])
+    return vals, idxs
