@@ -18,6 +18,7 @@ rebuild at picovdb/pico_vdb.py:884-921).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Optional, Tuple
 
 import jax
@@ -501,6 +502,14 @@ class DeviceIndex:
         vals, idxs, num_q, k_eff = self.query_async(
             qnorm, k, filter_mask, force_exact=force_exact, mask_key=mask_key
         )
+        if _os.getenv("PICOVDB_PACK_FETCH", "1") not in ("0", "false"):
+            # One host fetch instead of two: the relay charges a fixed
+            # per-transfer cost, which dominates at single-query sizes.
+            buf = np.asarray(_pack_vi(vals, idxs))
+            vals = np.ascontiguousarray(
+                buf[:num_q, :k_eff]).view(np.float32)
+            idxs = np.ascontiguousarray(buf[:num_q, k_eff: 2 * k_eff])
+            return vals, idxs
         vals = np.asarray(vals)[:num_q, :k_eff]
         idxs = np.asarray(idxs)[:num_q, :k_eff]
         return vals, idxs
