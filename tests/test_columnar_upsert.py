@@ -150,3 +150,32 @@ def test_columnar_into_capacity_preallocated_store(db_path, rng):
     assert len(rep["insert"]) == n
     assert db.count() == n and db.capacity() == 16
     assert db.query(vecs[4], top_k=1)[0][K_ID] == "4"
+
+
+def test_packed_fetch_roundtrip_and_knob(db_path, rng, monkeypatch):
+    """The packed single-buffer fetch must be bit-identical to the split
+    fetch (scores travel bitcast through int32, including -inf padding and
+    negative scores), and PICOVDB_PACK_FETCH=0 must restore split fetches."""
+    import numpy as np
+    from picovdb_tpu import PicoVectorDB
+
+    dim = 32
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    vecs = rng.normal(size=(40, dim)).astype(np.float32)
+    db.upsert([{"_vector_": vecs[i], "i": i} for i in range(40)])
+    q = rng.normal(size=(5, dim)).astype(np.float32)
+
+    monkeypatch.setenv("PICOVDB_PACK_FETCH", "1")
+    ids_p, sc_p = db.query_columnar(q, top_k=50)  # top_k > rows: -inf pad
+    rp = db.query(q[0], top_k=3)
+
+    monkeypatch.setenv("PICOVDB_PACK_FETCH", "0")
+    ids_s, sc_s = db.query_columnar(q, top_k=50)
+    rs = db.query(q[0], top_k=3)
+
+    assert (ids_p == ids_s).all()
+    np.testing.assert_array_equal(sc_p, sc_s)  # bit-identical incl. -inf
+    assert [x["i"] for x in rp] == [x["i"] for x in rs]
+    np.testing.assert_array_equal(
+        [x["_metrics_"] for x in rp], [x["_metrics_"] for x in rs]
+    )
