@@ -1553,8 +1553,8 @@ class PicoVectorDB:
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask,
                                      mask_key=mask_key)
         self._last_topk_strategy = self._dev.last_strategy
-        if self._last_topk_strategy in (
-            "segmax_mixed", "segmax_i8"
+        if (self._last_topk_strategy or "").startswith(
+            "segmax"
         ) and np.isneginf(vals).any():
             # Underfill net: k_eff <= candidate count by construction, so a
             # -inf in a segmax result means >2 candidates shared a 128-row

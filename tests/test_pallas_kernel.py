@@ -546,3 +546,31 @@ def test_topk_packed_keys_matches_lax(rng):
         np.testing.assert_array_equal(tk, ok)
         live = ok != KEY_MIN  # sentinel rows: any masked column is valid
         np.testing.assert_array_equal(ti[live], oi[live])
+
+
+def test_engine_segmax_stream_underfill_refetches_exact(db_path, rng,
+                                                        monkeypatch):
+    """Same underfill net, stream grid order: the strategy then reports
+    'segmax_mixed_stream', which the retry detection must still arm
+    (regression: an exact-string check silently disabled the exact
+    fallback for every stream-order batch)."""
+    from picovdb_tpu import PicoVectorDB, K_ID
+    from picovdb_tpu.device import DeviceIndex
+
+    monkeypatch.setenv("PICOVDB_SEGMAX_STREAM", "1")
+    dim, n, k = 16, DeviceIndex.SEGMAX_MIN_CAP, 6
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mixed_precision=True,
+        scan_mode="mixed",
+    )
+    db.upsert_columnar(vecs, ids=[str(i) for i in range(n)], copy=False)
+    keep = set(str(i) for i in range(256, 264))
+    db.delete([str(i) for i in range(n) if str(i) not in keep])
+    ids_col, scores_col = db.query_columnar(
+        np.repeat(vecs[256:257], 8, axis=0), top_k=k
+    )
+    assert (ids_col[0] != None).sum() == k  # noqa: E711
+    assert ids_col[0][0] == "256"
+    res = db.query(vecs[256], top_k=k)
+    assert len(res) == k and res[0][K_ID] == "256"
