@@ -86,11 +86,20 @@ def _maybe_enable_compile_cache() -> None:
     if _compile_cache_enabled:
         return
     path = os.getenv("PICOVDB_COMPILE_CACHE")
-    if not path:
-        return
     try:
         import jax
 
+        if not path:
+            # Default ON behind a relayed TPU backend (platform "axon"):
+            # Mosaic compiles run minutes through the tunnel, and the
+            # cache is the difference between a 30 s and a 10 min cold
+            # serving start there. PICOVDB_COMPILE_CACHE=0 disables.
+            dev = jax.devices()[0]
+            if getattr(dev, "platform", "") != "axon":
+                return
+            path = "~/.cache/picovdb_xla"
+        elif path in ("0", "false", "off"):
+            return
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser(path))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
