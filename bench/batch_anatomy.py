@@ -16,6 +16,8 @@ relay drift cancels.
 Usage: python bench/batch_anatomy.py [--out bench/results/batch_anatomy_r3.json]
 """
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import argparse
 import json
 import os

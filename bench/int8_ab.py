@@ -13,6 +13,8 @@ Measures, amortized over M back-to-back dispatches with one trailing fetch:
 Usage: python bench/int8_ab.py [--n 100000] [--dim 1024] [--out f.json]
 """
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import argparse
 import json
 import os

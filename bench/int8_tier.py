@@ -12,6 +12,8 @@ the HBM sweep again. This harness measures, on the real chip:
 Usage: python bench/int8_tier.py [--n 100000] [--dim 1024] [--out results.json]
 """
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import argparse
 import json
 import os

@@ -28,6 +28,8 @@ import os
 import sys
 import time
 
+import set_path  # noqa: F401  (source-checkout import path, like set_path.py)
+
 # Virtual CPU mesh, forced the way tests/conftest.py does it: the ambient
 # environment presets a TPU platform (sitecustomize imports jax at
 # interpreter start), so both the env var and the live config must be

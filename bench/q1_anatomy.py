@@ -16,6 +16,8 @@ Three probes over the int8 ladder kernel (the current Q=1 tier):
 Usage: python bench/q1_anatomy.py
 """
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import json
 import sys
 import time

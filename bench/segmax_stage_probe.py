@@ -8,6 +8,8 @@ Writes bench/results/segmax_stage_r3.json.
 """
 from __future__ import annotations
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import json
 import time
 

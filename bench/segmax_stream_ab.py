@@ -16,6 +16,8 @@ Usage: python bench/segmax_stream_ab.py [--n 100000] [--dim 1024]
        [--batch 8192] [--out bench/results/segmax_stream_r3.json]
 """
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import argparse
 import json
 import os

@@ -14,6 +14,8 @@ measurement. Writes bench/results/segmax_sweep_r3.json.
 """
 from __future__ import annotations
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import functools
 import json
 import time

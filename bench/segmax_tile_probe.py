@@ -9,6 +9,8 @@ timer (the axon relay under-reports block_until_ready and uploads at
 """
 from __future__ import annotations
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import json
 import os
 import time

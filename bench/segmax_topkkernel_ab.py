@@ -9,6 +9,8 @@ two paths. Writes bench/results/segmax_topkkernel_ab_r3.json.
 """
 from __future__ import annotations
 
+import set_path  # noqa: F401  (source-checkout import path)
+
 import json
 import os
 import time

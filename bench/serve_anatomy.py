@@ -4,6 +4,8 @@ Times each phase of query_columnar's pipeline by hand:
   dispatch loop | per-chunk result arrival (np.asarray) | id-map/assembly
 for chunk sizes 8192 and 2048, device-resident queries.
 """
+import set_path  # noqa: F401  (source-checkout import path)
+
 import json
 import sys
 import time
