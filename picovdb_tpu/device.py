@@ -109,6 +109,8 @@ class DeviceIndex:
         self.vectors_lp = None  # bf16 scan mirror (mixed-precision tier)
         self.vectors_i8 = None  # int8 selection mirror (latency tier)
         self.vscale = None  # (cap,) f32 per-row scales of the int8 mirror
+        self.vectors_i8c = None  # column-scaled int8 mirror (batch tier)
+        self.cscale = None  # (dim,) f32 per-column scales of that mirror
         self.active = None  # jax.Array (cap,) bool
         self.mesh = mesh
         self.shard_axis = shard_axis
@@ -178,6 +180,28 @@ class DeviceIndex:
         self.segmax_i8 = self.int8_tier and _os.getenv(
             "PICOVDB_SEGMAX_I8", ""
         ) not in ("", "0", "false", "False")
+        # Column-scaled int8 tier ("i8c"): per-COLUMN scales fold into the
+        # query at dispatch, so the kernels rank raw int32 MXU scores with
+        # zero per-tile convert/rescale work — the VPU passes that made the
+        # per-row int8 batch segmax lose to bf16 (0.89x,
+        # bench/results/int8_ab_r3.json) are gone, and the sweep still
+        # reads 1 B/element. Routing (batch segmax / tiny-Q ladder) is
+        # measurement-driven via the envs below; the mirror itself rides
+        # the int8_tier placement rules.
+        env_i8c = _os.getenv("PICOVDB_INT8C_TIER", "auto")
+        self.i8c_tier = self.int8_tier if env_i8c in ("auto", "") else (
+            env_i8c not in ("0", "false", "False") and mesh is None
+        )
+        env_seg_i8c = _os.getenv("PICOVDB_SEGMAX_I8C", "auto")
+        self.segmax_i8c = self.i8c_tier and (
+            self.SEGMAX_I8C_DEFAULT if env_seg_i8c in ("auto", "") else
+            env_seg_i8c not in ("0", "false", "False")
+        )
+        env_smq_i8c = _os.getenv("PICOVDB_SMALLQ_I8C", "auto")
+        self.smallq_i8c = self.i8c_tier and (
+            self.SMALLQ_I8C_DEFAULT if env_smq_i8c in ("auto", "") else
+            env_smq_i8c not in ("0", "false", "False")
+        )
         # Corpus-resident ("stream") grid order for the batch segmax sweep:
         # the corpus streams through HBM once per BATCH instead of once per
         # 256-query tile (32x fewer corpus bytes at Q=8192), at the price
@@ -257,6 +281,12 @@ class DeviceIndex:
     # once the corpus spans enough scan blocks.
     SEGMAX_MAX_K = 16
     SEGMAX_MIN_CAP = 32_768
+
+    # Measurement-driven defaults for the column-scaled int8 routes
+    # (flipped by hardware A/B; PICOVDB_SEGMAX_I8C / PICOVDB_SMALLQ_I8C
+    # override per-process).
+    SEGMAX_I8C_DEFAULT = False
+    SMALLQ_I8C_DEFAULT = False
 
     # Above this many rows, full uploads stream chunk-by-chunk into a
     # device-resident buffer (donated scatters), so a memmapped corpus
@@ -364,6 +394,8 @@ class DeviceIndex:
             bpe += 2
         if self.int8_tier:
             bpe += 1  # + 4/dim for scales, negligible
+        if self.i8c_tier:
+            bpe += 1
         if not self.mixed_precision or self.vectors is None:
             self.vectors_lp = None
         elif self.cap * self.dim * bpe > budget:
@@ -380,6 +412,16 @@ class DeviceIndex:
             from .ops.pallas_scan import quantize_rows_i8
 
             self.vectors_i8, self.vscale = quantize_rows_i8(self.vectors)
+        if not self.i8c_tier or self.vectors is None:
+            self.vectors_i8c = None
+            self.cscale = None
+        elif self.cap * self.dim * bpe > budget:
+            self.vectors_i8c = None
+            self.cscale = None
+        else:
+            from .ops.pallas_scan import quantize_cols_i8
+
+            self.vectors_i8c, self.cscale = quantize_cols_i8(self.vectors)
 
     def scatter(
         self, idxs: np.ndarray, rows: Optional[np.ndarray], active_vals: np.ndarray
@@ -427,6 +469,17 @@ class DeviceIndex:
                     self.vectors_i8, dev_idx, q_rows
                 )
                 self.vscale = _scatter_1d(self.vscale, dev_idx, q_scale)
+            if self.vectors_i8c is not None:
+                # Column scales are corpus-global: a new row can exceed an
+                # existing column max, so clip-scattering against stale
+                # scales would distort selection. Requantize from the
+                # already-updated f32 corpus — one device-side pass, no
+                # host traffic (~1 ms per 100k x 1024 on v5e).
+                from .ops.pallas_scan import quantize_cols_i8
+
+                self.vectors_i8c, self.cscale = quantize_cols_i8(
+                    self.vectors
+                )
         dev_act = jax.device_put(pad_act.astype(bool), self._replicated())
         self.active = _scatter_mask(self.active, dev_idx, dev_act)
         self._mask_cache.clear()
@@ -554,6 +607,7 @@ class DeviceIndex:
             (
                 self.vectors_lp is not None
                 or (self.segmax_i8 and self.vectors_i8 is not None)
+                or (self.segmax_i8c and self.vectors_i8c is not None)
             )
             and not force_exact
             and filter_mask is None
@@ -569,8 +623,18 @@ class DeviceIndex:
         # narrowest mirror wins. Preference order: int8 (1 B/elem, the
         # latency tier) > bf16 (2 B/elem) > XLA f32. Selection noise is
         # absorbed by the guard + exact f32 rescore in both cases.
+        small_q_i8c = (
+            self.smallq_i8c
+            and self.vectors_i8c is not None
+            and not force_exact
+            and filter_mask is None
+            and self.scan_mode == "auto"
+            and num_q <= self.SMALL_Q_XLA
+            and min(k, self.cap) + 6 <= 16  # guard 6 inside the wide ladder
+        )
         small_q_i8 = (
-            self.vectors_i8 is not None
+            not small_q_i8c
+            and self.vectors_i8 is not None
             and not force_exact
             and filter_mask is None
             and self.scan_mode == "auto"
@@ -579,6 +643,7 @@ class DeviceIndex:
         )
         small_q_mixed = (
             not small_q_i8
+            and not small_q_i8c
             and self.vectors_lp is not None
             and not force_exact
             and filter_mask is None
@@ -591,11 +656,13 @@ class DeviceIndex:
             and self.scan_mode == "auto"
             and not use_segmax
             and not small_q_i8
+            and not small_q_i8c
             and not small_q_mixed
             and num_q <= self.SMALL_Q_XLA
         )
         q_pad = (
-            num_q if (small_q_xla or small_q_mixed or small_q_i8)
+            num_q if (small_q_xla or small_q_mixed or small_q_i8
+                      or small_q_i8c)
             else max(MIN_QUERY_PAD, next_pow2(num_q))
         )
         if isinstance(qnorm, np.ndarray):
@@ -661,6 +728,18 @@ class DeviceIndex:
             self.last_strategy = (
                 "sharded_scan_pallas" if use_pallas else "sharded_scan"
             )
+        elif use_segmax and self.segmax_i8c and self.vectors_i8c is not None:
+            from .ops.pallas_scan import make_segmax_topk_i8c
+
+            stream = (q_pad > 256 if self.segmax_stream is None
+                      else self.segmax_stream)
+            seg8c_fn = make_segmax_topk_i8c(k_pad, interpret=interpret,
+                                            stream=stream)
+            v8c, cs, f32 = self.vectors_i8c, self.cscale, self.vectors
+            fn = lambda q, v, m: seg8c_fn(q, v8c, cs, f32, m)  # noqa: E731
+            self.last_strategy = (
+                "segmax_i8c_stream" if stream else "segmax_i8c"
+            )
         elif use_segmax and self.segmax_i8 and self.vectors_i8 is not None:
             from .ops.pallas_scan import make_segmax_topk_i8
 
@@ -690,6 +769,13 @@ class DeviceIndex:
             self.last_strategy = (
                 "segmax_mixed_stream" if stream else "segmax_mixed"
             )
+        elif small_q_i8c:
+            from .ops.pallas_scan import make_fused_topk_i8c
+
+            i8c_fn = make_fused_topk_i8c(k_pad, interpret=interpret)
+            v8c, cs, f32 = self.vectors_i8c, self.cscale, self.vectors
+            fn = lambda q, v, m: i8c_fn(q, v8c, cs, f32, m)  # noqa: E731
+            self.last_strategy = "i8c_fused_smallq"
         elif small_q_i8:
             from .ops.pallas_scan import make_fused_topk_i8
 
@@ -758,7 +844,14 @@ class DeviceIndex:
             )
         k_eff = min(k, self.cap)
         interpret = getattr(self._device, "platform", "cpu") != "tpu"
-        if self.vectors_i8 is not None and k_eff + 4 <= 16:
+        if (self.smallq_i8c and self.vectors_i8c is not None
+                and k_eff + 6 <= 16):
+            from .ops.pallas_scan import make_fused_topk_i8c
+
+            inner = make_fused_topk_i8c(k_eff, interpret=interpret)
+            args = (self.vectors_i8c, self.cscale, self.vectors, self.active)
+            self.last_strategy = "i8c_fused_smallq_loop"
+        elif self.vectors_i8 is not None and k_eff + 4 <= 16:
             from .ops.pallas_scan import make_fused_topk_i8
 
             inner = make_fused_topk_i8(k_eff, interpret=interpret)

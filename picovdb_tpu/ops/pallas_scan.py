@@ -921,6 +921,335 @@ def make_fused_topk_i8(k: int, guard: int = 4, interpret: bool = False,
     return jax.jit(impl)
 
 
+# --------------------------------------------------------------------------
+# Column-scaled int8 tier ("i8c"): integer-ranked selection.
+#
+# The per-ROW-scaled int8 tier above must rescale every (QT, BN) score tile
+# by the corpus row scales before packing keys (int32 -> f32 convert +
+# multiply + float->sortable bitcast): measured 0.89x the bf16 segmax at
+# batch sizes, because those VPU passes outweigh the halved HBM sweep
+# (bench/results/int8_ab_r3.json). Per-COLUMN scales remove the rescale
+# from the kernel entirely: with v_i8[r, d] = round(v[r, d] / s_d), the
+# query is pre-multiplied by s_d on the host side of the dispatch
+# (q'_d = q_d * s_d, then per-row int8 quantization), so the raw int32 MXU
+# score  sum_d q'_i8[d] * v_i8[r, d]  is already proportional to the true
+# cosine for that query: per-query positive constants (the query's own
+# quantization scale) cannot reorder rows. Selection therefore ranks the
+# int32 scores directly — packed keys are just (score & ~127) | lane, no
+# bitcast, no convert, no rescale — and the exact f32 rescore of the
+# winners restores true scores, as in every other selection tier.
+#
+# Precision: element noise is s_d/2; for L2-normalized corpora the score
+# noise is ~0.3 * max_d(s_d) * 127 * q_rms ≈ 4e-4 absolute on unit-cosine
+# scores for Gaussian-like embeddings — between the per-row int8 tier
+# (3e-4) and bf16 (2e-3), both of which measure recall@10 = 1.000 with the
+# default guard. Column scales adapt to per-dimension variance (common in
+# real embedding models); a single outlier row only inflates the scales of
+# the columns it touches. The lane-bit quantization (128 int-score units)
+# is ~1e-4 relative, below the int8 noise itself.
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def quantize_cols_i8(v):
+    """Per-column symmetric int8 quantization: (rows int8, col scales f32).
+
+    scales[d] = max_r |v[r, d]| / 127 (floored to avoid div-by-zero on
+    all-zero columns, which quantize to 0)."""
+    f = v.astype(jnp.float32)
+    a = jnp.max(jnp.abs(f), axis=0)
+    s = jnp.maximum(a, 1e-30) / 127.0
+    q = jnp.round(f / s[None, :])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), s
+
+
+@jax.jit
+def fold_queries_i8(queries, cscale):
+    """Fold the corpus column scales into queries, then int8-quantize.
+
+    The per-query quantization scale is a positive constant and cannot
+    change that query's ranking, so it is dropped (same argument as
+    `quantize_rows_i8` on the query side of the per-row tier)."""
+    q, _ = quantize_rows_i8(queries.astype(jnp.float32) * cscale[None, :])
+    return q
+
+
+def _segmax_kernel_i8c(q_ref, v_ref, m_ref, out_ref, *, bn: int):
+    """Column-scaled int8 segmax: per-128-segment top-2 of raw int32 scores.
+
+    No convert, no rescale, no bitcast — the int32 MXU scores are the
+    ordering keys (see tier comment above); only the lane-pack, mask and
+    two max passes run on the VPU."""
+    s_i32 = jax.lax.dot_general(
+        q_ref[...], v_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (QT, BN)
+    mask = m_ref[...]
+    qt = s_i32.shape[0]
+    ns = bn // SEG
+
+    keys = s_i32.reshape(qt, ns, SEG)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, ns, SEG), 2)
+    keys = (keys & ~jnp.int32(SEG - 1)) | lane
+    keys = jnp.where(mask.reshape(1, ns, SEG) > 0, keys, jnp.int32(KEY_MIN))
+
+    m1 = jnp.max(keys, axis=2)
+    keys = jnp.where(keys == m1[:, :, None], jnp.int32(KEY_MIN), keys)
+    m2 = jnp.max(keys, axis=2)
+    out_ref[...] = jnp.concatenate([m1, m2], axis=1).T  # (2*NS, QT)
+
+
+def segmax_scan_i8c(q_i8, v_i8, mask, qt: int = DEFAULT_QT,
+                    bn: int = DEFAULT_BN, interpret: bool = False,
+                    stream: bool = False, raw_t: bool = False):
+    """Per-128-segment top-2 over the column-scaled int8 mirror.
+
+    `q_i8` must be `fold_queries_i8(queries, cscale)` for the mirror's
+    column scales. Same raw-key contract as `segmax_scan(raw=True)`; with
+    `stream=True` both the resident corpus and the re-streamed queries are
+    1 B/element, so the whole sweep's HBM traffic is ~cap*dim bytes once."""
+    num_q, dim = q_i8.shape
+    cap = v_i8.shape[0]
+    qt = min(qt, num_q)
+    bn = _pick_bn(dim, qt, 2, 1, cap, bn, budget=_segmax_budget(1))
+    if bn < 8 * SEG and cap // bn > 1:
+        raise ValueError(f"segmax needs bn >= {8 * SEG}; got {bn}")
+    assert cap % bn == 0 and bn % SEG == 0, (cap, bn)
+    assert num_q % qt == 0, (num_q, qt)
+    # int32 score keys must sit above the KEY_MIN sentinel: |score| <=
+    # 127*127*dim, so any dim below ~133k is safe (checked, not assumed).
+    assert 127 * 127 * dim < 2**31, dim
+    n_tiles = cap // bn
+    ns = bn // SEG
+    mask2d = mask.reshape(1, cap).astype(jnp.int32)
+
+    if stream:
+        grid = (n_tiles, num_q // qt)
+        q_map, v_map = (lambda b, i: (i, 0)), (lambda b, i: (b, 0))
+        m_map, o_map = (lambda b, i: (0, b)), (lambda b, i: (b, i))
+        bytes_est = cap * dim + num_q * dim * n_tiles
+    else:
+        grid = (num_q // qt, n_tiles)
+        q_map, v_map = (lambda i, b: (i, 0)), (lambda i, b: (b, 0))
+        m_map, o_map = (lambda i, b: (0, b)), (lambda i, b: (b, i))
+        bytes_est = cap * dim * (num_q // qt) + num_q * dim
+
+    keys = pl.pallas_call(
+        functools.partial(_segmax_kernel_i8c, bn=bn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, dim), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, dim), v_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), m_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2 * ns, qt), o_map,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * ns, num_q), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_q * cap * dim + 4 * num_q * cap,
+            bytes_accessed=bytes_est,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, v_i8, mask2d)
+    if raw_t:
+        return keys, ns  # (C, Q)
+    return keys.T, ns
+
+
+@functools.lru_cache(maxsize=256)
+def make_segmax_topk_i8c(k: int, interpret: bool = False, guard: int = 8,
+                         normalize: bool = True, stream: bool = False):
+    """Jitted column-scaled int8 top-k: integer segmax -> global top-k ->
+    exact f32 rescore.
+
+    fn(queries (Q, dim) f32, v_i8 (cap, dim) int8, cscale (dim,) f32,
+    rescore_vectors (cap, dim) f32, mask (cap,) bool) -> (vals, idx).
+    guard defaults one notch wider than the bf16 tier (8 vs 6): int8c noise
+    is data-dependent (column max outliers widen it), and the wider band
+    costs only a few extra rescored rows."""
+
+    def impl(queries, v_i8, cscale, rescore_vectors, mask):
+        if normalize:
+            from .exact import normalize_on_device
+
+            queries = normalize_on_device(queries)
+        q_i8 = fold_queries_i8(queries, cscale)
+        try:
+            keys_t, ns = segmax_scan_i8c(q_i8, v_i8, mask,
+                                         interpret=interpret, stream=stream,
+                                         raw_t=True)
+        except ValueError:
+            from .exact import exact_topk
+
+            return exact_topk(queries, rescore_vectors, mask,
+                              min(k, rescore_vectors.shape[0]), None)
+        k_sel = min(k + guard, keys_t.shape[0])
+        if keys_t.shape[1] % 128 == 0 and k_sel <= 32:
+            tk, ti = topk_packed_keys(keys_t, k_sel, interpret=interpret)
+        else:
+            tk, ti = jax.lax.top_k(keys_t.T, k_sel)
+        tile = ti // (2 * ns)
+        s = jax.lax.rem(ti, jnp.int32(2 * ns))
+        s = jnp.where(s >= ns, s - ns, s)
+        gidx = (tile * ns + s) * SEG + (tk & jnp.int32(SEG - 1))
+        empty = tk == jnp.int32(KEY_MIN)
+        gidx = jnp.where(empty, 0, gidx)
+        gathered = jnp.take(rescore_vectors, gidx, axis=0)
+        exact = jnp.einsum("qd,qkd->qk", queries,
+                           gathered.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+        exact = jnp.where(empty, -jnp.inf, exact)
+        order = jnp.argsort(-exact, axis=1)
+        vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+        idx = jnp.take_along_axis(gidx, order, axis=1)[:, :k]
+        return vals, idx.astype(jnp.int32)
+
+    return jax.jit(impl)
+
+
+def _scan_kernel_i8c(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int,
+                     bn: int, lane_bits: int):
+    """Column-scaled int8 exact selection ladder: ranks raw int32 scores.
+
+    Like `_scan_kernel_i8` but with no vscale input and no convert/rescale:
+    the packed key is built straight from the int32 MXU score. The running
+    top-k carries the scores as floats — exact, because the lane bits
+    (>= 7 low bits per bn >= 128) are cleared first, leaving < 24
+    significant bits for any |score| < 2^31 — so `_small_merge` and the
+    -inf padding contract stay shared with the other ladders."""
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
+
+    s_i32 = jax.lax.dot_general(
+        q_ref[...],
+        v_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (QT, BN)
+    mask = m_ref[...]  # (1, BN)
+
+    qt = s_i32.shape[0]
+    low_mask = jnp.int32((1 << lane_bits) - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
+    keys = (s_i32 & ~low_mask) | lane
+    keys = jnp.where(mask > 0, keys, jnp.int32(KEY_MIN))
+
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+    def body(j, carry):
+        keys, tvals, tidx = carry
+        m = jnp.max(keys, axis=1, keepdims=True)
+        amx = m & low_mask
+        approx = (m & ~low_mask).astype(jnp.float32)
+        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+        here = col_k == j
+        tvals = jnp.where(here, approx, tvals)
+        tidx = jnp.where(here, amx, tidx)
+        keys = jnp.where(keys == m, jnp.int32(KEY_MIN), keys)
+        return keys, tvals, tidx
+
+    init = (
+        keys,
+        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.zeros((qt, k), jnp.int32),
+    )
+    _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
+                                               unroll=(k if k <= 16 else 1))
+    tile_idx = tile_idx + b * bn
+
+    vals, idx = _small_merge(vals_ref[...], idx_ref[...], tile_vals, tile_idx, k)
+    vals_ref[...] = vals
+    idx_ref[...] = idx
+
+
+def fused_topk_i8c(q_i8, v_i8, mask, k: int, qt: int = DEFAULT_QT,
+                   bn: int = 4096, interpret: bool = False):
+    """Exact-ladder masked top-k over the column-scaled int8 mirror.
+
+    Returns ((Q, k) f32 integer-score approximations — ranking-faithful,
+    NOT cosine values; rescore for real scores — and (Q, k) int32 indices).
+    """
+    num_q, dim = q_i8.shape
+    cap = v_i8.shape[0]
+    qt = min(qt, num_q)
+    bn = _pick_bn(dim, qt, k, 1, cap, bn)
+    assert k <= bn, (k, bn)
+    assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
+    # int32 score keys must stay above KEY_MIN; the f32 carry is exact for
+    # any such score because the >= 7 cleared lane bits leave < 24
+    # significant mantissa bits (see kernel docstring).
+    assert 127 * 127 * dim < 2**31, dim
+    lane_bits = max(1, int(bn - 1).bit_length())
+    mask2d = mask.reshape(1, cap).astype(jnp.int32)
+
+    grid = (num_q // qt, cap // bn)
+    vals, idxs = pl.pallas_call(
+        functools.partial(_scan_kernel_i8c, k=k, bn=bn, lane_bits=lane_bits),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, dim), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, dim), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_q, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_q, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_q * cap * dim + 2 * k * num_q * cap,
+            bytes_accessed=cap * dim * (num_q // qt) + num_q * dim,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, v_i8, mask2d)
+
+    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    return vals, idxs
+
+
+@functools.lru_cache(maxsize=256)
+def make_fused_topk_i8c(k: int, guard: int = 6, interpret: bool = False,
+                        normalize: bool = True):
+    """Small-batch column-scaled int8 top-k: integer exact-selection ladder
+    + exact f32 rescore.
+
+    Same serving role as `make_fused_topk_i8` (the Q=1 latency tier) with
+    the convert/rescale VPU passes removed from every grid step and one
+    less (1, BN) f32 input DMA'd per tile.
+
+    fn(queries f32, v_i8, cscale, rescore_vectors f32, mask) -> (vals, idx)
+    """
+
+    def impl(queries, v_i8, cscale, rescore_vectors, mask):
+        if normalize:
+            from .exact import normalize_on_device
+
+            queries = normalize_on_device(queries)
+        q_i8 = fold_queries_i8(queries, cscale)
+        k_sel = k + max(0, guard)
+        vals, idx = fused_topk_i8c(q_i8, v_i8, mask, k_sel,
+                                   interpret=interpret)
+        vals, idx = rescore_exact(queries, rescore_vectors, vals, idx)
+        return vals[:, :k], idx[:, :k]
+
+    return jax.jit(impl)
+
+
 @functools.lru_cache(maxsize=256)
 def make_mixed_fused_topk(k: int, guard: int = 4, interpret: bool = False,
                           normalize: bool = True):

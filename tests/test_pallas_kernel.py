@@ -574,3 +574,129 @@ def test_engine_segmax_stream_underfill_refetches_exact(db_path, rng,
     assert ids_col[0][0] == "256"
     res = db.query(vecs[256], top_k=k)
     assert len(res) == k and res[0][K_ID] == "256"
+
+
+# --- column-scaled int8 tier ("i8c") -----------------------------------------
+
+
+def test_quantize_cols_i8_roundtrip(rng):
+    from picovdb_tpu.ops.pallas_scan import quantize_cols_i8
+
+    V = normalize_batch(rng.normal(size=(64, 128)).astype(np.float32))
+    q, s = map(np.asarray, quantize_cols_i8(V))
+    assert q.dtype == np.int8 and s.dtype == np.float32 and s.shape == (128,)
+    deq = q.astype(np.float32) * s[None, :]
+    np.testing.assert_allclose(deq, V, atol=(s.max() / 2) + 1e-7)
+    # all-zero columns quantize to zero without dividing by zero
+    Vz = V.copy()
+    Vz[:, 7] = 0.0
+    qz, sz = map(np.asarray, quantize_cols_i8(Vz))
+    assert (qz[:, 7] == 0).all() and np.isfinite(sz).all()
+
+
+def test_fused_topk_i8c_matches_oracle(rng):
+    """i8c ladder ranks raw int32 scores; exact f32 rescore returns exact
+    values; selection recall is near-exact."""
+    from picovdb_tpu.ops.pallas_scan import make_fused_topk_i8c, quantize_cols_i8
+
+    cap, dim, k = 2048, 128, 6
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(4, dim)).astype(np.float32))
+    mask = rng.random(cap) > 0.3
+    v8, cs = quantize_cols_i8(V)
+    fn = make_fused_topk_i8c(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v8, cs, V, mask))
+    ovals, oidx, scores = oracle(Q, V, mask, k)
+    for qi in range(4):
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idx[qi]], rtol=1e-5, atol=1e-6
+        )
+    recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(4)])
+    assert recall >= 0.9, recall
+
+
+def test_fused_topk_i8c_underfilled_and_all_masked(rng):
+    from picovdb_tpu.ops.pallas_scan import make_fused_topk_i8c, quantize_cols_i8
+
+    cap, dim, k = 1024, 128, 8
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    v8, cs = quantize_cols_i8(V)
+    mask = np.zeros(cap, dtype=bool)
+    mask[:3] = True
+    fn = make_fused_topk_i8c(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v8, cs, V, mask))
+    assert np.isneginf(vals[:, 3:]).all()
+    ovals, oidx, _ = oracle(Q, V, mask, 3)
+    np.testing.assert_allclose(vals[:, :3], ovals, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx[:, :3], oidx)
+    vals2, _ = map(np.asarray, fn(Q, v8, cs, V, np.zeros(cap, dtype=bool)))
+    assert np.isneginf(vals2).all()
+
+
+def test_segmax_topk_i8c_matches_oracle(rng):
+    from picovdb_tpu.ops.pallas_scan import make_segmax_topk_i8c, quantize_cols_i8
+
+    cap, dim, k = 4096, 128, 8
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = rng.random(cap) > 0.2
+    v8, cs = quantize_cols_i8(V)
+    fn = make_segmax_topk_i8c(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v8, cs, V, mask))
+    ovals, oidx, scores = oracle(Q, V, mask, k)
+    for qi in range(8):
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idx[qi]], rtol=1e-5, atol=1e-6
+        )
+    recall = np.mean([len(set(idx[i]) & set(oidx[i])) / k for i in range(8)])
+    assert recall >= 0.9, recall
+
+
+def test_segmax_topk_i8c_stream_matches_classic(rng):
+    """Stream (corpus-resident) and classic grid orders select identically."""
+    from picovdb_tpu.ops.pallas_scan import make_segmax_topk_i8c, quantize_cols_i8
+
+    cap, dim, k = 4096, 128, 5
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    mask = rng.random(cap) > 0.5
+    v8, cs = quantize_cols_i8(V)
+    f_classic = make_segmax_topk_i8c(k, interpret=True, stream=False)
+    f_stream = make_segmax_topk_i8c(k, interpret=True, stream=True)
+    v1, i1 = map(np.asarray, f_classic(Q, v8, cs, V, mask))
+    v2, i2 = map(np.asarray, f_stream(Q, v8, cs, V, mask))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-7)
+
+
+def test_engine_i8c_routes(db_path, rng, monkeypatch):
+    """Column-scaled int8 routing: batch segmax + tiny-Q ladder opt-ins,
+    mirror maintenance through the scatter path (full requantize)."""
+    from picovdb_tpu import PicoVectorDB, K_ID
+    from picovdb_tpu.device import DeviceIndex
+
+    monkeypatch.setenv("PICOVDB_SEGMAX_I8C", "1")
+    monkeypatch.setenv("PICOVDB_SMALLQ_I8C", "1")
+    dim, n = 16, DeviceIndex.SEGMAX_MIN_CAP
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, int8_tier=True
+    )
+    db.upsert_columnar(vecs, ids=[str(i) for i in range(n)], copy=False)
+    res = db.query(vecs[55], top_k=3)  # Q=1 -> i8c ladder
+    assert db._last_topk_strategy == "i8c_fused_smallq"
+    assert res[0][K_ID] == "55"
+    out = db.query(vecs[:32], top_k=3)  # batch -> i8c segmax
+    assert db._last_topk_strategy.startswith("segmax_i8c")
+    assert out[7][0][K_ID] == "7"
+    # mutations rebuild the column-scaled mirror (scales are corpus-global)
+    db.delete(["55"])
+    res2 = db.query(vecs[55], top_k=3)
+    assert db._last_topk_strategy == "i8c_fused_smallq"
+    assert all(r[K_ID] != "55" for r in res2)
+    # an upserted row that exceeds every column max still wins exactly
+    big = np.full(dim, 3.0, dtype=np.float32)
+    db.upsert([{K_ID: "big", "_vector_": big}])
+    res3 = db.query(big, top_k=1)
+    assert res3[0][K_ID] == "big"
