@@ -43,6 +43,20 @@ def _dot_kernel(q_ref, v_ref, acc_ref):
     )
 
 
+def _dot_kernel_i8(q_ref, v_ref, acc_ref):
+    """int8 x int8 -> int32 dot at the same tiling: measures whether the
+    Mosaic s8 matmul actually runs at the native 2x-bf16 MXU rate (the
+    int8 batch tiers lost to bf16 in r3b's A/B despite half the DMA and
+    fewer VPU passes — this separates dot cost from extraction cost)."""
+    scores = jax.lax.dot_general(
+        q_ref[...], v_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[...] = jnp.broadcast_to(
+        jnp.max(scores, axis=1, keepdims=True), acc_ref.shape
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def dot_only(q, v, qt: int, bn: int, stream: bool):
     n_tiles = CAP // bn
@@ -54,15 +68,17 @@ def dot_only(q, v, qt: int, bn: int, stream: bool):
         grid = (Q // qt, n_tiles)
         q_map, v_map = (lambda i, b: (i, 0)), (lambda i, b: (b, 0))
         o_map = lambda i, b: (i, 0)
+    kernel = _dot_kernel_i8 if q.dtype == jnp.int8 else _dot_kernel
+    out_dtype = jnp.int32 if q.dtype == jnp.int8 else jnp.float32
     return pl.pallas_call(
-        _dot_kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((qt, DIM), q_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, DIM), v_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((qt, 128), o_map, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Q, 128), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * CAP * DIM,
             bytes_accessed=CAP * DIM * v.dtype.itemsize * (Q // qt),
@@ -92,6 +108,11 @@ def main():
     ).astype(jnp.bfloat16)
     mask = jnp.ones((CAP,), dtype=bool)
 
+    from picovdb_tpu.ops.pallas_scan import quantize_cols_i8, fold_queries_i8
+
+    v8, cs = quantize_cols_i8(v)
+    q8 = fold_queries_i8(q, cs)
+
     res = {}
     for qt, bn in ((256, 1024), (256, 2048), (512, 1024), (512, 2048),
                    (1024, 2048), (512, 4096)):
@@ -106,6 +127,12 @@ def main():
             except Exception as e:  # noqa: BLE001
                 res[tag] = f"ERR {type(e).__name__}"
             print(tag, res[tag], flush=True)
+            tag8 = f"dot_i8_qt{qt}_bn{bn}" + ("_s" if stream else "")
+            try:
+                res[tag8] = round(timeit(dot_only, q8, v8, qt, bn, stream), 2)
+            except Exception as e:  # noqa: BLE001
+                res[tag8] = f"ERR {type(e).__name__}"
+            print(tag8, res[tag8], flush=True)
 
     # production segmax at its own default pick, bf16-precast queries
     def seg(stream):

@@ -185,9 +185,14 @@ class DeviceIndex:
         # zero per-tile convert/rescale work — the VPU passes that made the
         # per-row int8 batch segmax lose to bf16 (0.89x,
         # bench/results/int8_ab_r3.json) are gone, and the sweep still
-        # reads 1 B/element. Routing (batch segmax / tiny-Q ladder) is
-        # measurement-driven via the envs below; the mirror itself rides
-        # the int8_tier placement rules.
+        # reads 1 B/element. Measured A/B (bench/results/int8_ab_r3b.json):
+        # batch i8c STILL loses to bf16 (0.76x) even with all the VPU
+        # passes removed — at qt=256 tiles the sweep is MXU-bound and the
+        # s8 dot does not run faster than bf16 through Mosaic on v5e — so
+        # the batch default stays bf16; at Q=1 i8c matches the per-row i8
+        # ladder (0.994x, both ~1.13x bf16), so the proven per-row tier
+        # keeps the tiny-Q default. Both routes remain re-measurable via
+        # the envs below; the mirror rides the int8_tier placement rules.
         env_i8c = _os.getenv("PICOVDB_INT8C_TIER", "auto")
         self.i8c_tier = self.int8_tier if env_i8c in ("auto", "") else (
             env_i8c not in ("0", "false", "False") and mesh is None
