@@ -48,6 +48,8 @@ from .pallas_scan import (
     SEG,
     _from_sortable,
     _to_sortable,
+    fold_queries_i8,
+    quantize_cols_i8,
     rescore_exact,
 )
 
@@ -59,6 +61,22 @@ from .pallas_scan import (
 # PICOVDB_IVF_BN overrides for tuning at other scales (layout-coupled:
 # takes effect at the next build).
 IVF_BN = int(os.getenv("PICOVDB_IVF_BN", "1024") or 1024)
+
+
+def _ivf_i8_enabled() -> bool:
+    """int8 postings mirror for the probe scan (PICOVDB_IVF_I8).
+
+    The probe runs tiny query tiles (qt == Q for Q <= 256), so each hot
+    tile's cost is DMA-dominated — exactly the regime where the 1 B/element
+    column-scaled mirror wins (Q=1 exact ladder: int8 1.08 ms vs bf16
+    1.22 ms, bench/results/int8_ab_r3b.json), unlike the MXU-bound qt=256
+    batch sweep where int8 loses. Selection ranks raw int32 scores (scales
+    folded into the query); ranking is exact-rescored against the
+    storage-dtype postings as always. Default: on (CPU-interpret parity
+    asserted in tests/test_ivf.py; hardware A/B in
+    bench/results/ivf2m_r3b.json when present); set PICOVDB_IVF_I8=0 to
+    opt out (e.g. to save cap_ivf*dim bytes of HBM)."""
+    return os.getenv("PICOVDB_IVF_I8", "1") not in ("0", "false", "False")
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -167,6 +185,20 @@ class IVFIndex:
         self.n_tiles = n_tiles
         self.dim = dim
         self._host_blob: Optional[dict] = None
+        # optional column-scaled int8 postings mirror (see _ivf_i8_enabled);
+        # derived data — rebuilt from `vectors`, never persisted
+        self.vectors_i8c = None
+        self.cscale = None
+        if _ivf_i8_enabled():
+            self.refresh_i8_mirror()
+
+    def refresh_i8_mirror(self) -> None:
+        """(Re)derive the int8 postings mirror from the live IVF mirror.
+
+        One on-device pass; column scales are corpus-global so any row
+        mutation (overflow appends included) requantizes the whole mirror
+        rather than clip-scattering against stale scales."""
+        self.vectors_i8c, self.cscale = quantize_cols_i8(self.vectors)
 
     # -- construction --------------------------------------------------------
 
@@ -409,6 +441,8 @@ class IVFIndex:
                 jax.device_put(tiles.astype(np.int32)),
                 self.nlist,
             )
+            if self.vectors_i8c is not None:
+                self.refresh_i8_mirror()
         return True
 
     @property
@@ -605,6 +639,8 @@ class IVFIndex:
             self.seg_starts,
             self.active,
             self.cluster2tile,
+            self.vectors_i8c,
+            self.cscale,
         )
         return vals, slot_ids, num_q
 
@@ -678,10 +714,73 @@ def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
         idx_ref[...] = idx
 
 
+def _ivf_kernel_i8c(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref,
+                    idx_ref, *, k: int, bn: int, lane_bits: int):
+    """Column-scaled int8 variant of `_ivf_kernel`: ranks raw int32 MXU
+    scores (scales folded into the query upstream — see the i8c tier in
+    pallas_scan.py), so the per-tile work is the s8 dot, the lane pack and
+    the selection ladder; no convert, no rescale, no bitcast. The f32
+    carry of the running merge is exact: >= 7 cleared lane bits leave
+    < 24 significant bits for any |score| < 2^31."""
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
+
+    @pl.when(b < nhot_ref[0])
+    def _compute():
+        from .pallas_scan import _small_merge
+
+        s_i32 = jax.lax.dot_general(
+            q_ref[...],
+            v_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        mask = m_ref[...]
+        qt = s_i32.shape[0]
+        low_mask = jnp.int32((1 << lane_bits) - 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
+        keys = (s_i32 & ~low_mask) | lane
+        keys = jnp.where(mask > 0, keys, jnp.int32(KEY_MIN))
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+        def body(j, carry):
+            keys, tvals, tidx = carry
+            m = jnp.max(keys, axis=1, keepdims=True)
+            amx = m & low_mask
+            approx = (m & ~low_mask).astype(jnp.float32)
+            approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+            here = col_k == j
+            tvals = jnp.where(here, approx, tvals)
+            tidx = jnp.where(here, amx, tidx)
+            keys = jnp.where(keys == m, jnp.int32(KEY_MIN), keys)
+            return keys, tvals, tidx
+
+        init = (
+            keys,
+            jnp.full((qt, k), NEG_INF, jnp.float32),
+            jnp.zeros((qt, k), jnp.int32),
+        )
+        _, tile_vals, tile_idx = jax.lax.fori_loop(
+            0, k, body, init, unroll=(k if k <= 16 else 1)
+        )
+        tile_idx = tile_idx + hot_ref[b] * bn
+
+        vals, idx = _small_merge(
+            vals_ref[...], idx_ref[...], tile_vals, tile_idx, k
+        )
+        vals_ref[...] = vals
+        idx_ref[...] = idx
+
+
 def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
                      cluster2tile, *, k: int, k_sel: int, nprobe: int,
                      nlist: int, g_tiles: Optional[int],
-                     interpret: bool, compute_dtype):
+                     interpret: bool, compute_dtype,
+                     vectors_i8=None, cscale=None):
     """Probe clusters -> hot-tile list -> block-skipping scan -> exact
     rescore -> slot translation, over ONE device's local IVF arrays.
 
@@ -690,6 +789,10 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     mesh tier, parallel/ivf_mesh.py): every op is local — no collectives.
     Returns ((Q, k) f32 exact scores, (Q, k) int32 slot ids; -1 marks
     missing candidates).
+
+    `vectors_i8` + `cscale` (the column-scaled int8 postings mirror) route
+    the hot-tile sweep through the integer-ranked kernel at 1 B/element;
+    the exact rescore still reads the storage-dtype `vectors`.
     """
     num_q = q.shape[0]
     cap_ivf = vectors.shape[0]
@@ -707,6 +810,17 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
 
     mask2d = row_mask.reshape(1, cap_ivf).astype(jnp.int32)
     q_tiles = num_q // qt
+
+    use_i8 = vectors_i8 is not None
+    if use_i8:
+        q_scan, v_scan = fold_queries_i8(q, cscale), vectors_i8
+        kernel = functools.partial(_ivf_kernel_i8c, k=k_run, bn=bn,
+                                   lane_bits=lane_bits)
+    else:
+        q_scan, v_scan = q, vectors
+        kernel = functools.partial(_ivf_kernel, k=k_run, bn=bn,
+                                   lane_bits=lane_bits,
+                                   compute_dtype=compute_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -728,9 +842,7 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
         ],
     )
     vals, idxs = pl.pallas_call(
-        functools.partial(_ivf_kernel, k=k_run, bn=bn,
-                          lane_bits=lane_bits,
-                          compute_dtype=compute_dtype),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((num_q, k_run), jnp.float32),
@@ -739,7 +851,7 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
         # Off-TPU (no Mosaic) the kernel runs in plain pallas interpret
         # mode — same code path, CPU-testable (matches DeviceIndex).
         interpret=interpret,
-    )(hot, n_hot.reshape(1), q, vectors, mask2d)
+    )(hot, n_hot.reshape(1), q_scan, v_scan, mask2d)
 
     vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
     vals, idxs = rescore_exact(q, vectors, vals, idxs)
@@ -868,10 +980,39 @@ def _ivf_segmax_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, out_ref, *,
     out_ref[...] = jnp.concatenate(tops, axis=1).T  # (per_seg*NS, QT)
 
 
+def _ivf_segmax_kernel_i8c(hot_ref, nhot_ref, q_ref, v_ref, m_ref, out_ref,
+                           *, bn: int, per_seg: int):
+    """Column-scaled int8 variant of `_ivf_segmax_kernel`: per-segment
+    top-`per_seg` of raw int32 MXU scores (no convert/rescale/bitcast)."""
+    b = pl.program_id(1)
+    s_i32 = jax.lax.dot_general(
+        q_ref[...], v_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (QT, BN)
+    mask = m_ref[...]  # (1, BN)
+    qt = s_i32.shape[0]
+    ns = bn // SEG
+
+    keys = s_i32.reshape(qt, ns, SEG)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, ns, SEG), 2)
+    keys = (keys & ~jnp.int32(SEG - 1)) | lane
+    live = (mask.reshape(1, ns, SEG) > 0) & (b < nhot_ref[0])
+    keys = jnp.where(live, keys, jnp.int32(KEY_MIN))
+
+    tops = []
+    for _ in range(per_seg):
+        m = jnp.max(keys, axis=2)  # (QT, NS)
+        tops.append(m)
+        keys = jnp.where(keys == m[:, :, None], jnp.int32(KEY_MIN), keys)
+    out_ref[...] = jnp.concatenate(tops, axis=1).T  # (per_seg*NS, QT)
+
+
 def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
                       cluster2tile, *, k: int, k_sel: int, nprobe: int,
                       nlist: int, g_tiles: Optional[int],
-                      interpret: bool, compute_dtype, per_seg: int = 4):
+                      interpret: bool, compute_dtype, per_seg: int = 4,
+                      vectors_i8=None, cscale=None):
     """Probed IVF top-k via per-segment extraction (see
     `_ivf_segmax_kernel`): probe -> hot tiles -> segmax sweep -> global
     top-k over the candidate slab -> exact rescore -> slot translation.
@@ -894,6 +1035,17 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
     mask2d = row_mask.reshape(1, cap_ivf).astype(jnp.int32)
     q_tiles = num_q // qt
 
+    use_i8 = vectors_i8 is not None
+    if use_i8:
+        q_scan, v_scan = fold_queries_i8(q, cscale), vectors_i8
+        kernel = functools.partial(_ivf_segmax_kernel_i8c, bn=bn,
+                                   per_seg=per_seg)
+    else:
+        q_scan, v_scan = q, vectors
+        kernel = functools.partial(_ivf_segmax_kernel, bn=bn,
+                                   per_seg=per_seg,
+                                   compute_dtype=compute_dtype)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(q_tiles, grid_b),
@@ -911,14 +1063,13 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
                                memory_space=pltpu.VMEM),
     )
     keys = pl.pallas_call(
-        functools.partial(_ivf_segmax_kernel, bn=bn, per_seg=per_seg,
-                          compute_dtype=compute_dtype),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (grid_b * per_seg * ns, num_q), jnp.int32
         ),
         interpret=interpret,
-    )(hot, n_hot.reshape(1), q, vectors, mask2d)
+    )(hot, n_hot.reshape(1), q_scan, v_scan, mask2d)
     keys = keys.T  # (Q, grid_b * per_seg * ns)
 
     # Decode: column c belongs to grid step b = c // (per_seg*ns), segment
@@ -964,7 +1115,8 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
     else:
         scan = probe_scan_local
 
-    def fn(q, centroids, vectors, slots, seg_starts, active, cluster2tile):
+    def fn(q, centroids, vectors, slots, seg_starts, active, cluster2tile,
+           vectors_i8=None, cscale=None):
         from .exact import normalize_on_device
 
         q = normalize_on_device(q)
@@ -972,6 +1124,7 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
             q, centroids, vectors, slots, seg_starts, active, cluster2tile,
             k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
             interpret=interpret, compute_dtype=compute_dtype,
+            vectors_i8=vectors_i8, cscale=cscale,
         )
 
     return jax.jit(fn)

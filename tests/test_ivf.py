@@ -384,3 +384,53 @@ def test_ivf_segmax_guard_small_clusters(rng, monkeypatch):
     )
     ivf_mod._make_ivf_search.cache_clear()
     assert recall >= 0.9, recall
+
+
+def test_ivf_int8_postings_parity(rng, monkeypatch):
+    """The column-scaled int8 postings mirror selects the same winners as
+    the storage-dtype sweep (exact rescore makes scores identical)."""
+    n, dim, k = 3000, 64, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    queries = normalize_batch(
+        vectors[:16] + 0.01 * rng.normal(size=(16, dim)).astype(np.float32)
+    )
+
+    ivf = IVFIndex.build(vectors, mask, nlist=32, dim=dim)
+    assert ivf.vectors_i8c is not None  # default-on mirror
+    v_i8, s_i8 = ivf.search(queries, k, ef=64, dev=None)
+
+    ivf.vectors_i8c = None  # opt out -> storage-dtype sweep
+    ivf.cscale = None
+    v_f32, s_f32 = ivf.search(queries, k, ef=64, dev=None)
+
+    overlap = np.mean([
+        len(set(s_i8[i]) & set(s_f32[i])) / k for i in range(16)
+    ])
+    assert overlap >= 0.95, overlap
+    # where the selections agree, the rescored values agree exactly
+    for i in range(16):
+        common = set(s_i8[i]) & set(s_f32[i])
+        m1 = {s: v for s, v in zip(s_i8[i], v_i8[i]) if s in common}
+        m2 = {s: v for s, v in zip(s_f32[i], v_f32[i]) if s in common}
+        for s in common:
+            np.testing.assert_allclose(m1[s], m2[s], rtol=1e-5, atol=1e-6)
+
+
+def test_ivf_int8_mirror_tracks_incremental_updates(rng):
+    """Overflow appends requantize the int8 mirror so fresh rows are
+    findable through the int8 sweep."""
+    n, dim, k = 2000, 32, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    ivf = IVFIndex.build(vectors, mask, nlist=16, dim=dim)
+    assert ivf.vectors_i8c is not None
+    new_vec = normalize_batch(
+        rng.normal(size=(1, dim)).astype(np.float32)
+    )
+    ok = ivf.update(
+        np.array([n]), new_vec, np.array([True])
+    )
+    assert ok
+    vals, slots = ivf.search(new_vec, k, ef=64, dev=None)
+    assert slots[0, 0] == n and vals[0, 0] > 0.99
