@@ -88,13 +88,28 @@ def dot_only(q, v, qt: int, bn: int, stream: bool):
 
 
 def timeit(fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS * 1e3
+    """Per-iteration device time by dispatch slope.
+
+    block_until_ready under-reports through the axon relay (returns before
+    device completion — the r3b run of this probe measured 0.03 ms for an
+    8 ms matmul); instead, M back-to-back dispatches are chased by one
+    tiny-slice fetch (device executes in order, so the fetch completing
+    implies the chain completed), and the slope between M=2 and M=2+ITERS
+    cancels the fixed fetch/RTT cost exactly."""
+    def run(m):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(m):
+            out = fn(*args)
+        np.asarray(out[:1, :1])
+        return time.perf_counter() - t0
+
+    run(2)  # warm compile + pipe
+    best = float("inf")
+    for _ in range(3):
+        lo, hi = run(2), run(2 + ITERS)
+        best = min(best, (hi - lo) / ITERS)
+    return best * 1e3
 
 
 def main():

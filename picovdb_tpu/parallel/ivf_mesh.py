@@ -52,6 +52,7 @@ from ..utils import next_pow2, round_up
 from ..ops.ivf import (
     IVF_BN,
     _assign,
+    _ivf_i8_enabled,
     _kmeans,
     default_nlist,
     ef_to_nprobe,
@@ -59,6 +60,28 @@ from ..ops.ivf import (
 )
 
 _CACHE: dict = {}
+
+
+def _quantize_shards_i8(vectors, mesh, shard_axis: str):
+    """Per-shard column-scaled int8 mirror of the sharded postings.
+
+    Each shard derives its own (dim,) column scales — scales are folded
+    into the query per shard inside the search body, and the exact f32
+    rescore runs before the ICI merge, so cross-shard score comparability
+    is unaffected. Returns (v_i8 P(shard, None), cscale (nshards, dim)
+    P(shard, None))."""
+    from ..ops.pallas_scan import quantize_cols_i8
+
+    def local(v):
+        q, s = quantize_cols_i8(v)
+        return q, s[None, :]
+
+    return _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(shard_axis, None),),
+        out_specs=(P(shard_axis, None), P(shard_axis, None)),
+    )(vectors)
 
 
 class ShardedIVF:
@@ -80,6 +103,15 @@ class ShardedIVF:
         self.mesh = mesh
         self.shard_axis = shard_axis
         self._host_blob: Optional[dict] = None
+        # optional per-shard column-scaled int8 postings mirror (derived,
+        # never persisted) — same DMA-bound-probe rationale as the
+        # single-device tier (ops/ivf._ivf_i8_enabled)
+        self.vectors_i8c = None
+        self.cscale = None
+        if _ivf_i8_enabled():
+            self.vectors_i8c, self.cscale = _quantize_shards_i8(
+                self.vectors, mesh, shard_axis
+            )
 
     # -- construction ------------------------------------------------------
 
@@ -348,68 +380,82 @@ class ShardedIVF:
                 64,
             ),
         )
+        use_i8 = self.vectors_i8c is not None
         fn = _make_sharded_ivf_search(
             id(self.mesh), self.mesh, self.shard_axis, k, nprobe, self.nlist,
             None if self.vectors.dtype == jnp.float32
             else str(self.vectors.dtype),
-            interpret, g_tiles,
+            interpret, g_tiles, use_i8,
         )
-        vals, slot_ids = fn(
-            q_dev, self.centroids, self.vectors, self.slots,
-            self.seg_starts, self.active, self.cluster2tile,
-        )
+        if use_i8:
+            vals, slot_ids = fn(
+                q_dev, self.centroids, self.vectors, self.slots,
+                self.seg_starts, self.active, self.cluster2tile,
+                self.vectors_i8c, self.cscale,
+            )
+        else:
+            vals, slot_ids = fn(
+                q_dev, self.centroids, self.vectors, self.slots,
+                self.seg_starts, self.active, self.cluster2tile,
+            )
         return vals, slot_ids, num_q
 
 
 def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
                              nprobe: int, nlist: int,
                              compute_dtype_name: Optional[str],
-                             interpret: bool, g_tiles: int):
+                             interpret: bool, g_tiles: int,
+                             use_i8: bool = False):
     key = (mesh_key, mesh.shape_tuple, shard_axis, k, nprobe, nlist,
-           compute_dtype_name, interpret, g_tiles)
+           compute_dtype_name, interpret, g_tiles, use_i8)
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_sharded_ivf_search(
             mesh, shard_axis, k, nprobe, nlist, compute_dtype_name,
-            interpret, g_tiles,
+            interpret, g_tiles, use_i8,
         )
         _CACHE[key] = fn
     return fn
 
 
 def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
-                              compute_dtype_name, interpret, g_tiles):
+                              compute_dtype_name, interpret, g_tiles,
+                              use_i8=False):
     k_sel = k + 4  # guard band, see ops/pallas_scan.make_fused_topk
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )
 
-    def local(q, cent, v, slots, segs, act, c2t):
+    def local(q, cent, v, slots, segs, act, c2t, v8=None, cs=None):
         # block args carry the leading shard axis of size 1
         vals, slot_ids = probe_scan_local(
             q, cent, v, slots, segs[0], act, c2t[0],
             k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
             interpret=interpret, compute_dtype=compute_dtype,
+            vectors_i8=v8, cscale=None if cs is None else cs[0],
         )
         return vals, slot_ids  # slots are global already — no base offset
 
+    in_specs = (P(), P(), P(shard_axis, None), P(shard_axis),
+                P(shard_axis, None), P(shard_axis),
+                P(shard_axis, None, None))
+    if use_i8:
+        in_specs = in_specs + (P(shard_axis, None), P(shard_axis, None))
     mapped = _shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(shard_axis, None), P(shard_axis),
-                  P(shard_axis, None), P(shard_axis),
-                  P(shard_axis, None, None)),
+        in_specs=in_specs,
         out_specs=(P(None, shard_axis), P(None, shard_axis)),
         # pallas_call outputs carry no varying-mesh-axes metadata; the
         # out_specs declare the sharding explicitly (see sharded_query.py)
         check_vma=False,
     )
 
-    def merged(q, cent, v, slots, segs, act, c2t):
+    def merged(q, cent, v, slots, segs, act, c2t, *i8_args):
         from ..ops.exact import normalize_on_device
 
         q = normalize_on_device(q)
-        vals, sids = mapped(q, cent, v, slots, segs, act, c2t)
+        vals, sids = mapped(q, cent, v, slots, segs, act, c2t, *i8_args)
         # (Q, nshards*k) candidate slabs -> final top-k over ICI
         k_final = min(k, vals.shape[1])
         top_vals, order = jax.lax.top_k(vals, k_final)

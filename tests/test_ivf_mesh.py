@@ -136,3 +136,27 @@ def test_engine_mesh_ivf_sidecar_roundtrip(db_path, rng):
     assert db3._ivf is not None
     r3 = db3.query(vectors[42], top_k=k, ef_search=1000)
     assert r3[0][K_ID] == "42"
+
+
+def test_sharded_ivf_int8_parity(rng):
+    """Per-shard int8 postings select the same winners as the f32 sweep
+    through the ICI merge."""
+    mesh = make_mesh()
+    n, dim, k = 4096, 32, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    queries = normalize_batch(
+        vectors[:16] + 0.01 * rng.normal(size=(16, dim)).astype(np.float32))
+
+    ivf = ShardedIVF.build(vectors, mask, mesh, nlist=16, dim=dim)
+    assert ivf.vectors_i8c is not None
+    v_i8, s_i8 = ivf.search(queries, k, ef=64, dev=None)
+
+    ivf.vectors_i8c = None
+    ivf.cscale = None
+    v_f32, s_f32 = ivf.search(queries, k, ef=64, dev=None)
+
+    overlap = np.mean([
+        len(set(s_i8[i]) & set(s_f32[i])) / k for i in range(16)
+    ])
+    assert overlap >= 0.95, overlap
