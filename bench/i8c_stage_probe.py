@@ -106,6 +106,82 @@ def main():
     res["full_i8c_guard6"] = round(slope(full_i8c_g6, q, v8, cs, v, mask), 2)
     print("full_i8c_guard6", res["full_i8c_guard6"], flush=True)
 
+    # ---- kernel variants: where does the int32 extraction tax come from?
+    # The s8 MXU's int32 output appears to carry a register layout that
+    # makes every subsequent elementwise pass expensive; these variants
+    # normalize it before the segment extraction.
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    SEG = ps.SEG
+    KEY_MIN = ps.KEY_MIN
+
+    def make_variant(body):
+        bn = 2048
+        qt = 256
+        ns = bn // SEG
+        n_tiles = CAP // bn
+
+        def kern(q_ref, v_ref, m_ref, out_ref):
+            s_i32 = jax.lax.dot_general(
+                q_ref[...], v_ref[...],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            keys = body(s_i32)  # (QT, BN) int32 sortable
+            keys = keys.reshape(qt, ns, SEG)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (qt, ns, SEG), 2)
+            keys = (keys & ~jnp.int32(SEG - 1)) | lane
+            keys = jnp.where(
+                m_ref[...].reshape(1, ns, SEG) > 0, keys,
+                jnp.int32(KEY_MIN))
+            m1 = jnp.max(keys, axis=2)
+            keys = jnp.where(keys == m1[:, :, None], jnp.int32(KEY_MIN),
+                             keys)
+            m2 = jnp.max(keys, axis=2)
+            out_ref[...] = jnp.concatenate([m1, m2], axis=1).T
+
+        mask2d = np.ones((1, CAP), dtype=np.int32)
+
+        @jax.jit
+        def run(qq):
+            return pl.pallas_call(
+                kern,
+                grid=(Q // qt, n_tiles),
+                in_specs=[
+                    pl.BlockSpec((qt, DIM), lambda i, b: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bn, DIM), lambda i, b: (b, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((2 * ns, qt), lambda i, b: (b, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct(
+                    (n_tiles * 2 * ns, Q), jnp.int32),
+            )(qq, v8, jnp.asarray(mask2d))
+
+        return run
+
+    variants = {
+        # straight int32 keys (the shipped i8c kernel's structure)
+        "vk_i32": make_variant(lambda s: s),
+        # convert to f32 (exact for |s| < 2^24) -> float sortable keys:
+        # normalizes the layout through the VPU convert
+        "vk_viaf32": make_variant(
+            lambda s: ps._to_sortable(
+                pltpu.bitcast(s.astype(jnp.float32), jnp.int32))),
+    }
+    for name, fn in variants.items():
+        try:
+            res[name] = round(slope(fn, q8), 2)
+        except Exception as e:  # noqa: BLE001
+            res[name] = f"ERR {type(e).__name__}: {e}"[:120]
+        print(name, res[name], flush=True)
+
     with open("bench/results/i8c_stage_r3.json", "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res))

@@ -109,8 +109,9 @@ class DeviceIndex:
         self.vectors_lp = None  # bf16 scan mirror (mixed-precision tier)
         self.vectors_i8 = None  # int8 selection mirror (latency tier)
         self.vscale = None  # (cap,) f32 per-row scales of the int8 mirror
-        self.vectors_i8c = None  # column-scaled int8 mirror (batch tier)
+        self.vectors_i8c = None  # column-scaled int8 mirror (lazy-built)
         self.cscale = None  # (dim,) f32 per-column scales of that mirror
+        self._i8c_budget_ok = False  # set by _refresh_lp_mirror
         self.active = None  # jax.Array (cap,) bool
         self.mesh = mesh
         self.shard_axis = shard_axis
@@ -417,16 +418,29 @@ class DeviceIndex:
             from .ops.pallas_scan import quantize_rows_i8
 
             self.vectors_i8, self.vscale = quantize_rows_i8(self.vectors)
-        if not self.i8c_tier or self.vectors is None:
-            self.vectors_i8c = None
-            self.cscale = None
-        elif self.cap * self.dim * bpe > budget:
-            self.vectors_i8c = None
-            self.cscale = None
-        else:
-            from .ops.pallas_scan import quantize_cols_i8
+        # The i8c mirror is LAZY: dropped here (and on scatter — column
+        # scales are corpus-global, so per-row scatter-quantization against
+        # stale scales would distort selection) and rebuilt by
+        # `ensure_i8c_mirror` on the first dispatch that routes to it.
+        # With both i8c routes default-off this costs nothing unless a
+        # measurement flips them on.
+        self.vectors_i8c = None
+        self.cscale = None
+        self._i8c_budget_ok = (
+            self.i8c_tier and self.cap * self.dim * bpe <= budget
+        )
 
-            self.vectors_i8c, self.cscale = quantize_cols_i8(self.vectors)
+    def ensure_i8c_mirror(self) -> bool:
+        """Build the column-scaled int8 mirror on demand; True if usable."""
+        if self.vectors_i8c is not None:
+            return True
+        if (not self.i8c_tier or self.vectors is None
+                or not self._i8c_budget_ok):
+            return False
+        from .ops.pallas_scan import quantize_cols_i8
+
+        self.vectors_i8c, self.cscale = quantize_cols_i8(self.vectors)
+        return True
 
     def scatter(
         self, idxs: np.ndarray, rows: Optional[np.ndarray], active_vals: np.ndarray
@@ -474,17 +488,13 @@ class DeviceIndex:
                     self.vectors_i8, dev_idx, q_rows
                 )
                 self.vscale = _scatter_1d(self.vscale, dev_idx, q_scale)
-            if self.vectors_i8c is not None:
-                # Column scales are corpus-global: a new row can exceed an
-                # existing column max, so clip-scattering against stale
-                # scales would distort selection. Requantize from the
-                # already-updated f32 corpus — one device-side pass, no
-                # host traffic (~1 ms per 100k x 1024 on v5e).
-                from .ops.pallas_scan import quantize_cols_i8
-
-                self.vectors_i8c, self.cscale = quantize_cols_i8(
-                    self.vectors
-                )
+            # i8c mirror: column scales are corpus-global, so a new row
+            # can exceed an existing column max — drop the mirror and let
+            # `ensure_i8c_mirror` requantize lazily at the next dispatch
+            # that routes to it (no per-mutation cost on the default
+            # routes).
+            self.vectors_i8c = None
+            self.cscale = None
         dev_act = jax.device_put(pad_act.astype(bool), self._replicated())
         self.active = _scatter_mask(self.active, dev_idx, dev_act)
         self._mask_cache.clear()
@@ -612,7 +622,7 @@ class DeviceIndex:
             (
                 self.vectors_lp is not None
                 or (self.segmax_i8 and self.vectors_i8 is not None)
-                or (self.segmax_i8c and self.vectors_i8c is not None)
+                or (self.segmax_i8c and self._i8c_budget_ok)
             )
             and not force_exact
             and filter_mask is None
@@ -630,7 +640,7 @@ class DeviceIndex:
         # absorbed by the guard + exact f32 rescore in both cases.
         small_q_i8c = (
             self.smallq_i8c
-            and self.vectors_i8c is not None
+            and self._i8c_budget_ok
             and not force_exact
             and filter_mask is None
             and self.scan_mode == "auto"
@@ -733,7 +743,7 @@ class DeviceIndex:
             self.last_strategy = (
                 "sharded_scan_pallas" if use_pallas else "sharded_scan"
             )
-        elif use_segmax and self.segmax_i8c and self.vectors_i8c is not None:
+        elif use_segmax and self.segmax_i8c and self.ensure_i8c_mirror():
             from .ops.pallas_scan import make_segmax_topk_i8c
 
             stream = (q_pad > 256 if self.segmax_stream is None
@@ -774,7 +784,7 @@ class DeviceIndex:
             self.last_strategy = (
                 "segmax_mixed_stream" if stream else "segmax_mixed"
             )
-        elif small_q_i8c:
+        elif small_q_i8c and self.ensure_i8c_mirror():
             from .ops.pallas_scan import make_fused_topk_i8c
 
             i8c_fn = make_fused_topk_i8c(k_pad, interpret=interpret)
@@ -849,8 +859,8 @@ class DeviceIndex:
             )
         k_eff = min(k, self.cap)
         interpret = getattr(self._device, "platform", "cpu") != "tpu"
-        if (self.smallq_i8c and self.vectors_i8c is not None
-                and k_eff + 6 <= 16):
+        if (self.smallq_i8c and k_eff + 6 <= 16
+                and self.ensure_i8c_mirror()):
             from .ops.pallas_scan import make_fused_topk_i8c
 
             inner = make_fused_topk_i8c(k_eff, interpret=interpret)
