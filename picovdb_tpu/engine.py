@@ -1557,7 +1557,10 @@ class PicoVectorDB:
             vals, idxs = self._ivf.search(
                 vecs, k_eff, ef, self._dev, nprobe=self._ivf_nprobe
             )
-            self._last_topk_strategy = "ivf"
+            self._last_topk_strategy = (
+                "ivf_i8" if getattr(self._ivf, "vectors_i8c", None)
+                is not None else "ivf"
+            )
             return vals, idxs
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask,
                                      mask_key=mask_key)

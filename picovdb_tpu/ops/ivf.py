@@ -63,7 +63,14 @@ from .pallas_scan import (
 IVF_BN = int(os.getenv("PICOVDB_IVF_BN", "1024") or 1024)
 
 
-def _ivf_i8_enabled() -> bool:
+# int8 postings selection noise is ~0.3 * max_col_scale absolute, which
+# shrinks as 1/sqrt(dim) for L2-normalized rows; below this dim the noise
+# rivals real score gaps on clustered data (measured: exact-probe top-1
+# misses at dim=16) and the storage-dtype sweep serves instead.
+IVF_I8_MIN_DIM = 256
+
+
+def _ivf_i8_enabled(dim: int) -> bool:
     """int8 postings mirror for the probe scan (PICOVDB_IVF_I8).
 
     The probe runs tiny query tiles (qt == Q for Q <= 256), so each hot
@@ -71,12 +78,18 @@ def _ivf_i8_enabled() -> bool:
     column-scaled mirror wins (Q=1 exact ladder: int8 1.08 ms vs bf16
     1.22 ms, bench/results/int8_ab_r3b.json), unlike the MXU-bound qt=256
     batch sweep where int8 loses. Selection ranks raw int32 scores (scales
-    folded into the query); ranking is exact-rescored against the
-    storage-dtype postings as always. Default: on (CPU-interpret parity
-    asserted in tests/test_ivf.py; hardware A/B in
-    bench/results/ivf2m_r3b.json when present); set PICOVDB_IVF_I8=0 to
-    opt out (e.g. to save cap_ivf*dim bytes of HBM)."""
-    return os.getenv("PICOVDB_IVF_I8", "1") not in ("0", "false", "False")
+    folded into the query) inside a widened guard band; ranking is
+    exact-rescored against the storage-dtype postings as always. Default:
+    on for dim >= IVF_I8_MIN_DIM (CPU-interpret parity asserted in
+    tests/test_ivf.py; hardware A/B in bench/results/ivf2m_r3b.json when
+    present); PICOVDB_IVF_I8=0 opts out (e.g. to save cap_ivf*dim bytes
+    of HBM), =1 forces it at any dim."""
+    env = os.getenv("PICOVDB_IVF_I8", "auto")
+    if env in ("0", "false", "False"):
+        return False
+    if env in ("auto", ""):
+        return dim >= IVF_I8_MIN_DIM
+    return True
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -189,7 +202,7 @@ class IVFIndex:
         # derived data — rebuilt from `vectors`, never persisted
         self.vectors_i8c = None
         self.cscale = None
-        if _ivf_i8_enabled():
+        if _ivf_i8_enabled(dim):
             self.refresh_i8_mirror()
 
     def refresh_i8_mirror(self) -> None:
@@ -630,6 +643,7 @@ class IVFIndex:
             g_tiles,
             style,
             per_seg,
+            self.vectors_i8c is not None,
         )
         vals, slot_ids = fn(
             q_dev,
@@ -1103,10 +1117,14 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
                      interpret: bool = False,
                      g_tiles: Optional[int] = None,
                      style: str = "ladder",
-                     per_seg: int = 4):
+                     per_seg: int = 4,
+                     use_i8: bool = False):
     """Jitted single-device probed search (see `probe_scan_local` /
     `probe_scan_segmax`)."""
-    k_sel = k + 4  # guard band, see pallas_scan.make_fused_topk
+    # guard band, see pallas_scan.make_fused_topk; the int8 postings path
+    # widens it — integer-selection noise is larger than bf16's and the
+    # extra rescored ranks are cheap next to the hot-tile sweep
+    k_sel = k + (8 if use_i8 else 4)
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )

@@ -108,7 +108,7 @@ class ShardedIVF:
         # single-device tier (ops/ivf._ivf_i8_enabled)
         self.vectors_i8c = None
         self.cscale = None
-        if _ivf_i8_enabled():
+        if _ivf_i8_enabled(dim):
             self.vectors_i8c, self.cscale = _quantize_shards_i8(
                 self.vectors, mesh, shard_axis
             )
@@ -421,7 +421,9 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
 def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
                               compute_dtype_name, interpret, g_tiles,
                               use_i8=False):
-    k_sel = k + 4  # guard band, see ops/pallas_scan.make_fused_topk
+    # guard band, see ops/pallas_scan.make_fused_topk; widened for int8
+    # postings (integer-selection noise > bf16's; extra ranks are cheap)
+    k_sel = k + (8 if use_i8 else 4)
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )

@@ -106,13 +106,13 @@ def test_engine_ivf_integration(db_path, rng):
         ]
     )
     res = db.query(vectors[42], top_k=5, hnsw_ef_search=16)
-    assert db._last_topk_strategy == "ivf"
+    assert db._last_topk_strategy.startswith("ivf")
     assert res[0][K_ID] == "id42"
 
     # filtered queries bypass the ANN tier for exactness (same policy as the
     # reference's faiss_ok gate, picovdb/pico_vdb.py:667-668)
     resf = db.query(vectors[42], top_k=5, where={"c": int(labels[42])})
-    assert db._last_topk_strategy != "ivf"
+    assert not db._last_topk_strategy.startswith("ivf")
     assert all(r["c"] == int(labels[42]) for r in resf)
 
     # deletions are respected after the lazy resync
@@ -140,7 +140,7 @@ def test_engine_ivf_sidecar_roundtrip(db_path, rng):
     assert db2._ivf is not None  # loaded from sidecar, no retrain
     res = db2.query(vectors[7], top_k=1)
     assert res[0][K_ID] == "id7"
-    assert db2._last_topk_strategy == "ivf"
+    assert db2._last_topk_strategy.startswith("ivf")
 
 
 def test_corrupt_sidecar_triggers_rebuild(db_path, rng):
@@ -236,7 +236,7 @@ def test_ivf_incremental_update_no_retrain(db_path, rng):
     )
     res = db.query(newv[5], top_k=3)
     assert db._last_ann_rebuild_mode == "incremental"
-    assert db._last_topk_strategy == "ivf"
+    assert db._last_topk_strategy.startswith("ivf")
     assert res[0][K_ID] == "new1"
     # updated vector is served from the overflow region
     res2 = db.query(newv[0], top_k=3)
@@ -389,6 +389,7 @@ def test_ivf_segmax_guard_small_clusters(rng, monkeypatch):
 def test_ivf_int8_postings_parity(rng, monkeypatch):
     """The column-scaled int8 postings mirror selects the same winners as
     the storage-dtype sweep (exact rescore makes scores identical)."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # force below IVF_I8_MIN_DIM
     n, dim, k = 3000, 64, 10
     vectors, _ = clustered_data(rng, n, dim)
     mask = np.ones(n, dtype=bool)
@@ -417,9 +418,10 @@ def test_ivf_int8_postings_parity(rng, monkeypatch):
             np.testing.assert_allclose(m1[s], m2[s], rtol=1e-5, atol=1e-6)
 
 
-def test_ivf_int8_mirror_tracks_incremental_updates(rng):
+def test_ivf_int8_mirror_tracks_incremental_updates(rng, monkeypatch):
     """Overflow appends requantize the int8 mirror so fresh rows are
     findable through the int8 sweep."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # force below IVF_I8_MIN_DIM
     n, dim, k = 2000, 32, 5
     vectors, _ = clustered_data(rng, n, dim)
     mask = np.ones(n, dtype=bool)

@@ -89,7 +89,7 @@ def test_engine_mesh_ivf_end_to_end(db_path, rng):
         [{K_ID: str(i), K_VECTOR: vectors[i]} for i in range(n)]
     )
     res = db.query(vectors[77], top_k=k, ef_search=1000)
-    assert db._last_topk_strategy == "ivf"
+    assert db._last_topk_strategy.startswith("ivf")
     assert res[0][K_ID] == "77"
     # sharded-exact agreement at full probe width
     db_exact = PicoVectorDB(
@@ -105,7 +105,7 @@ def test_engine_mesh_ivf_end_to_end(db_path, rng):
     # deletes route through the full-rebuild policy and disappear
     db.delete(["77"])
     res3 = db.query(vectors[77], top_k=k, ef_search=1000)
-    assert db._last_topk_strategy == "ivf"
+    assert db._last_topk_strategy.startswith("ivf")
     assert db._last_ann_rebuild_mode == "full"
     assert all(r[K_ID] != "77" for r in res3)
 
@@ -128,7 +128,7 @@ def test_engine_mesh_ivf_sidecar_roundtrip(db_path, rng):
     )
     assert db2._ivf is not None  # sidecar reused, no cold retrain
     res = db2.query(vectors[42], top_k=k, ef_search=1000)
-    assert db2._last_topk_strategy == "ivf"
+    assert db2._last_topk_strategy.startswith("ivf")
     assert res[0][K_ID] == "42"
 
     # the same sidecar loads into a single-device process (shared schema)
@@ -138,9 +138,10 @@ def test_engine_mesh_ivf_sidecar_roundtrip(db_path, rng):
     assert r3[0][K_ID] == "42"
 
 
-def test_sharded_ivf_int8_parity(rng):
+def test_sharded_ivf_int8_parity(rng, monkeypatch):
     """Per-shard int8 postings select the same winners as the f32 sweep
     through the ICI merge."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # force below IVF_I8_MIN_DIM
     mesh = make_mesh()
     n, dim, k = 4096, 32, 8
     vectors, _ = clustered_data(rng, n, dim)

@@ -166,7 +166,7 @@ def test_last_query_debug(db_path, rng):
     db.upsert(items)
     db.query(vecs[0], top_k=3)
     dbg = db.last_query_debug()
-    assert dbg["strategy"] in ("xla_topk", "pallas_fused", "sharded_scan", "ivf")
+    assert dbg["strategy"] in ("xla_topk", "pallas_fused", "sharded_scan", "ivf", "ivf_i8")
     assert dbg["k_eff"] == 3
     assert dbg["sync_mode"] in ("full", "incremental")
     assert dbg["dirty"] is False
@@ -188,7 +188,7 @@ def test_ivf_nprobe_ctor_override(db_path, rng):
         db.upsert([{K_ID: f"x{i}", K_VECTOR: vecs[i]} for i in range(300)])
         res = db.query(vecs[33], top_k=1, ef_search=1)
         assert res[0][K_ID] == "x33"
-        assert db._last_topk_strategy == "ivf"
+        assert db._last_topk_strategy.startswith("ivf")
 
 
 def test_ivf_engine_plain_cpu_no_interpret_ctx(db_path, rng):
@@ -204,4 +204,4 @@ def test_ivf_engine_plain_cpu_no_interpret_ctx(db_path, rng):
     db.upsert([{K_ID: f"x{i}", K_VECTOR: vecs[i]} for i in range(300)])
     res = db.query(vecs[33], top_k=1, ef_search=64)
     assert res[0][K_ID] == "x33"
-    assert db._last_topk_strategy == "ivf"
+    assert db._last_topk_strategy.startswith("ivf")
