@@ -1543,16 +1543,20 @@ class PicoVectorDB:
                 # Batch-size routing (auto tier only; explicit index="ivf"
                 # always probes, like the reference always uses a present
                 # FAISS index, pico_vdb.py:667-668): the probe scan wins
-                # while the per-batch cluster union stays well under the
-                # corpus — measured at 2M x 1024 / nprobe=128 / nlist=2828:
-                # 2.1x faster than exact at Q=1, 0.8x at Q=8. Larger
-                # batches amortize the exact sweep better than probing
-                # saves.
+                # while the batch's probed-cluster UNION stays well under
+                # the corpus. Draws overlap, so the union grows as
+                # nlist*(1-(1-nprobe/nlist)^Q), not Q*nprobe; route to IVF
+                # while the expected union is <= half the lists. Measured
+                # at 2M x 1024 / nprobe=128 / nlist=2828 with the int8
+                # postings mirror: 2.6x exact at Q=1 (union 4.5%), 1.7x at
+                # Q=8 (31%), 0.8x at Q=64 (~95%) — the rule flips between
+                # Q=15 and Q=16 there (bench/results/ivf2m_r3b.*).
                 from .ops.ivf import ef_to_nprobe
 
                 npb = self._ivf_nprobe or ef_to_nprobe(ef, self._ivf.nlist)
                 num_q = vecs.shape[0] if getattr(vecs, "ndim", 1) == 2 else 1
-                use_ann = num_q * npb <= self._ivf.nlist // 4
+                p_union = 1.0 - (1.0 - npb / self._ivf.nlist) ** num_q
+                use_ann = p_union <= 0.5
         if use_ann:
             vals, idxs = self._ivf.search(
                 vecs, k_eff, ef, self._dev, nprobe=self._ivf_nprobe

@@ -1123,8 +1123,11 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
     `probe_scan_segmax`)."""
     # guard band, see pallas_scan.make_fused_topk; the int8 postings path
     # widens it — integer-selection noise is larger than bf16's and the
-    # extra rescored ranks are cheap next to the hot-tile sweep
-    k_sel = k + (8 if use_i8 else 4)
+    # extra rescored ranks are cheap next to the hot-tile sweep. +6 (not
+    # +8): at the default k=10 that keeps k_sel at the ladder kernel's
+    # unroll boundary (16) — k_sel=18 forced the serial fori path and
+    # cost ~0.4 ms at Q=1 on 2M x 1024 (2.97 vs 2.58 ms)
+    k_sel = k + (6 if use_i8 else 4)
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )

@@ -422,8 +422,9 @@ def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
                               compute_dtype_name, interpret, g_tiles,
                               use_i8=False):
     # guard band, see ops/pallas_scan.make_fused_topk; widened for int8
-    # postings (integer-selection noise > bf16's; extra ranks are cheap)
-    k_sel = k + (8 if use_i8 else 4)
+    # postings (integer-selection noise > bf16's; +6 keeps k_sel at the
+    # ladder's unroll boundary for the default k=10 — see ops/ivf.py)
+    k_sel = k + (6 if use_i8 else 4)
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )
