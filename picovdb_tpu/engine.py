@@ -324,6 +324,7 @@ class PicoVectorDB:
                                 self._active_mask, self.dim,
                                 dev_vectors=self._dev.vectors,
                                 storage_dtype=self._dev.storage_dtype,
+                                i8_only=self._ivf_i8_only(),
                             )
                     except Exception:
                         self._ivf = None
@@ -1671,6 +1672,43 @@ class PicoVectorDB:
                 )
         self._dirty = False
 
+    def _ivf_i8_only(self) -> bool:
+        """Choose the int8-only IVF layout when the classic layout (a
+        storage-dtype IVF mirror next to the corpus — ~2x corpus resident)
+        would overflow the chip's HBM budget.
+
+        At the single-chip ceiling (4M x 1024 bf16: 8 GB corpus) the
+        classic layout needs ~16.5 GB while corpus + 1 B/element postings
+        needs ~12.5 GB, so int8-only is what makes an ANN tier possible
+        there at all; the exact rescore then reads the engine corpus by
+        slot id, keeping returned scores at storage-dtype precision.
+        PICOVDB_IVF_BUDGET_GB overrides the 13 GB default (16 GB v5e HBM
+        minus compiler/workspace headroom); PICOVDB_IVF_I8ONLY forces
+        0/1. Requires the int8 postings tier to be enabled at this dim.
+        """
+        import os as _os
+
+        from .ops.ivf import _ivf_i8_enabled
+
+        env = _os.getenv("PICOVDB_IVF_I8ONLY", "auto")
+        if env in ("0", "false", "False"):
+            return False
+        if env not in ("auto", ""):
+            return _ivf_i8_enabled(self.dim)
+        if not _ivf_i8_enabled(self.dim) or self._dev.mesh is not None:
+            return False
+        item = 2 if self._dev.storage_dtype == "bfloat16" else 4
+        n = max(len(self._id2idx), 1)
+        corpus_b = self._dev.cap * self.dim * item
+        mirror_b = int(1.05 * n) * self.dim * (item + 1)
+        try:
+            budget = float(
+                _os.getenv("PICOVDB_IVF_BUDGET_GB", "13") or 13
+            ) * 2**30
+        except ValueError:
+            budget = 13 * 2**30
+        return corpus_b + mirror_b > budget
+
     @timed("rebuild_ann")
     def _rebuild_ann(self) -> None:
         """(Re)build the IVF ANN tier when enabled and worthwhile."""
@@ -1759,6 +1797,7 @@ class PicoVectorDB:
                     warm_centroids=warm,
                     dev_vectors=dev_vectors,
                     storage_dtype=self._dev.storage_dtype,
+                    i8_only=self._ivf_i8_only(),
                 )
             else:
                 self._ivf = None

@@ -48,8 +48,10 @@ from .pallas_scan import (
     SEG,
     _from_sortable,
     _to_sortable,
+    colmax_abs,
     fold_queries_i8,
     quantize_cols_i8,
+    quantize_cols_scaled_i8,
     rescore_exact,
 )
 
@@ -199,10 +201,13 @@ class IVFIndex:
         self.dim = dim
         self._host_blob: Optional[dict] = None
         # optional column-scaled int8 postings mirror (see _ivf_i8_enabled);
-        # derived data — rebuilt from `vectors`, never persisted
+        # derived data — rebuilt from `vectors`, never persisted. In
+        # int8-only mode (`vectors is None`) the mirror IS the postings
+        # store and the exact rescore gathers rows from the engine's
+        # corpus mirror by slot id instead (see `search_async`).
         self.vectors_i8c = None
         self.cscale = None
-        if _ivf_i8_enabled(dim):
+        if vectors is not None and _ivf_i8_enabled(dim):
             self.refresh_i8_mirror()
 
     def refresh_i8_mirror(self) -> None:
@@ -210,7 +215,10 @@ class IVFIndex:
 
         One on-device pass; column scales are corpus-global so any row
         mutation (overflow appends included) requantizes the whole mirror
-        rather than clip-scattering against stale scales."""
+        rather than clip-scattering against stale scales. No-op in the
+        int8-only layout (no storage-dtype source; mutations rebuild)."""
+        if self.vectors is None:
+            return
         self.vectors_i8c, self.cscale = quantize_cols_i8(self.vectors)
 
     # -- construction --------------------------------------------------------
@@ -227,6 +235,7 @@ class IVFIndex:
         warm_centroids: Optional[np.ndarray] = None,
         dev_vectors=None,
         storage_dtype: Optional[str] = None,
+        i8_only: bool = False,
     ) -> "IVFIndex":
         """Train + lay out the IVF mirror.
 
@@ -326,7 +335,40 @@ class IVFIndex:
         cap_ivf = round_up(n_active + slack, IVF_BN)
         n_tiles = cap_ivf // IVF_BN
 
-        if dev_vectors is not None:
+        i8_buf = i8_scales = None
+        if i8_only:
+            # int8-ONLY postings: never materialize a storage-dtype IVF
+            # mirror next to the corpus — at the single-chip HBM ceiling
+            # (4M x 1024 bf16: 8 GB corpus) the classic layout's extra
+            # ~corpus-sized mirror cannot fit, while corpus + 1 B/element
+            # postings does. Two chunked passes over the reorder: reduce
+            # the per-column abs-max, then quantize each gathered chunk
+            # against the shared scales straight into the int8 buffer.
+            # The exact rescore reads the ENGINE corpus by slot id at
+            # query time (see search_async), so returned scores keep
+            # storage-dtype precision.
+            gsel = (
+                sel[order] if dev_vectors is not None else order
+            ).astype(np.int32)
+            chunk = 262_144
+            cmax = np.zeros(dim, np.float32)
+            for s0 in range(0, n_active, chunk):
+                rows = _gather_rows(src, jax.device_put(gsel[s0:s0 + chunk]))
+                cmax = np.maximum(cmax, np.asarray(colmax_abs(rows)))
+            i8_scales = jax.device_put(
+                (np.maximum(cmax, 1e-30) / 127.0).astype(np.float32)
+            )
+            i8_buf = jnp.zeros((cap_ivf, dim), jnp.int8)
+            for s0 in range(0, n_active, chunk):
+                idx32 = jax.device_put(gsel[s0:s0 + chunk])
+                rows = _gather_rows(src, idx32)
+                q8 = quantize_cols_scaled_i8(rows, i8_scales)
+                dst = jax.device_put(
+                    np.arange(s0, min(n_active, s0 + chunk), dtype=np.int32)
+                )
+                i8_buf = _scatter_rows_ivf(i8_buf, dst, q8)
+            ivf_vecs = None
+        elif dev_vectors is not None:
             # gather global slot order from the (shared, undonated) mirror
             ivf_vecs = _reorder_pad_shared(
                 src,
@@ -370,6 +412,9 @@ class IVFIndex:
             dim=dim,
             seg_starts=jax.device_put(seg_starts),
         )
+        if i8_only:
+            idx.vectors_i8c = i8_buf
+            idx.cscale = i8_scales
         idx._host_blob = {
             "centroids": cent_np[:nlist],
             "assign_rows": act_rows.astype(np.int64),
@@ -403,6 +448,11 @@ class IVFIndex:
         incremental-vs-full rebuild threshold (picovdb/pico_vdb.py:884-921),
         where the engine falls back to a full (re)build.
         """
+        if self.vectors is None:
+            # int8-only layout: overflow rows would need requantization
+            # against corpus-global column scales — full rebuild instead
+            # (cheap relative to the scale this layout exists for).
+            return False
         changed_slots = np.asarray(changed_slots, dtype=np.int64)
         n_new = int(active_flags.sum())
         if self._n_used + n_new > self.vectors.shape[0]:
@@ -494,6 +544,7 @@ class IVFIndex:
         dim: int,
         dev_vectors=None,
         storage_dtype: Optional[str] = None,
+        i8_only: bool = False,
     ) -> Optional["IVFIndex"]:
         """Rebuild from a persisted sidecar without retraining k-means.
 
@@ -521,6 +572,7 @@ class IVFIndex:
                 iters=0,
                 dev_vectors=dev_vectors,
                 storage_dtype=storage_dtype,
+                i8_only=i8_only,
             )
         except Exception:
             return None
@@ -627,7 +679,9 @@ class IVFIndex:
         # truncated). `per_seg` deepens adaptively up to 8 as clusters
         # shrink relative to k_sel; each extra rank is one more VPU max
         # pass per tile, cheap next to the dot.
-        cap_rows = int(self.vectors.shape[0])
+        slot_rescore = self.vectors is None  # int8-only layout
+        postings = self.vectors_i8c if slot_rescore else self.vectors
+        cap_rows = int(postings.shape[0])
         span_segs = max(1e-6, (cap_rows / max(1, self.nlist)) / SEG)
         need = math.ceil(1.5 * (k + 4) / span_segs)
         per_seg = max(4, min(8, need))
@@ -635,20 +689,34 @@ class IVFIndex:
             "segmax" if num_q > 1 and k + 4 <= 16 and need <= 8
             else "ladder"
         )
+        if slot_rescore:
+            if dev is None or getattr(dev, "vectors", None) is None:
+                raise RuntimeError(
+                    "int8-only IVF needs the engine's device corpus "
+                    "mirror for the exact rescore"
+                )
+            rescore_v = dev.vectors
+            compute_dtype_name = None  # only the int8 kernel scans
+        else:
+            rescore_v = self.vectors
+            compute_dtype_name = (
+                None if self.vectors.dtype == jnp.float32
+                else str(self.vectors.dtype)
+            )
         fn = _make_ivf_search(
             k, nprobe, self.n_tiles, self.nlist,
-            None if self.vectors.dtype == jnp.float32
-            else str(self.vectors.dtype),
+            compute_dtype_name,
             interpret,
             g_tiles,
             style,
             per_seg,
             self.vectors_i8c is not None,
+            slot_rescore,
         )
         vals, slot_ids = fn(
             q_dev,
             self.centroids,
-            self.vectors,
+            rescore_v,
             self.slots,
             self.seg_starts,
             self.active,
@@ -794,7 +862,8 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
                      cluster2tile, *, k: int, k_sel: int, nprobe: int,
                      nlist: int, g_tiles: Optional[int],
                      interpret: bool, compute_dtype,
-                     vectors_i8=None, cscale=None):
+                     vectors_i8=None, cscale=None,
+                     rescore_by_slot: bool = False):
     """Probe clusters -> hot-tile list -> block-skipping scan -> exact
     rescore -> slot translation, over ONE device's local IVF arrays.
 
@@ -807,9 +876,14 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     `vectors_i8` + `cscale` (the column-scaled int8 postings mirror) route
     the hot-tile sweep through the integer-ranked kernel at 1 B/element;
     the exact rescore still reads the storage-dtype `vectors`.
+
+    `rescore_by_slot=True` (the int8-only layout): `vectors` is the
+    ENGINE's slot-indexed corpus mirror, not an IVF-ordered mirror — the
+    winners' IVF rows translate to slot ids first and the rescore gathers
+    corpus rows by slot. Postings geometry then comes from `vectors_i8`.
     """
     num_q = q.shape[0]
-    cap_ivf = vectors.shape[0]
+    cap_ivf = (vectors_i8 if rescore_by_slot else vectors).shape[0]
     n_tiles = cap_ivf // IVF_BN
     bn = IVF_BN
     qt = min(DEFAULT_QT, num_q)
@@ -868,12 +942,31 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     )(hot, n_hot.reshape(1), q_scan, v_scan, mask2d)
 
     vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    if rescore_by_slot:
+        return _rescore_by_slot(q, vectors, slots, vals, idxs, k)
     vals, idxs = rescore_exact(q, vectors, vals, idxs)
     vals, idxs = vals[:, :k], idxs[:, :k]
     # translate IVF rows -> engine slot ids (pad rows carry slot -1)
     slot_ids = jnp.take(slots, idxs, axis=0)
     slot_ids = jnp.where(jnp.isneginf(vals), -1, slot_ids)
     return vals, slot_ids
+
+
+def _rescore_by_slot(q, corpus, slots, vals, idxs, k):
+    """Exact rescore for the int8-only layout: translate winner IVF rows
+    to engine slot ids, gather the slot-indexed corpus rows, re-rank by
+    exact f32 scores. -inf/pad candidates stay -inf with slot -1."""
+    sl = jnp.take(slots, idxs, axis=0)  # (Q, k_run)
+    safe = jnp.maximum(sl, 0)
+    gathered = jnp.take(corpus, safe, axis=0)
+    exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(jnp.isneginf(vals) | (sl < 0), -jnp.inf, exact)
+    order = jnp.argsort(-exact, axis=1)
+    out_vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+    out_slots = jnp.take_along_axis(sl, order, axis=1)[:, :k]
+    out_slots = jnp.where(jnp.isneginf(out_vals), -1, out_slots)
+    return out_vals, out_slots.astype(jnp.int32)
 
 
 def _probe_preamble(q, centroids, active, seg_starts, cluster2tile, *,
@@ -1026,16 +1119,18 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
                       cluster2tile, *, k: int, k_sel: int, nprobe: int,
                       nlist: int, g_tiles: Optional[int],
                       interpret: bool, compute_dtype, per_seg: int = 4,
-                      vectors_i8=None, cscale=None):
+                      vectors_i8=None, cscale=None,
+                      rescore_by_slot: bool = False):
     """Probed IVF top-k via per-segment extraction (see
     `_ivf_segmax_kernel`): probe -> hot tiles -> segmax sweep -> global
     top-k over the candidate slab -> exact rescore -> slot translation.
 
-    Same contract as `probe_scan_local`; preferable for mid-size batches
-    (Q >= 8) where the ladder's per-tile selection compute co-dominates.
+    Same contract as `probe_scan_local` (incl. `rescore_by_slot`);
+    preferable for mid-size batches (Q >= 8) where the ladder's per-tile
+    selection compute co-dominates.
     """
     num_q = q.shape[0]
-    cap_ivf = vectors.shape[0]
+    cap_ivf = (vectors_i8 if rescore_by_slot else vectors).shape[0]
     n_tiles = cap_ivf // IVF_BN
     bn = IVF_BN
     qt = min(DEFAULT_QT, num_q)
@@ -1099,6 +1194,9 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
     gidx = (base_tile * ns + s) * SEG + (tk & jnp.int32(SEG - 1))
     empty = tk == jnp.int32(KEY_MIN)
     gidx = jnp.where(empty, 0, gidx)
+    if rescore_by_slot:
+        marker = jnp.where(empty, -jnp.inf, 0.0)  # only -inf-ness matters
+        return _rescore_by_slot(q, vectors, slots, marker, gidx, k)
     gathered = jnp.take(vectors, gidx, axis=0)
     exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
@@ -1118,7 +1216,8 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
                      g_tiles: Optional[int] = None,
                      style: str = "ladder",
                      per_seg: int = 4,
-                     use_i8: bool = False):
+                     use_i8: bool = False,
+                     slot_rescore: bool = False):
     """Jitted single-device probed search (see `probe_scan_local` /
     `probe_scan_segmax`)."""
     # guard band, see pallas_scan.make_fused_topk; the int8 postings path
@@ -1146,6 +1245,7 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
             k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
             interpret=interpret, compute_dtype=compute_dtype,
             vectors_i8=vectors_i8, cscale=cscale,
+            rescore_by_slot=slot_rescore,
         )
 
     return jax.jit(fn)

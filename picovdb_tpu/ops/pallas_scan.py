@@ -964,6 +964,26 @@ def quantize_cols_i8(v):
 
 
 @jax.jit
+def quantize_cols_scaled_i8(v, s):
+    """Column-quantize with PRE-COMPUTED scales (chunked-build path).
+
+    Used when the full-precision source is too large to materialize next
+    to its int8 mirror (the int8-only IVF build): a first chunked pass
+    reduces the per-column abs-max, then each chunk quantizes against the
+    shared scales here. Values are clipped, but with scales derived from
+    the same data no clipping occurs."""
+    q = jnp.round(v.astype(jnp.float32) / s[None, :])
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+@jax.jit
+def colmax_abs(v):
+    """Per-column abs-max (f32) — the reduction half of the chunked
+    column quantization."""
+    return jnp.max(jnp.abs(v.astype(jnp.float32)), axis=0)
+
+
+@jax.jit
 def fold_queries_i8(queries, cscale):
     """Fold the corpus column scales into queries, then int8-quantize.
 

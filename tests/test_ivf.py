@@ -436,3 +436,87 @@ def test_ivf_int8_mirror_tracks_incremental_updates(rng, monkeypatch):
     assert ok
     vals, slots = ivf.search(new_vec, k, ef=64, dev=None)
     assert slots[0, 0] == n and vals[0, 0] > 0.99
+
+
+def test_ivf_i8only_layout_parity(rng, monkeypatch):
+    """int8-only postings (no storage-dtype IVF mirror) rescore by slot
+    against the engine corpus and match the classic layout's winners."""
+    from picovdb_tpu.device import DeviceIndex
+
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # force below IVF_I8_MIN_DIM
+    n, dim, k = 3000, 64, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    queries = normalize_batch(
+        vectors[:16] + 0.01 * rng.normal(size=(16, dim)).astype(np.float32)
+    )
+    dev = DeviceIndex(dim, mixed_precision=False, int8_tier=False)
+    dev.full_upload(vectors, mask)
+
+    ivf8 = IVFIndex.build(vectors, mask, nlist=32, dim=dim, i8_only=True)
+    assert ivf8.vectors is None and ivf8.vectors_i8c is not None
+    v8, s8 = ivf8.search(queries, k, ef=64, dev=dev)
+
+    ivf = IVFIndex.build(vectors, mask, nlist=32, dim=dim)
+    vf, sf = ivf.search(queries, k, ef=64, dev=dev)
+
+    overlap = np.mean([
+        len(set(s8[i]) & set(sf[i])) / k for i in range(16)
+    ])
+    assert overlap >= 0.95, overlap
+    # rescored-by-slot scores are exact corpus cosines
+    scores = queries @ vectors.T
+    for i in range(16):
+        np.testing.assert_allclose(
+            v8[i], scores[i][s8[i]], rtol=1e-5, atol=1e-6
+        )
+    # mutations steer to full rebuild (no in-place overflow path)
+    assert not ivf8.update(np.array([0]), queries[:1], np.array([True]))
+
+
+def test_ivf_i8only_device_build_path(rng, monkeypatch):
+    """i8_only build from a device-resident corpus (the engine path)."""
+    from picovdb_tpu.device import DeviceIndex
+
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    n, dim, k = 2048, 64, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    dev = DeviceIndex(dim, mixed_precision=False, int8_tier=False)
+    dev.full_upload(vectors, mask)
+    ivf8 = IVFIndex.build(
+        None, mask[: n], dim=dim, nlist=16,
+        dev_vectors=dev.vectors, i8_only=True,
+    )
+    assert ivf8.vectors is None
+    queries = normalize_batch(
+        vectors[:8] + 0.01 * rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    vals, slots = ivf8.search(queries, k, ef=64, dev=dev)
+    scores = queries @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    recall = np.mean([len(set(slots[i]) & set(oidx[i])) / k for i in range(8)])
+    assert recall >= 0.9, recall
+
+
+def test_engine_i8only_policy_forced(db_path, rng, monkeypatch):
+    """PICOVDB_IVF_I8ONLY=1 routes the engine's ANN build to the
+    int8-only layout; queries serve through slot rescore."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    monkeypatch.setenv("PICOVDB_IVF_I8ONLY", "1")
+    centers = rng.normal(size=(8, 32)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 8, 600)]
+            + 0.05 * rng.normal(size=(600, 32))).astype(np.float32)
+    db = PicoVectorDB(
+        embedding_dim=32, storage_file=db_path, index="ivf",
+        ivf_nlist=8, ivf_nprobe=8,
+    )
+    db.upsert([{K_ID: f"x{i}", K_VECTOR: vecs[i]} for i in range(600)])
+    res = db.query(vecs[33], top_k=1, ef_search=64)
+    assert res[0][K_ID] == "x33"
+    assert db._ivf is not None and db._ivf.vectors is None
+    assert db._last_topk_strategy == "ivf_i8"
+    # mutation -> full rebuild (update() refuses in-place on i8-only)
+    db.delete(["x33"])
+    res2 = db.query(vecs[33], top_k=1, ef_search=64)
+    assert res2[0][K_ID] != "x33"
