@@ -291,8 +291,10 @@ def main() -> int:
         t_build_warm = time.perf_counter() - t0
         ivf = db._ivf
         assert ivf is not None, "IVF tier did not build"
+        mirror = ("int8-only" if ivf.vectors is None
+                  else str(ivf.vectors.dtype))
         print(f"# build: cold {t_build_cold:.1f} s / warm {t_build_warm:.1f} s"
-              f" (nlist={ivf.nlist}, mirror dtype={ivf.vectors.dtype})",
+              f" (nlist={ivf.nlist}, mirror dtype={mirror})",
               file=sys.stderr)
 
         # ---- recall sweep: smallest nprobe reaching the target -----------
