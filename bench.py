@@ -130,6 +130,32 @@ def main() -> int:
               f"in {serving_elapsed*1000:.1f} ms -> {serving_qps:.0f} QPS",
               file=sys.stderr)
 
+        # ---- device-side batch throughput, transport excluded -------------
+        # The serving number above includes the dev-harness relay (~27 MB/s
+        # result fetches); real PCIe hosts don't have it. Chain M full-batch
+        # dispatches back-to-back and fetch only the last chunk's buffer:
+        # device work serializes in queue order, so the M1->M2 slope is the
+        # pure device time per batch (same methodology as the Q=1 slope).
+        def chain(m):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(m):
+                vd, xd, nq, ke = db._dev.query_async(
+                    q_dev[: args.batch_size], args.topk, None)
+                last = db._dev.pack_results(vd, xd)
+            np.asarray(last[:1, :1])
+            return time.perf_counter() - t0
+
+        chain(1)  # warm
+        dev_batch_s = min(
+            (chain(5) - chain(1)) / 4 for _ in range(3)
+        )
+        device_qps = args.batch_size / dev_batch_s
+        print(f"# device-side batch throughput (dispatch-chain slope, "
+              f"relay excluded): {args.batch_size} queries in "
+              f"{dev_batch_s*1000:.1f} ms -> {device_qps:.0f} QPS",
+              file=sys.stderr)
+
         # ---- reference contract: host queries -> dict-per-hit results ----
         t0 = time.perf_counter()
         results = db.query_batched(
@@ -250,6 +276,7 @@ def main() -> int:
                 "unit": "qps",
                 "vs_baseline": round(serving_qps / baseline_qps, 2),
                 "insert_vec_per_s": round(insert_vec_s, 0),
+                "batch_device_qps": round(device_qps, 0),
                 "single_query_device_ms": round(device_ms, 3),
                 "single_query_launch_amortized_ms": round(amortized_ms, 3),
                 # committed measurements from the scale suite
