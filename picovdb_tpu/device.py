@@ -812,6 +812,27 @@ class DeviceIndex:
             fn = make_approx_topk(k_pad, self.compute_dtype)
             self.last_strategy = "xla_approx"
         elif (
+            self.scan_mode == "auto"
+            and self.use_pallas
+            and not small_q_xla
+            and not force_exact
+            and self.vectors_lp is not None
+        ):
+            # Batches that segmax declined (filtered queries, or k past
+            # SEGMAX_MAX_K) still get the bf16 mirror: the exact selection
+            # LADDER has no per-segment truncation, so it is safe under
+            # any candidate clustering a filter can produce — the reason
+            # segmax must skip filters does not apply. Half the sweep DMA
+            # of the f32 fused route; winners exact-f32-rescored as
+            # always. (The filter mask ANDs into the kernel mask.)
+            from .ops.pallas_scan import make_mixed_fused_topk
+
+            mfb_fn = make_mixed_fused_topk(k_pad, interpret=interpret)
+            lp = self.vectors_lp
+            f32 = self.vectors
+            fn = lambda q, v, m: mfb_fn(q, lp, f32, m)  # noqa: E731
+            self.last_strategy = "mixed_fused_batch"
+        elif (
             self.scan_mode == "fused"
             or (self.scan_mode == "auto" and self.use_pallas
                 and not small_q_xla)

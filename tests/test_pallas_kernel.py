@@ -700,3 +700,32 @@ def test_engine_i8c_routes(db_path, rng, monkeypatch):
     db.upsert([{K_ID: "big", "_vector_": big}])
     res3 = db.query(big, top_k=1)
     assert res3[0][K_ID] == "big"
+
+
+def test_mixed_fused_batch_filtered_route(rng):
+    """Filtered (or wide-k) batches route to the bf16-mirror exact LADDER
+    (no segmax truncation risk under clustered filters) and match the
+    oracle over the filtered candidate set."""
+    from picovdb_tpu.device import DeviceIndex
+
+    dim, n, k = 32, 4096, 5
+    V = normalize_batch(rng.normal(size=(n, dim)).astype(np.float32))
+    dev = DeviceIndex(dim, use_pallas=True, mixed_precision=True,
+                      scan_mode="auto")
+    dev.full_upload(V, np.ones(n, dtype=bool))
+    assert dev.vectors_lp is not None
+    Q = normalize_batch(rng.normal(size=(32, dim)).astype(np.float32))
+    fmask = rng.random(n) > 0.6  # a filter -> segmax must not serve
+    vals, idxs, nq, ke = dev.query_async(Q, k, fmask)
+    assert dev.last_strategy == "mixed_fused_batch"
+    vals = np.asarray(vals)[:nq, :ke]
+    idxs = np.asarray(idxs)[:nq, :ke]
+    ovals, oidx, scores = oracle(Q, V, fmask, k)
+    for qi in range(32):
+        np.testing.assert_allclose(
+            vals[qi], scores[qi][idxs[qi]], rtol=1e-5, atol=1e-6
+        )
+    recall = np.mean(
+        [len(set(idxs[i]) & set(oidx[i])) / k for i in range(32)]
+    )
+    assert recall >= 0.95, recall
