@@ -1421,6 +1421,23 @@ class PicoVectorDB:
                 "sharded": self._dev.mesh is not None,
                 "last_sync_mode": self._last_sync_mode,
                 "last_topk_strategy": self._last_topk_strategy,
+                # selection tiers resident on device
+                "mirrors": {
+                    "bf16": self._dev.vectors_lp is not None,
+                    "int8_rows": self._dev.vectors_i8 is not None,
+                    "int8_cols": self._dev.vectors_i8c is not None,
+                },
+                "ann_postings": (
+                    None if self._ivf is None else (
+                        "int8-only"
+                        if getattr(self._ivf, "vectors", None) is None
+                        else (
+                            "storage+int8"
+                            if getattr(self._ivf, "vectors_i8c", None)
+                            is not None else "storage"
+                        )
+                    )
+                ),
             }
 
     # ------------------------------------------------------------------
