@@ -1160,7 +1160,7 @@ class PicoVectorDB:
                 else:
                     pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
-            segmax = (self._dev.last_strategy or "").startswith("segmax")
+            segmax = _needs_exact_retry(self._dev.last_strategy)
             # Captured INSIDE the lock: the underfill retry below runs after
             # release, and a concurrent writer may swap the mirror between —
             # retrying against self._dev would pair new slot indices with
@@ -1245,7 +1245,7 @@ class PicoVectorDB:
                     pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
             self._last_k_eff = int(k_eff)
-            segmax = (self._dev.last_strategy or "").startswith("segmax")
+            segmax = _needs_exact_retry(self._dev.last_strategy)
             # see query_batched: retry must use the dispatch-time snapshot
             snap = self._dev.snapshot() if segmax else None
             ids_arr = self._ids_array()
@@ -1587,8 +1587,8 @@ class PicoVectorDB:
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask,
                                      mask_key=mask_key)
         self._last_topk_strategy = self._dev.last_strategy
-        if (self._last_topk_strategy or "").startswith(
-            "segmax"
+        if _needs_exact_retry(
+            self._last_topk_strategy
         ) and np.isneginf(vals).any():
             # Underfill net: k_eff <= candidate count by construction, so a
             # -inf in a segmax result means >2 candidates shared a 128-row
@@ -1821,6 +1821,22 @@ class PicoVectorDB:
         except Exception:  # pragma: no cover - ANN tier is optional
             logger.warning("ANN tier build failed; staying exact", exc_info=True)
             self._ivf = None
+
+# Low-precision selection strategies whose results may carry a -inf
+# retry mark: segmax underfill (per-segment truncation) or the crowding
+# mark (near-tie guard-band saturation, ops/pallas_scan._tie_margin).
+# All of them serve UNFILTERED queries only, so the exact retry against
+# the dispatch-time snapshot's (vectors, active) is the full candidate
+# set. mixed_fused_batch is excluded: it can serve filtered queries (no
+# crowding mark is applied there) and its exact ladder never underfills.
+_RETRY_STRATEGIES = (
+    "segmax", "mixed_fused_smallq", "i8_fused_smallq", "i8c_fused_smallq"
+)
+
+
+def _needs_exact_retry(strategy) -> bool:
+    return bool(strategy) and strategy.startswith(_RETRY_STRATEGIES)
+
 
 def _start_host_copies(pending) -> None:
     """Kick off async device->host copies for all pending result chunks so

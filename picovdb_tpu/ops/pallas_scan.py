@@ -539,10 +539,20 @@ def topk_packed_keys(keys_t, k_sel: int, interpret: bool = False):
     return tk, jnp.take_along_axis(cols_t.T, pos, axis=1)
 
 
-@functools.lru_cache(maxsize=256)
 def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
                      interpret: bool = False, guard: int = 6,
-                     normalize: bool = True, stream: bool = False):
+                     normalize: bool = True, stream: bool = False, tie_scale=None):
+    """Env-resolving wrapper: see `_make_segmax_topk_cached`."""
+    if tie_scale is None:
+        tie_scale = _tie_scale_env()
+    return _make_segmax_topk_cached(k, compute_dtype_name, interpret, guard, normalize, stream, tie_scale)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_segmax_topk_cached(k: int, compute_dtype_name: str | None = None,
+                     interpret: bool = False, guard: int = 6,
+                     normalize: bool = True, stream: bool = False,
+                             tie_scale: float = 1.0):
     """Jitted mixed-precision top-k: segmax candidates -> global top-k ->
     exact f32 rescore.
 
@@ -605,7 +615,10 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
                            preferred_element_type=jnp.float32)
         exact = jnp.where(empty, -jnp.inf, exact)
         order = jnp.argsort(-exact, axis=1)
-        vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+        vals_full = jnp.take_along_axis(exact, order, axis=1)
+        vals = _mark_crowded(
+            vals_full[:, :k], vals_full, k,
+            _tie_margin("bf16", queries.shape[1], tie_scale))
         idx = jnp.take_along_axis(gidx, order, axis=1)[:, :k]
         return vals, idx.astype(jnp.int32)
 
@@ -628,6 +641,57 @@ def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
 # winners restores true cosine scores. Quantization noise on the scaled
 # scores is ~3e-4 absolute (vs bf16's ~2e-3), well inside the guard band.
 # --------------------------------------------------------------------------
+
+
+def _tie_margin(kind: str, dim: int, scale: float) -> float:
+    """Crowding margin for the low-precision selection tiers.
+
+    Quantized SELECTION can mis-rank candidates whose true scores sit
+    within the tier's quantization noise; the guard band + exact rescore
+    absorb isolated flips, but a corpus of near-duplicates can pack MORE
+    near-ties than the guard holds (measured: 40/64 top-1 misses on
+    dim=16 clusters at spread 0.015). The check: after the exact rescore,
+    if the k-th and guard-bottom (k_sel-1-th) EXACT scores differ by less
+    than ~4x the tier's measured noise rms, candidates outside the band
+    may also belong in the top-k — the result is marked (k-th value set
+    to -inf) so the engine's underfill retry re-serves it exactly.
+
+    Noise rms scales as 1/sqrt(dim) (measured bias-removed vs f64 at
+    dim 16/128/384/1024: bf16 4.2e-4 -> 5.2e-5, int8 2.2e-3 -> 3.8e-4).
+    The margin is ~1x rms: random corpora's guard-band gaps run 5-50x rms
+    (a 4x-rms margin measured ~20% spurious Q=1 retries at 100k x 1024
+    int8), while near-duplicate bands sit orders of magnitude BELOW rms —
+    1x rms separates the regimes cleanly. An underfilled band (k_sel past
+    the candidate count) has a -inf bottom, making the gap infinite — no
+    spurious retries on small stores. PICOVDB_TIE_MARGIN_SCALE multiplies
+    (0 disables)."""
+    base = 0.0017 if kind == "bf16" else 0.0122  # = rms * sqrt(dim)
+    return base * scale / (dim ** 0.5)
+
+
+def _tie_scale_env() -> float:
+    """PICOVDB_TIE_MARGIN_SCALE, resolved at factory-call time (NOT inside
+    a cached trace — the jitted closures are lru_cached, so the scale must
+    be part of the cache key to keep env changes effective)."""
+    import os as _os
+
+    try:
+        return float(_os.getenv("PICOVDB_TIE_MARGIN_SCALE", "1") or 1)
+    except ValueError:
+        return 1.0
+
+
+def _mark_crowded(vals_k, exact_full, k: int, margin: float):
+    """Set the k-th value to -inf where the guard band is crowded.
+
+    `exact_full` is the (Q, k_sel) exact-rescored, descending score
+    matrix; `vals_k` its [:, :k] slice. A -inf guard bottom (candidate
+    set exhausted) yields an infinite gap — never marked."""
+    if margin <= 0.0 or exact_full.shape[1] <= k:
+        return vals_k
+    crowded = (exact_full[:, k - 1] - exact_full[:, -1]) < margin
+    col = jax.lax.broadcasted_iota(jnp.int32, vals_k.shape, 1)
+    return jnp.where(crowded[:, None] & (col == k - 1), -jnp.inf, vals_k)
 
 
 @jax.jit
@@ -840,9 +904,18 @@ def segmax_scan_i8(q_i8, v_i8, vscale, mask,
     return keys.T, ns
 
 
-@functools.lru_cache(maxsize=256)
 def make_segmax_topk_i8(k: int, interpret: bool = False, guard: int = 6,
-                        normalize: bool = True, stream: bool = False):
+                        normalize: bool = True, stream: bool = False, tie_scale=None):
+    """Env-resolving wrapper: see `_make_segmax_topk_i8_cached`."""
+    if tie_scale is None:
+        tie_scale = _tie_scale_env()
+    return _make_segmax_topk_i8_cached(k, interpret, guard, normalize, stream, tie_scale)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_segmax_topk_i8_cached(k: int, interpret: bool = False, guard: int = 6,
+                        normalize: bool = True, stream: bool = False,
+                                tie_scale: float = 1.0):
     """Jitted int8 top-k: segmax over the int8 mirror -> global top-k ->
     exact f32 rescore.
 
@@ -883,16 +956,28 @@ def make_segmax_topk_i8(k: int, interpret: bool = False, guard: int = 6,
                            preferred_element_type=jnp.float32)
         exact = jnp.where(empty, -jnp.inf, exact)
         order = jnp.argsort(-exact, axis=1)
-        vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+        vals_full = jnp.take_along_axis(exact, order, axis=1)
+        vals = _mark_crowded(
+            vals_full[:, :k], vals_full, k,
+            _tie_margin("i8", queries.shape[1], tie_scale))
         idx = jnp.take_along_axis(gidx, order, axis=1)[:, :k]
         return vals, idx.astype(jnp.int32)
 
     return jax.jit(impl)
 
 
-@functools.lru_cache(maxsize=256)
 def make_fused_topk_i8(k: int, guard: int = 4, interpret: bool = False,
-                       normalize: bool = True):
+                       normalize: bool = True, tie_scale=None):
+    """Env-resolving wrapper: see `_make_fused_topk_i8_cached`."""
+    if tie_scale is None:
+        tie_scale = _tie_scale_env()
+    return _make_fused_topk_i8_cached(k, guard, interpret, normalize, tie_scale)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_fused_topk_i8_cached(k: int, guard: int = 4, interpret: bool = False,
+                       normalize: bool = True,
+                               tie_scale: float = 1.0):
     """Small-batch int8 top-k: the exact selection ladder over the int8
     mirror + exact f32 rescore.
 
@@ -916,7 +1001,9 @@ def make_fused_topk_i8(k: int, guard: int = 4, interpret: bool = False,
         vals, idx = fused_topk_i8(q_i8, v_i8, vscale, mask, k_sel,
                                   interpret=interpret)
         vals, idx = rescore_exact(queries, rescore_vectors, vals, idx)
-        return vals[:, :k], idx[:, :k]
+        out_vals = _mark_crowded(vals[:, :k], vals, k,
+                                 _tie_margin("i8", queries.shape[1], tie_scale))
+        return out_vals, idx[:, :k]
 
     return jax.jit(impl)
 
@@ -1078,9 +1165,18 @@ def segmax_scan_i8c(q_i8, v_i8, mask, qt: int = DEFAULT_QT,
     return keys.T, ns
 
 
-@functools.lru_cache(maxsize=256)
 def make_segmax_topk_i8c(k: int, interpret: bool = False, guard: int = 8,
-                         normalize: bool = True, stream: bool = False):
+                         normalize: bool = True, stream: bool = False, tie_scale=None):
+    """Env-resolving wrapper: see `_make_segmax_topk_i8c_cached`."""
+    if tie_scale is None:
+        tie_scale = _tie_scale_env()
+    return _make_segmax_topk_i8c_cached(k, interpret, guard, normalize, stream, tie_scale)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_segmax_topk_i8c_cached(k: int, interpret: bool = False, guard: int = 8,
+                         normalize: bool = True, stream: bool = False,
+                                 tie_scale: float = 1.0):
     """Jitted column-scaled int8 top-k: integer segmax -> global top-k ->
     exact f32 rescore.
 
@@ -1122,7 +1218,10 @@ def make_segmax_topk_i8c(k: int, interpret: bool = False, guard: int = 8,
                            preferred_element_type=jnp.float32)
         exact = jnp.where(empty, -jnp.inf, exact)
         order = jnp.argsort(-exact, axis=1)
-        vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
+        vals_full = jnp.take_along_axis(exact, order, axis=1)
+        vals = _mark_crowded(
+            vals_full[:, :k], vals_full, k,
+            _tie_margin("i8", queries.shape[1], tie_scale))
         idx = jnp.take_along_axis(gidx, order, axis=1)[:, :k]
         return vals, idx.astype(jnp.int32)
 
@@ -1242,9 +1341,18 @@ def fused_topk_i8c(q_i8, v_i8, mask, k: int, qt: int = DEFAULT_QT,
     return vals, idxs
 
 
-@functools.lru_cache(maxsize=256)
 def make_fused_topk_i8c(k: int, guard: int = 6, interpret: bool = False,
-                        normalize: bool = True):
+                        normalize: bool = True, tie_scale=None):
+    """Env-resolving wrapper: see `_make_fused_topk_i8c_cached`."""
+    if tie_scale is None:
+        tie_scale = _tie_scale_env()
+    return _make_fused_topk_i8c_cached(k, guard, interpret, normalize, tie_scale)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_fused_topk_i8c_cached(k: int, guard: int = 6, interpret: bool = False,
+                        normalize: bool = True,
+                                tie_scale: float = 1.0):
     """Small-batch column-scaled int8 top-k: integer exact-selection ladder
     + exact f32 rescore.
 
@@ -1265,14 +1373,25 @@ def make_fused_topk_i8c(k: int, guard: int = 6, interpret: bool = False,
         vals, idx = fused_topk_i8c(q_i8, v_i8, mask, k_sel,
                                    interpret=interpret)
         vals, idx = rescore_exact(queries, rescore_vectors, vals, idx)
-        return vals[:, :k], idx[:, :k]
+        out_vals = _mark_crowded(vals[:, :k], vals, k,
+                                 _tie_margin("i8", queries.shape[1], tie_scale))
+        return out_vals, idx[:, :k]
 
     return jax.jit(impl)
 
 
-@functools.lru_cache(maxsize=256)
 def make_mixed_fused_topk(k: int, guard: int = 4, interpret: bool = False,
-                          normalize: bool = True):
+                          normalize: bool = True, tie_scale=None):
+    """Env-resolving wrapper: see `_make_mixed_fused_topk_cached`."""
+    if tie_scale is None:
+        tie_scale = _tie_scale_env()
+    return _make_mixed_fused_topk_cached(k, guard, interpret, normalize, tie_scale)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_mixed_fused_topk_cached(k: int, guard: int = 4, interpret: bool = False,
+                          normalize: bool = True,
+                                  tie_scale: float = 1.0):
     """Small-batch mixed-precision top-k: the exact selection ladder over
     the bf16 scan mirror + exact f32 rescore.
 
@@ -1295,7 +1414,9 @@ def make_mixed_fused_topk(k: int, guard: int = 4, interpret: bool = False,
         vals, idx = fused_topk(queries, scan_vectors, mask, k_sel,
                                interpret=interpret)
         vals, idx = rescore_exact(queries, rescore_vectors, vals, idx)
-        return vals[:, :k], idx[:, :k]
+        out_vals = _mark_crowded(vals[:, :k], vals, k,
+                                 _tie_margin("bf16", queries.shape[1], tie_scale))
+        return out_vals, idx[:, :k]
 
     return jax.jit(impl)
 

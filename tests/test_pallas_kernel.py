@@ -428,6 +428,9 @@ def test_engine_int8_routes(db_path, rng, monkeypatch):
     from picovdb_tpu.device import DeviceIndex
 
     monkeypatch.setenv("PICOVDB_SEGMAX_I8", "1")
+    # routing test: disable the near-tie crowding retry (int8 noise at
+    # dim=16 legitimately crowds random data's top-k band)
+    monkeypatch.setenv("PICOVDB_TIE_MARGIN_SCALE", "0")
     dim, n = 16, DeviceIndex.SEGMAX_MIN_CAP
     vecs = rng.normal(size=(n, dim)).astype(np.float32)
     db = PicoVectorDB(
@@ -678,6 +681,7 @@ def test_engine_i8c_routes(db_path, rng, monkeypatch):
 
     monkeypatch.setenv("PICOVDB_SEGMAX_I8C", "1")
     monkeypatch.setenv("PICOVDB_SMALLQ_I8C", "1")
+    monkeypatch.setenv("PICOVDB_TIE_MARGIN_SCALE", "0")  # routing test
     dim, n = 16, DeviceIndex.SEGMAX_MIN_CAP
     vecs = rng.normal(size=(n, dim)).astype(np.float32)
     db = PicoVectorDB(
@@ -729,3 +733,47 @@ def test_mixed_fused_batch_filtered_route(rng):
         [len(set(idxs[i]) & set(oidx[i])) / k for i in range(32)]
     )
     assert recall >= 0.95, recall
+
+
+def test_near_duplicate_crowding_retries_exact(db_path, rng):
+    """Near-duplicate corpora saturate the low-precision guard band; the
+    crowding mark must steer those queries to the exact retry (measured
+    failure without it: 40/64 wrong top-1 at dim=16, spread 0.015)."""
+    from picovdb_tpu import PicoVectorDB, K_ID
+
+    dim, n = 16, 40960
+    centers = normalize_batch(rng.normal(size=(8, dim)).astype(np.float32))
+    V = normalize_batch(
+        centers[rng.integers(0, 8, n)]
+        + 0.015 * rng.normal(size=(n, dim)).astype(np.float32)
+    )
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      int8_tier=True, mixed_precision=True)
+    db.upsert_columnar(V, ids=[str(i) for i in range(n)], copy=False)
+    Vn = normalize_batch(V.copy())
+    for i in range(16):
+        res = db.query(V[i], top_k=1)
+        got = int(res[0][K_ID])
+        # the returned winner's true score must match the self-match
+        assert float(Vn[i] @ Vn[got]) >= float(Vn[i] @ Vn[i]) - 1e-6, (i, got)
+    # batch (segmax) path too
+    out = db.query(V[:32], top_k=3)
+    for i in range(32):
+        got = int(out[i][0][K_ID])
+        assert float(Vn[i] @ Vn[got]) >= float(Vn[i] @ Vn[i]) - 1e-6
+
+
+def test_separated_data_does_not_trigger_crowding(db_path, rng):
+    """Well-separated corpora must keep the fast tiers (no retry storm)."""
+    from picovdb_tpu import PicoVectorDB
+    from picovdb_tpu.device import DeviceIndex
+
+    dim, n = 64, DeviceIndex.SEGMAX_MIN_CAP
+    V = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      int8_tier=True, mixed_precision=True)
+    db.upsert_columnar(V, ids=[str(i) for i in range(n)], copy=False)
+    db.query(V[7], top_k=3)
+    assert db._last_topk_strategy == "i8_fused_smallq"
+    db.query(V[:64], top_k=3)
+    assert db._last_topk_strategy.startswith("segmax")
