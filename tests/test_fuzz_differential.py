@@ -1,0 +1,152 @@
+"""Randomized differential test: engine vs a plain-NumPy model.
+
+The targeted suites pin individual behaviors; this fuzz drives random
+operation sequences (upsert new/existing/zero vectors, deletes incl.
+missing ids, filtered queries in every form, save/reload, vacuum)
+against an oracle model and checks every query result — the
+property-based complement of the reference's behavior tests
+(SURVEY.md §4). Seeded: failures reproduce exactly.
+"""
+
+import numpy as np
+import pytest
+
+from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS, K_VECTOR
+from picovdb_tpu.utils import normalize_batch
+
+DIM = 24
+
+
+class Model:
+    """Reference semantics in plain numpy: id -> (unit vector, doc)."""
+
+    def __init__(self):
+        self.rows: dict[str, tuple[np.ndarray, dict]] = {}
+
+    def upsert(self, items):
+        for _id, vec, doc in items:
+            v = normalize_batch(vec[None, :].astype(np.float32))[0]
+            self.rows[_id] = (v, doc)
+
+    def delete(self, ids):
+        for _id in ids:
+            self.rows.pop(_id, None)
+
+    def query(self, qvec, top_k, better_than=None, where=None, ids=None):
+        q = normalize_batch(qvec[None, :].astype(np.float32))[0]
+        cand = self.rows
+        if ids is not None:
+            cand = {i: cand[i] for i in ids if i in cand}
+        out = []
+        for _id, (v, doc) in cand.items():
+            if where is not None:
+                if callable(where):
+                    if not where(doc):
+                        continue
+                else:
+                    (key, want), = where.items()
+                    got = doc.get(key)
+                    if isinstance(want, dict):
+                        if got not in want["$in"]:
+                            continue
+                    elif got != want:
+                        continue
+            s = float(q @ v)
+            if better_than is not None and s < better_than:
+                continue
+            out.append((s, _id))
+        out.sort(key=lambda t: -t[0])
+        return out[:top_k]
+
+
+def check(model_hits, engine_hits, top_k):
+    assert len(engine_hits) == len(model_hits), (
+        engine_hits, model_hits
+    )
+    for rank, hit in enumerate(engine_hits):
+        m_score = model_hits[rank][0]
+        assert abs(hit[K_METRICS] - m_score) < 1e-4, (rank, hit, model_hits)
+        # the returned id must score equal to the model's at this rank
+        # (ties between distinct ids are legitimate either-way picks)
+        m_ids_at_score = {
+            i for s, i in model_hits if abs(s - m_score) < 1e-4
+        }
+        assert hit[K_ID] in m_ids_at_score or any(
+            abs(s - hit[K_METRICS]) < 1e-4 for s, i in model_hits
+        ), (rank, hit, model_hits)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng):
+    r = np.random.default_rng(1000 + seed)
+    path = str(tmp_path / f"fuzz{seed}")
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=path)
+    model = Model()
+    next_id = 0
+
+    def rand_vec():
+        if r.random() < 0.03:
+            return np.zeros(DIM, dtype=np.float32)  # zero -> e0 path
+        return r.normal(size=DIM).astype(np.float32)
+
+    for step in range(60):
+        op = r.random()
+        if op < 0.35:  # upsert batch (mix of new and existing ids)
+            batch = []
+            for _ in range(int(r.integers(1, 12))):
+                if model.rows and r.random() < 0.3:
+                    _id = str(r.choice(sorted(model.rows)))
+                else:
+                    _id = f"v{next_id}"
+                    next_id += 1
+                vec = rand_vec()
+                doc = {K_ID: _id, "group": int(r.integers(0, 4)),
+                       "rank": int(r.integers(0, 100))}
+                batch.append((_id, vec, doc))
+            db.upsert([
+                {**doc, K_VECTOR: vec} for _id, vec, doc in batch
+            ])
+            model.upsert(batch)
+        elif op < 0.5 and model.rows:  # delete (some missing)
+            ids = list(r.choice(sorted(model.rows),
+                                size=min(3, len(model.rows)),
+                                replace=False))
+            if r.random() < 0.3:
+                ids.append("missing-id")
+            db.delete(ids)
+            model.delete(ids)
+        elif op < 0.6:  # persistence round-trip
+            db.save()
+            db = PicoVectorDB(embedding_dim=DIM, storage_file=path)
+        elif op < 0.65:
+            db.vacuum()
+        else:  # query, every filter form
+            q = rand_vec()
+            top_k = int(r.integers(1, 8))
+            better = float(r.uniform(-0.2, 0.4)) if r.random() < 0.3 else None
+            where = None
+            ids = None
+            f = r.random()
+            if f < 0.2:
+                where = {"group": int(r.integers(0, 4))}
+            elif f < 0.35:
+                where = {"group": {"$in": [0, 2]}}
+            elif f < 0.45:
+                lim = int(r.integers(0, 100))
+                where = (lambda lim: lambda d: d.get("rank", 0) < lim)(lim)
+            elif f < 0.6 and model.rows:
+                pool = sorted(model.rows)
+                ids = list(r.choice(
+                    pool, size=min(5, len(pool)), replace=False
+                )) + ["missing-id"]
+            res = db.query(q, top_k=top_k, better_than=better,
+                           where=where, ids=ids)
+            if not model.rows:
+                assert res == [[]]
+                continue
+            check(model.query(q, top_k, better, where, ids), res, top_k)
+
+    # final full-state comparison
+    assert db.count() == len(model.rows)
+    got = {rec[K_ID] for rec in db.get_all()}
+    assert got == set(model.rows)
