@@ -36,7 +36,7 @@ def main() -> int:
     p.add_argument("--dim", type=int, default=1024)
     p.add_argument("--queries", type=int, default=32768)
     p.add_argument("--topk", type=int, default=10)
-    p.add_argument("--batch-size", type=int, default=8192)
+    p.add_argument("--batch-size", type=int, default=2048)
     p.add_argument("--recall-sample", type=int, default=64)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--storage-dtype", default=None,

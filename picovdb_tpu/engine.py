@@ -1193,9 +1193,14 @@ class PicoVectorDB:
         better_than: Optional[float] = None,
         where: WhereArg = None,
         ids: Optional[list[str]] = None,
-        batch_size: int = 8192,
+        batch_size: int = 2048,
     ):
         """Serving-mode batch query returning columnar results (new here).
+
+        `batch_size` default 2048: finer chunks pipeline device compute,
+        result transfer and host assembly better than 8192-row chunks
+        (measured 123.1 vs 141.5 ms per 32768 queries at 100k x 1024 —
+        266k vs 232k QPS; bench/results/serve_anatomy_r3b.json).
 
         Returns `(ids, scores)`: an (Q, top_k) object array of string IDs
         (None marks missing/filtered positions) and an (Q, top_k) float32
