@@ -110,6 +110,45 @@ def make_mixture_device(n, dim, centers_dev, key, noise=0.35, chunk=262_144,
     return buf
 
 
+def make_mixture_device_i8(n, dim, centers_dev, key, noise=0.35,
+                           chunk=262_144):
+    """int8 variant of `make_mixture_device`: each chunk is normalized
+    then per-row int8-quantized straight into a (n, dim) int8 buffer +
+    (n,) scale column — the only way a 12M x 1024 corpus (12 GB int8,
+    49 GB f32) ever fits a 16 GB chip. Feeds
+    `ingest_device(..., normalize=False, scales=...)`."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from picovdb_tpu.ops.pallas_scan import quantize_rows_i8
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnums=(5,))
+    def fill(buf, sbuf, centers, key, start, m):
+        k1, k2 = jax.random.split(key)
+        c = jax.random.randint(k1, (m,), 0, centers.shape[0])
+        rows = centers[c] + noise * jax.random.normal(
+            k2, (m, dim), dtype=jnp.float32
+        )
+        rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+        q8, qs = quantize_rows_i8(rows)
+        buf = jax.lax.dynamic_update_slice(buf, q8, (start, 0))
+        sbuf = jax.lax.dynamic_update_slice(sbuf, qs, (start,))
+        return buf, sbuf
+
+    buf = jnp.zeros((n, dim), dtype=jnp.int8)
+    sbuf = jnp.zeros((n,), dtype=jnp.float32)
+    s = 0
+    while s < n:
+        m = min(chunk, n - s)
+        key, sub = jax.random.split(key)
+        buf, sbuf = fill(buf, sbuf, centers_dev, sub, s, m)
+        s += m
+    return buf, sbuf
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=2_000_000)
@@ -178,10 +217,17 @@ def main() -> int:
               f"({args.centers} centers)", file=sys.stderr)
         # Generate pre-normalized rows straight into the storage dtype: at
         # 4M x 1024 the f32 intermediate alone would be 16 GB.
-        sdt = jnp.bfloat16 if args.storage_dtype == "bfloat16" else None
-        corpus_dev = make_mixture_device(
-            args.n, args.dim, centers_dev, kd, out_dtype=sdt, normalize=True
-        )
+        corpus_scales = None
+        if args.storage_dtype == "int8":
+            corpus_dev, corpus_scales = make_mixture_device_i8(
+                args.n, args.dim, centers_dev, kd
+            )
+        else:
+            sdt = jnp.bfloat16 if args.storage_dtype == "bfloat16" else None
+            corpus_dev = make_mixture_device(
+                args.n, args.dim, centers_dev, kd, out_dtype=sdt,
+                normalize=True
+            )
         corpus_dev.block_until_ready()
         q_dev = make_mixture_device(qmax, args.dim, centers_dev, kq)
         queries = np.array(q_dev)  # writable host copy (asarray is RO)
@@ -223,8 +269,9 @@ def main() -> int:
         t0 = time.perf_counter()
         if corpus_dev is not None:
             db.ingest_device(corpus_dev, ids=[str(i) for i in range(args.n)],
-                             normalize=False)  # rows pre-normalized above
-            corpus_dev = None  # engine owns (a cast of) it now
+                             normalize=False,  # rows pre-normalized above
+                             scales=corpus_scales)
+            corpus_dev = corpus_scales = None  # engine owns them now
         else:
             db.upsert_columnar(data, ids=[str(i) for i in range(args.n)],
                                copy=False)

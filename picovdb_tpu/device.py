@@ -106,6 +106,7 @@ class DeviceIndex:
         self.dim = dim
         self.cap = 0
         self.vectors = None  # jax.Array (cap, dim) in storage_dtype
+        self.vstore_scale = None  # (cap,) f32 per-row scales (int8 storage)
         self.vectors_lp = None  # bf16 scan mirror (mixed-precision tier)
         self.vectors_i8 = None  # int8 selection mirror (latency tier)
         self.vscale = None  # (cap,) f32 per-row scales of the int8 mirror
@@ -118,8 +119,16 @@ class DeviceIndex:
         # bfloat16 storage halves HBM residency and sweep traffic; scoring
         # accumulates in f32 and the winners are exact-rescored against the
         # same storage, so ranking error stays ~1e-3 (guard band absorbs
-        # boundary flips). Host persistence remains float32 either way.
+        # boundary flips). int8 storage quarters residency (per-ROW scales:
+        # exact mutation semantics, ~3e-4 score quantization at dim 1024 —
+        # tighter than bf16) and lifts the single-chip capacity ceiling to
+        # ~12M x 1024 rows. Host persistence remains float32 either way.
         self.storage_dtype = storage_dtype or "float32"
+        if self.storage_dtype == "int8" and mesh is not None:
+            raise ValueError(
+                "storage_dtype='int8' is single-device only (shard the "
+                "corpus with float32/bfloat16 storage instead)"
+            )
         if compute_dtype is None and self.storage_dtype == "bfloat16":
             compute_dtype = "bfloat16"
         self.compute_dtype = compute_dtype
@@ -304,8 +313,43 @@ class DeviceIndex:
         """Upload the whole corpus, growing padded capacity as needed."""
         n = host_vectors.shape[0]
         cap = max(self.cap, self._padded_cap(n))
-        sdt = self._storage_np_dtype()
         mask = _pad_rows(np.ascontiguousarray(active_np, dtype=bool), cap)
+        if self.storage_dtype == "int8":
+            # Per-row quantization is chunk-local (each row owns its
+            # scale), so the int8 corpus builds in ONE streaming pass:
+            # upload an f32 chunk, quantize on device, scatter into the
+            # int8 buffer + scale column.
+            from .ops.pallas_scan import quantize_rows_i8
+
+            buf = jax.device_put(
+                jnp.zeros((cap, self.dim), dtype=jnp.int8), self._device
+            )
+            scales = jax.device_put(
+                jnp.zeros((cap,), dtype=jnp.float32), self._device
+            )
+            chunk = self.STREAM_CHUNK_ROWS
+            for start in range(0, n, chunk):
+                rows = np.ascontiguousarray(
+                    np.asarray(host_vectors[start:start + chunk], dtype=Float)
+                )
+                q8, qs = quantize_rows_i8(
+                    jax.device_put(rows, self._device)
+                )
+                idx = jax.device_put(
+                    np.arange(start, start + rows.shape[0], dtype=np.int32),
+                    self._device,
+                )
+                buf = _scatter_rows(buf, idx, q8)
+                scales = _scatter_1d(scales, idx, qs)
+            self.vectors = buf
+            self.vstore_scale = scales
+            self.active = jax.device_put(mask, self._device)
+            self.cap = cap
+            self._refresh_lp_mirror()
+            self._mask_cache.clear()
+            self.last_sync_mode = "full"
+            return
+        sdt = self._storage_np_dtype()
         stream = n > self.STREAM_CHUNK_ROWS and self.mesh is None
         if stream:
             buf = jax.device_put(
@@ -334,7 +378,8 @@ class DeviceIndex:
         self._mask_cache.clear()
         self.last_sync_mode = "full"
 
-    def adopt(self, vectors_dev, n: int, normalize: bool = False) -> None:
+    def adopt(self, vectors_dev, n: int, normalize: bool = False,
+              scales=None) -> None:
         """Adopt a device-resident (n, dim) array as the full corpus.
 
         Device-born ingestion: embeddings produced on the TPU (e.g. by the
@@ -345,6 +390,62 @@ class DeviceIndex:
         donated so peak HBM is input + padded output.
         """
         cap = max(self.cap, self._padded_cap(n))
+        if self.storage_dtype == "int8" and scales is not None:
+            # pre-quantized device-born input (built chunk-wise when the
+            # f32 intermediate could never fit HBM — e.g. 12M x 1024):
+            # pad and adopt as-is
+            assert vectors_dev.dtype == jnp.int8, vectors_dev.dtype
+
+            @functools.partial(jax.jit, static_argnums=(2,),
+                               donate_argnums=(0, 1))
+            def _pad_q(v8, vs, pad):
+                if pad:
+                    v8 = jnp.pad(v8, ((0, pad), (0, 0)))
+                    vs = jnp.pad(vs, (0, pad))
+                return v8, vs
+
+            v8, vs = _pad_q(vectors_dev, scales, cap - n)
+            self.vectors = jax.device_put(v8, self._device)
+            self.vstore_scale = jax.device_put(vs, self._device)
+            self.active = jax.device_put(
+                jnp.arange(cap, dtype=jnp.int32) < n, self._device
+            )
+            self.cap = cap
+            self._refresh_lp_mirror()
+            self._mask_cache.clear()
+            self.last_sync_mode = "full"
+            return
+        if self.storage_dtype == "int8":
+            from .ops.pallas_scan import quantize_rows_i8
+
+            @functools.partial(
+                jax.jit, static_argnums=(1, 2), donate_argnums=(0,)
+            )
+            def _prep_i8(x, pad, do_norm):
+                x = x.astype(jnp.float32)
+                if do_norm:
+                    nrm = jnp.linalg.norm(x, axis=1, keepdims=True)
+                    e0 = jnp.zeros_like(x).at[:, 0].set(1.0)
+                    x = jnp.where(
+                        nrm > 0.0, x / jnp.where(nrm > 0, nrm, 1), e0
+                    )
+                q8, qs = quantize_rows_i8(x)
+                if pad:
+                    q8 = jnp.pad(q8, ((0, pad), (0, 0)))
+                    qs = jnp.pad(qs, (0, pad))
+                return q8, qs
+
+            v8, vs = _prep_i8(vectors_dev, cap - n, bool(normalize))
+            self.vectors = jax.device_put(v8, self._device)
+            self.vstore_scale = jax.device_put(vs, self._device)
+            self.active = jax.device_put(
+                jnp.arange(cap, dtype=jnp.int32) < n, self._device
+            )
+            self.cap = cap
+            self._refresh_lp_mirror()
+            self._mask_cache.clear()
+            self.last_sync_mode = "full"
+            return
         sdt = jnp.dtype(self._storage_np_dtype())
 
         @functools.partial(
@@ -392,6 +493,15 @@ class DeviceIndex:
         """
         import os as _os
 
+        if self.storage_dtype == "int8":
+            # the corpus IS the quantized tier; no mirrors
+            self.vectors_lp = None
+            self.vectors_i8 = None
+            self.vscale = None
+            self.vectors_i8c = None
+            self.cscale = None
+            self._i8c_budget_ok = False
+            return
         budget = int(
             float(_os.getenv("PICOVDB_MIXED_BUDGET_GB", "0") or 0) * 2**30
         ) or self.MIXED_HBM_BUDGET
@@ -465,7 +575,22 @@ class DeviceIndex:
         else:
             pad_idx, pad_act = idxs, active_vals
         dev_idx = jax.device_put(pad_idx.astype(np.int32), self._replicated())
-        if rows is not None:
+        if rows is not None and self.storage_dtype == "int8":
+            # per-row scales: mutations quantize exactly, no stale scales
+            from .ops.pallas_scan import quantize_rows_i8
+
+            if pad_n != n:
+                rows = np.concatenate(
+                    [rows, np.repeat(rows[-1:], pad_n - n, axis=0)]
+                )
+            q8, qs = quantize_rows_i8(
+                jax.device_put(
+                    np.ascontiguousarray(rows, dtype=Float), self._device
+                )
+            )
+            self.vectors = _scatter_rows(self.vectors, dev_idx, q8)
+            self.vstore_scale = _scatter_1d(self.vstore_scale, dev_idx, qs)
+        elif rows is not None:
             if pad_n != n:
                 rows = np.concatenate([rows, np.repeat(rows[-1:], pad_n - n, axis=0)])
             dev_rows = jax.device_put(
@@ -524,7 +649,7 @@ class DeviceIndex:
         back to `self.vectors` would pair a new mirror with result
         bookkeeping (docs/ids) captured against the old one.
         """
-        return (self.vectors, self.active)
+        return (self.vectors, self.active, self.vstore_scale)
 
     def query_exact_snapshot(self, snap, qnorm, k):
         """Exact masked top-k against a captured `snapshot()`.
@@ -533,7 +658,7 @@ class DeviceIndex:
         the segmax underfill retry so the re-dispatch sees exactly the
         arrays the original dispatch saw (round-2 review item 6).
         """
-        vectors, active = snap
+        vectors, active, vscale = snap
         num_q = qnorm.shape[0]
         if isinstance(qnorm, np.ndarray):
             q_dev = jax.device_put(
@@ -544,8 +669,14 @@ class DeviceIndex:
             if q_dev.dtype != jnp.float32:
                 q_dev = q_dev.astype(jnp.float32)
         k_eff = min(k, vectors.shape[0])
-        fn = make_exact_topk(k_eff, self.compute_dtype)
-        vals, idxs = fn(q_dev, vectors, active)
+        if vscale is not None:  # int8 storage snapshot
+            from .ops.exact import make_exact_topk_i8r
+
+            fn8 = make_exact_topk_i8r(k_eff)
+            vals, idxs = fn8(q_dev, vectors, vscale, active)
+        else:
+            fn = make_exact_topk(k_eff, self.compute_dtype)
+            vals, idxs = fn(q_dev, vectors, active)
         return np.asarray(vals)[:num_q], np.asarray(idxs)[:num_q]
 
     def query(
@@ -605,6 +736,28 @@ class DeviceIndex:
         if self.vectors is None or self.cap == 0:
             raise RuntimeError("query before any upload")
         num_q = qnorm.shape[0]
+        # int8 STORAGE routing (see full_upload): segmax over the int8
+        # corpus for large unfiltered batches, the int8 ladder for small
+        # ones, the int8 XLA scan otherwise — all with dequant rescore.
+        i8s = self.storage_dtype == "int8"
+        i8s_segmax = (
+            i8s
+            and not force_exact
+            and filter_mask is None
+            and self.scan_mode in ("auto", "mixed")
+            and min(k, self.cap) <= self.SEGMAX_MAX_K
+            and self.cap >= self.SEGMAX_MIN_CAP
+            and (num_q > self.SMALL_Q_XLA or self.scan_mode == "mixed")
+        )
+        i8s_smallq = (
+            i8s
+            and not i8s_segmax
+            and not force_exact
+            and filter_mask is None
+            and self.scan_mode == "auto"
+            and num_q <= self.SMALL_Q_XLA
+            and min(k, self.cap) + 4 <= 16
+        )
         # Query padding buckets the jit cache (pow2) and aligns the fused
         # kernel's query tiles. Small batches routed to the XLA scan skip
         # it entirely: the matmul handles any Q, and on the serving path
@@ -668,6 +821,7 @@ class DeviceIndex:
         )
         small_q_xla = (
             self.mesh is None
+            and not i8s
             and self.scan_mode == "auto"
             and not use_segmax
             and not small_q_i8
@@ -677,7 +831,8 @@ class DeviceIndex:
         )
         q_pad = (
             num_q if (small_q_xla or small_q_mixed or small_q_i8
-                      or small_q_i8c)
+                      or small_q_i8c or i8s_smallq
+                      or (i8s and not i8s_segmax))
             else max(MIN_QUERY_PAD, next_pow2(num_q))
         )
         if isinstance(qnorm, np.ndarray):
@@ -743,6 +898,34 @@ class DeviceIndex:
             self.last_strategy = (
                 "sharded_scan_pallas" if use_pallas else "sharded_scan"
             )
+        elif i8s_segmax:
+            from .ops.pallas_scan import make_segmax_topk_i8
+
+            stream = (q_pad > 256 if self.segmax_stream is None
+                      else self.segmax_stream)
+            s8s_fn = make_segmax_topk_i8(k_pad, interpret=interpret,
+                                         stream=stream,
+                                         rescore_dequant=True)
+            v8, vs = self.vectors, self.vstore_scale
+            fn = lambda q, v, m: s8s_fn(q, v8, vs, v8, m)  # noqa: E731
+            self.last_strategy = (
+                "segmax_i8stor_stream" if stream else "segmax_i8stor"
+            )
+        elif i8s_smallq:
+            from .ops.pallas_scan import make_fused_topk_i8
+
+            f8s_fn = make_fused_topk_i8(k_pad, interpret=interpret,
+                                        rescore_dequant=True)
+            v8, vs = self.vectors, self.vstore_scale
+            fn = lambda q, v, m: f8s_fn(q, v8, vs, v8, m)  # noqa: E731
+            self.last_strategy = "i8stor_fused_smallq"
+        elif i8s:
+            from .ops.exact import make_exact_topk_i8r
+
+            x8_fn = make_exact_topk_i8r(k_pad)
+            vs = self.vstore_scale
+            fn = lambda q, v, m: x8_fn(q, v, vs, m)  # noqa: E731
+            self.last_strategy = "i8stor_xla"
         elif use_segmax and self.segmax_i8c and self.ensure_i8c_mirror():
             from .ops.pallas_scan import make_segmax_topk_i8c
 
@@ -880,7 +1063,15 @@ class DeviceIndex:
             )
         k_eff = min(k, self.cap)
         interpret = getattr(self._device, "platform", "cpu") != "tpu"
-        if (self.smallq_i8c and k_eff + 6 <= 16
+        if self.storage_dtype == "int8" and k_eff + 4 <= 16:
+            from .ops.pallas_scan import make_fused_topk_i8
+
+            inner = make_fused_topk_i8(k_eff, interpret=interpret,
+                                       rescore_dequant=True)
+            args = (self.vectors, self.vstore_scale, self.vectors,
+                    self.active)
+            self.last_strategy = "i8stor_fused_smallq_loop"
+        elif (self.smallq_i8c and k_eff + 6 <= 16
                 and self.ensure_i8c_mirror()):
             from .ops.pallas_scan import make_fused_topk_i8c
 
@@ -899,6 +1090,12 @@ class DeviceIndex:
             inner = make_mixed_fused_topk(k_eff, interpret=interpret)
             args = (self.vectors_lp, self.vectors, self.active)
             self.last_strategy = "mixed_fused_smallq_loop"
+        elif self.storage_dtype == "int8":
+            from .ops.exact import make_exact_topk_i8r
+
+            inner = make_exact_topk_i8r(k_eff)
+            args = (self.vectors, self.vstore_scale, self.active)
+            self.last_strategy = "i8stor_xla_loop"
         else:
             inner = make_exact_topk(k_eff, self.compute_dtype)
             args = (self.vectors, self.active)

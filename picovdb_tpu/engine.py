@@ -325,6 +325,7 @@ class PicoVectorDB:
                                 dev_vectors=self._dev.vectors,
                                 storage_dtype=self._dev.storage_dtype,
                                 i8_only=self._ivf_i8_only(),
+                                dequant_scale=self._dev.vstore_scale,
                             )
                     except Exception:
                         self._ivf = None
@@ -738,6 +739,7 @@ class PicoVectorDB:
         ids: list[str],
         metadata: Optional[list[Optional[dict]]] = None,
         normalize: bool = True,
+        scales=None,
     ) -> dict[str, list[str]]:
         """Bulk-load a device-resident embedding matrix into a fresh store.
 
@@ -800,7 +802,10 @@ class PicoVectorDB:
                 raise ValueError(
                     "ingest_device does not support fixed-capacity stores"
                 )
-            self._dev.adopt(vectors, n, normalize=normalize)
+            # `scales`: pre-quantized int8 device input (built chunk-wise
+            # when an f32 intermediate could never fit HBM); rows must be
+            # pre-normalized-then-quantized, one f32 scale per row.
+            self._dev.adopt(vectors, n, normalize=normalize, scales=scales)
             self._host_vectors = None
             self._host_lazy = True
             self._ids = list(ids)
@@ -839,6 +844,10 @@ class PicoVectorDB:
         n = len(self._ids)
         if n == 0:
             self._host_vectors = np.empty((0, self.dim), dtype=Float)
+        elif self._dev.vstore_scale is not None:  # int8 storage: dequantize
+            rows = np.asarray(self._dev.vectors[:n]).astype(Float)
+            rows *= np.asarray(self._dev.vstore_scale[:n])[:, None]
+            self._host_vectors = to_c_f32(rows)
         else:
             self._host_vectors = to_c_f32(
                 np.asarray(self._dev.vectors[:n]).astype(Float)
@@ -1315,7 +1324,10 @@ class PicoVectorDB:
         host matrix is lazy (device-born ingestion), without materializing
         the whole corpus under a read lock."""
         if self._host_lazy:
-            return np.asarray(self._dev.vectors[idx]).astype(Float)
+            row = np.asarray(self._dev.vectors[idx]).astype(Float)
+            if self._dev.vstore_scale is not None:  # int8 storage
+                row *= float(self._dev.vstore_scale[idx])
+            return row
         return np.array(self._host_vectors[idx], dtype=Float)
 
     def _record(self, idx: int, _id: str, include_vector: bool) -> dict[str, Any]:
@@ -1712,6 +1724,10 @@ class PicoVectorDB:
 
         from .ops.ivf import _ivf_i8_enabled
 
+        if self._dev.storage_dtype == "int8":
+            # the classic layout's raw-int8 reordered mirror cannot be
+            # scored (per-row scales) — int8-only is the only layout
+            return True
         env = _os.getenv("PICOVDB_IVF_I8ONLY", "auto")
         if env in ("0", "false", "False"):
             return False
@@ -1820,6 +1836,10 @@ class PicoVectorDB:
                     dev_vectors=dev_vectors,
                     storage_dtype=self._dev.storage_dtype,
                     i8_only=self._ivf_i8_only(),
+                    dequant_scale=(
+                        self._dev.vstore_scale
+                        if dev_vectors is not None else None
+                    ),
                 )
             else:
                 self._ivf = None

@@ -119,6 +119,44 @@ def make_approx_topk(k: int, compute_dtype_name: str | None = None,
     return jax.jit(fn)
 
 
+def exact_topk_i8r(queries, v_i8, vscale, mask, k: int, guard: int = 4):
+    """Masked top-k over a per-ROW-quantized int8 corpus (storage tier).
+
+    Selection: int8 x int8 MXU matmul, per-row rescale (ranking-faithful:
+    the query's own quantization scale is a positive per-query constant);
+    ranking: dequantized rescore of the k+guard winners — scores carry the
+    storage quantization (~3e-4 absolute at dim 1024, tighter than
+    bfloat16 storage's documented ~1e-3). This is the XLA fallback path
+    (filtered queries, retries) for `storage_dtype="int8"` stores; the
+    serving paths use the Pallas int8 kernels with dequant rescore.
+    """
+    from .pallas_scan import quantize_rows_i8, rescore_exact_i8r
+
+    q_i8, _ = quantize_rows_i8(queries)
+    s_i32 = jax.lax.dot_general(
+        q_i8, v_i8, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = s_i32.astype(jnp.float32) * vscale[None, :]
+    scores = jnp.where(mask[None, :], scores, NEG_INF)
+    k_sel = min(k + guard, scores.shape[1])
+    vals, idx = jax.lax.top_k(scores, k_sel)
+    vals, idx = rescore_exact_i8r(queries, v_i8, vscale, vals, idx)
+    return vals[:, :k], idx[:, :k].astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=256)
+def make_exact_topk_i8r(k: int, normalize: bool = True):
+    """Jitted `exact_topk_i8r` closure for a static k."""
+
+    def fn(queries, v_i8, vscale, mask):
+        if normalize:
+            queries = normalize_on_device(queries)
+        return exact_topk_i8r(queries, v_i8, vscale, mask, k)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=256)
 def make_exact_topk(k: int, compute_dtype_name: str | None = None,
                     normalize: bool = True):

@@ -104,6 +104,15 @@ def _gather_rows(arr, idx):
     return jnp.take(arr, idx, axis=0)
 
 
+@jax.jit
+def _gather_rows_dequant(arr, scale, idx):
+    """Gather + per-row dequantization (int8 STORAGE corpora): rows are
+    reconstructed as v_i8 * vscale[row] so k-means, column quantization
+    and rescore all see true-scale vectors."""
+    rows = jnp.take(arr, idx, axis=0).astype(jnp.float32)
+    return rows * jnp.take(scale, idx)[:, None]
+
+
 @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
 def _reorder_pad(vecs, order, cap_ivf: int):
     """Cluster-contiguous reorder + tile padding, entirely on device.
@@ -236,6 +245,7 @@ class IVFIndex:
         dev_vectors=None,
         storage_dtype: Optional[str] = None,
         i8_only: bool = False,
+        dequant_scale=None,
     ) -> "IVFIndex":
         """Train + lay out the IVF mirror.
 
@@ -281,12 +291,12 @@ class IVFIndex:
             sel = np.arange(n_active, dtype=np.int64)
 
         def take_active(local_idx: np.ndarray):
-            return _gather_rows(
-                src,
-                jax.device_put(
-                    np.ascontiguousarray(sel[local_idx], dtype=np.int32)
-                ),
+            gidx = jax.device_put(
+                np.ascontiguousarray(sel[local_idx], dtype=np.int32)
             )
+            if dequant_scale is not None:
+                return _gather_rows_dequant(src, dequant_scale, gidx)
+            return _gather_rows(src, gidx)
 
         rng = np.random.default_rng(seed)
         if warm_centroids is not None and warm_centroids.shape == (nlist, dim):
@@ -351,17 +361,23 @@ class IVFIndex:
                 sel[order] if dev_vectors is not None else order
             ).astype(np.int32)
             chunk = 262_144
+
+            def fetch(lo, hi):
+                gidx = jax.device_put(gsel[lo:hi])
+                if dequant_scale is not None:
+                    return _gather_rows_dequant(src, dequant_scale, gidx)
+                return _gather_rows(src, gidx)
+
             cmax = np.zeros(dim, np.float32)
             for s0 in range(0, n_active, chunk):
-                rows = _gather_rows(src, jax.device_put(gsel[s0:s0 + chunk]))
+                rows = fetch(s0, s0 + chunk)
                 cmax = np.maximum(cmax, np.asarray(colmax_abs(rows)))
             i8_scales = jax.device_put(
                 (np.maximum(cmax, 1e-30) / 127.0).astype(np.float32)
             )
             i8_buf = jnp.zeros((cap_ivf, dim), jnp.int8)
             for s0 in range(0, n_active, chunk):
-                idx32 = jax.device_put(gsel[s0:s0 + chunk])
-                rows = _gather_rows(src, idx32)
+                rows = fetch(s0, s0 + chunk)
                 q8 = quantize_cols_scaled_i8(rows, i8_scales)
                 dst = jax.device_put(
                     np.arange(s0, min(n_active, s0 + chunk), dtype=np.int32)
@@ -545,6 +561,7 @@ class IVFIndex:
         dev_vectors=None,
         storage_dtype: Optional[str] = None,
         i8_only: bool = False,
+        dequant_scale=None,
     ) -> Optional["IVFIndex"]:
         """Rebuild from a persisted sidecar without retraining k-means.
 
@@ -573,6 +590,7 @@ class IVFIndex:
                 dev_vectors=dev_vectors,
                 storage_dtype=storage_dtype,
                 i8_only=i8_only,
+                dequant_scale=dequant_scale,
             )
         except Exception:
             return None
@@ -696,9 +714,11 @@ class IVFIndex:
                     "mirror for the exact rescore"
                 )
             rescore_v = dev.vectors
+            rescore_scale = getattr(dev, "vstore_scale", None)
             compute_dtype_name = None  # only the int8 kernel scans
         else:
             rescore_v = self.vectors
+            rescore_scale = None
             compute_dtype_name = (
                 None if self.vectors.dtype == jnp.float32
                 else str(self.vectors.dtype)
@@ -723,6 +743,7 @@ class IVFIndex:
             self.cluster2tile,
             self.vectors_i8c,
             self.cscale,
+            rescore_scale,
         )
         return vals, slot_ids, num_q
 
@@ -863,7 +884,7 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
                      nlist: int, g_tiles: Optional[int],
                      interpret: bool, compute_dtype,
                      vectors_i8=None, cscale=None,
-                     rescore_by_slot: bool = False):
+                     rescore_by_slot: bool = False, rescore_scale=None):
     """Probe clusters -> hot-tile list -> block-skipping scan -> exact
     rescore -> slot translation, over ONE device's local IVF arrays.
 
@@ -943,7 +964,8 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
 
     vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
     if rescore_by_slot:
-        return _rescore_by_slot(q, vectors, slots, vals, idxs, k)
+        return _rescore_by_slot(q, vectors, slots, vals, idxs, k,
+                                corpus_scale=rescore_scale)
     vals, idxs = rescore_exact(q, vectors, vals, idxs)
     vals, idxs = vals[:, :k], idxs[:, :k]
     # translate IVF rows -> engine slot ids (pad rows carry slot -1)
@@ -952,15 +974,18 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     return vals, slot_ids
 
 
-def _rescore_by_slot(q, corpus, slots, vals, idxs, k):
+def _rescore_by_slot(q, corpus, slots, vals, idxs, k, corpus_scale=None):
     """Exact rescore for the int8-only layout: translate winner IVF rows
     to engine slot ids, gather the slot-indexed corpus rows, re-rank by
-    exact f32 scores. -inf/pad candidates stay -inf with slot -1."""
+    exact f32 scores. -inf/pad candidates stay -inf with slot -1.
+    `corpus_scale` dequantizes an int8 STORAGE corpus (per-row scales)."""
     sl = jnp.take(slots, idxs, axis=0)  # (Q, k_run)
     safe = jnp.maximum(sl, 0)
     gathered = jnp.take(corpus, safe, axis=0)
     exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
+    if corpus_scale is not None:
+        exact = exact * jnp.take(corpus_scale, safe)
     exact = jnp.where(jnp.isneginf(vals) | (sl < 0), -jnp.inf, exact)
     order = jnp.argsort(-exact, axis=1)
     out_vals = jnp.take_along_axis(exact, order, axis=1)[:, :k]
@@ -1120,7 +1145,7 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
                       nlist: int, g_tiles: Optional[int],
                       interpret: bool, compute_dtype, per_seg: int = 4,
                       vectors_i8=None, cscale=None,
-                      rescore_by_slot: bool = False):
+                      rescore_by_slot: bool = False, rescore_scale=None):
     """Probed IVF top-k via per-segment extraction (see
     `_ivf_segmax_kernel`): probe -> hot tiles -> segmax sweep -> global
     top-k over the candidate slab -> exact rescore -> slot translation.
@@ -1196,7 +1221,8 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
     gidx = jnp.where(empty, 0, gidx)
     if rescore_by_slot:
         marker = jnp.where(empty, -jnp.inf, 0.0)  # only -inf-ness matters
-        return _rescore_by_slot(q, vectors, slots, marker, gidx, k)
+        return _rescore_by_slot(q, vectors, slots, marker, gidx, k,
+                                corpus_scale=rescore_scale)
     gathered = jnp.take(vectors, gidx, axis=0)
     exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
@@ -1236,7 +1262,7 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
         scan = probe_scan_local
 
     def fn(q, centroids, vectors, slots, seg_starts, active, cluster2tile,
-           vectors_i8=None, cscale=None):
+           vectors_i8=None, cscale=None, rescore_scale=None):
         from .exact import normalize_on_device
 
         q = normalize_on_device(q)
@@ -1245,7 +1271,7 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
             k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
             interpret=interpret, compute_dtype=compute_dtype,
             vectors_i8=vectors_i8, cscale=cscale,
-            rescore_by_slot=slot_rescore,
+            rescore_by_slot=slot_rescore, rescore_scale=rescore_scale,
         )
 
     return jax.jit(fn)

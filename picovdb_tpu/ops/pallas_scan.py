@@ -254,6 +254,25 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
     return vals, idxs
 
 
+def rescore_exact_i8r(queries, v_i8, vscale, vals, idxs):
+    """Dequantizing rescore against a per-row int8 STORAGE corpus.
+
+    Like `rescore_exact` but the k winning rows are reconstructed as
+    v = v_i8 * vscale[row] — the best available precision when the corpus
+    itself is int8 (storage_dtype="int8"); returned scores carry the
+    storage quantization (~vscale/2 per element)."""
+    gathered = jnp.take(v_i8, idxs, axis=0).astype(jnp.float32)
+    exact = jnp.einsum(
+        "qd,qkd->qk", queries, gathered,
+        preferred_element_type=jnp.float32,
+    ) * jnp.take(vscale, idxs)
+    exact = jnp.where(jnp.isneginf(vals), -jnp.inf, exact)
+    order = jnp.argsort(-exact, axis=1)
+    return jnp.take_along_axis(exact, order, axis=1), jnp.take_along_axis(
+        idxs, order, axis=1
+    )
+
+
 def rescore_exact(queries, vectors, vals, idxs):
     """Replace quantized kernel scores with exact f32 dot products.
 
@@ -905,17 +924,20 @@ def segmax_scan_i8(q_i8, v_i8, vscale, mask,
 
 
 def make_segmax_topk_i8(k: int, interpret: bool = False, guard: int = 6,
-                        normalize: bool = True, stream: bool = False, tie_scale=None):
+                        normalize: bool = True, stream: bool = False,
+                        tie_scale=None, rescore_dequant: bool = False):
     """Env-resolving wrapper: see `_make_segmax_topk_i8_cached`."""
     if tie_scale is None:
         tie_scale = _tie_scale_env()
-    return _make_segmax_topk_i8_cached(k, interpret, guard, normalize, stream, tie_scale)
+    return _make_segmax_topk_i8_cached(k, interpret, guard, normalize,
+                                       stream, tie_scale, rescore_dequant)
 
 
 @functools.lru_cache(maxsize=256)
 def _make_segmax_topk_i8_cached(k: int, interpret: bool = False, guard: int = 6,
-                        normalize: bool = True, stream: bool = False,
-                                tie_scale: float = 1.0):
+                                normalize: bool = True, stream: bool = False,
+                                tie_scale: float = 1.0,
+                                rescore_dequant: bool = False):
     """Jitted int8 top-k: segmax over the int8 mirror -> global top-k ->
     exact f32 rescore.
 
@@ -954,6 +976,10 @@ def _make_segmax_topk_i8_cached(k: int, interpret: bool = False, guard: int = 6,
         exact = jnp.einsum("qd,qkd->qk", queries,
                            gathered.astype(jnp.float32),
                            preferred_element_type=jnp.float32)
+        if rescore_dequant:
+            # int8 STORAGE: rescore_vectors IS the int8 corpus; reconstruct
+            # winners via the per-row scales (see rescore_exact_i8r)
+            exact = exact * jnp.take(vscale, gidx)
         exact = jnp.where(empty, -jnp.inf, exact)
         order = jnp.argsort(-exact, axis=1)
         vals_full = jnp.take_along_axis(exact, order, axis=1)
@@ -967,17 +993,20 @@ def _make_segmax_topk_i8_cached(k: int, interpret: bool = False, guard: int = 6,
 
 
 def make_fused_topk_i8(k: int, guard: int = 4, interpret: bool = False,
-                       normalize: bool = True, tie_scale=None):
+                       normalize: bool = True, tie_scale=None,
+                       rescore_dequant: bool = False):
     """Env-resolving wrapper: see `_make_fused_topk_i8_cached`."""
     if tie_scale is None:
         tie_scale = _tie_scale_env()
-    return _make_fused_topk_i8_cached(k, guard, interpret, normalize, tie_scale)
+    return _make_fused_topk_i8_cached(k, guard, interpret, normalize,
+                                      tie_scale, rescore_dequant)
 
 
 @functools.lru_cache(maxsize=256)
 def _make_fused_topk_i8_cached(k: int, guard: int = 4, interpret: bool = False,
-                       normalize: bool = True,
-                               tie_scale: float = 1.0):
+                               normalize: bool = True,
+                               tie_scale: float = 1.0,
+                               rescore_dequant: bool = False):
     """Small-batch int8 top-k: the exact selection ladder over the int8
     mirror + exact f32 rescore.
 
@@ -1000,7 +1029,12 @@ def _make_fused_topk_i8_cached(k: int, guard: int = 4, interpret: bool = False,
         k_sel = k + max(0, guard)
         vals, idx = fused_topk_i8(q_i8, v_i8, vscale, mask, k_sel,
                                   interpret=interpret)
-        vals, idx = rescore_exact(queries, rescore_vectors, vals, idx)
+        if rescore_dequant:
+            # int8 STORAGE: no higher-precision source exists; reconstruct
+            # the winners from the quantized rows + per-row scales
+            vals, idx = rescore_exact_i8r(queries, v_i8, vscale, vals, idx)
+        else:
+            vals, idx = rescore_exact(queries, rescore_vectors, vals, idx)
         out_vals = _mark_crowded(vals[:, :k], vals, k,
                                  _tie_margin("i8", queries.shape[1], tie_scale))
         return out_vals, idx[:, :k]
