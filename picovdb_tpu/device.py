@@ -393,7 +393,11 @@ class DeviceIndex:
         if self.storage_dtype == "int8" and scales is not None:
             # pre-quantized device-born input (built chunk-wise when the
             # f32 intermediate could never fit HBM — e.g. 12M x 1024):
-            # pad and adopt as-is
+            # pad and adopt as-is. NOTE: at the capacity ceiling, build the
+            # input with n a ROW_PAD multiple — pad != 0 cannot alias the
+            # donated buffer (shape change), so the pad step transiently
+            # doubles the corpus (measured OOM at 12.0M x 1024; 12.58M =
+            # 1536 * 8192 adopts with zero copies).
             assert vectors_dev.dtype == jnp.int8, vectors_dev.dtype
 
             @functools.partial(jax.jit, static_argnums=(2,),
@@ -832,7 +836,8 @@ class DeviceIndex:
         q_pad = (
             num_q if (small_q_xla or small_q_mixed or small_q_i8
                       or small_q_i8c or i8s_smallq
-                      or (i8s and not i8s_segmax))
+                      or (i8s and not i8s_segmax
+                          and num_q <= self.SMALL_Q_XLA))
             else max(MIN_QUERY_PAD, next_pow2(num_q))
         )
         if isinstance(qnorm, np.ndarray):
@@ -919,6 +924,22 @@ class DeviceIndex:
             v8, vs = self.vectors, self.vstore_scale
             fn = lambda q, v, m: f8s_fn(q, v8, vs, v8, m)  # noqa: E731
             self.last_strategy = "i8stor_fused_smallq"
+        elif i8s and self.use_pallas and min(k, self.cap) + 4 <= 1024:
+            # exact/filtered fallback ON TPU: the int8 ladder streams the
+            # corpus (exact selection, filter mask honored) instead of
+            # materializing a (Q, cap) score matrix — at the capacity
+            # ceiling (12.58M rows = 12.9 GB corpus) the XLA fallback's
+            # score matrix OOMs from Q=32 up. tie_scale=0 on retries so a
+            # crowding re-mark cannot leak -inf into assembly.
+            from .ops.pallas_scan import make_fused_topk_i8
+
+            l8_fn = make_fused_topk_i8(
+                k_pad, interpret=interpret, rescore_dequant=True,
+                tie_scale=0.0 if force_exact else None,
+            )
+            v8, vs = self.vectors, self.vstore_scale
+            fn = lambda q, v, m: l8_fn(q, v8, vs, v8, m)  # noqa: E731
+            self.last_strategy = "i8stor_fused_exact"
         elif i8s:
             from .ops.exact import make_exact_topk_i8r
 
