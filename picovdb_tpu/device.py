@@ -840,6 +840,13 @@ class DeviceIndex:
                           and num_q <= self.SMALL_Q_XLA))
             else max(MIN_QUERY_PAD, next_pow2(num_q))
         )
+        if (use_segmax or i8s_segmax) and q_pad % 128:
+            # Q a multiple of 128 keeps the slab top-k in the Pallas
+            # kernel (topk_packed_keys); the lax.top_k fallback sorts the
+            # whole (Q, C) candidate slab — at the capacity ceiling its
+            # workspace OOMs (measured at Q=64 over 12.58M rows), and it
+            # costs 8-9 ms at serving sizes anyway.
+            q_pad = max(128, q_pad)
         if isinstance(qnorm, np.ndarray):
             if q_pad != num_q:
                 padq = np.zeros((q_pad, self.dim), dtype=Float)
