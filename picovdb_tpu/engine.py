@@ -1747,6 +1747,33 @@ class PicoVectorDB:
             budget = 13 * 2**30
         return corpus_b + mirror_b > budget
 
+    def _ivf_fits(self, n_active: int) -> bool:
+        """Whether an IVF postings mirror can sit beside the corpus in HBM.
+
+        Postings cost ~1.05 * n rows at 1 B/element (int8-only layout) or
+        at the storage width (classic layout, which also carries the int8
+        postings mirror at dim >= 256); budget shared with
+        `_ivf_i8_only` (PICOVDB_IVF_BUDGET_GB, default 13)."""
+        import os as _os
+
+        if self._dev.mesh is not None:
+            return True  # per-shard residency; the mesh tier self-sizes
+        item = {"bfloat16": 2, "int8": 1}.get(self._dev.storage_dtype, 4)
+        corpus_b = max(self._dev.cap, n_active) * self.dim * item
+        if self._ivf_i8_only():
+            post_b = int(1.05 * n_active) * self.dim
+        else:
+            post_b = int(1.05 * n_active) * self.dim * (item + 1)
+        try:
+            budget = float(
+                _os.getenv("PICOVDB_IVF_BUDGET_GB", "13") or 13
+            ) * 2**30
+        except ValueError:
+            budget = 13 * 2**30
+        # the fit bound is 1 GB looser than the layout-choice bound: the
+        # 6.29M int8 config (13.16 GB estimated) measured-fits a 16 GB chip
+        return corpus_b + post_b <= budget + 2**30
+
     @timed("rebuild_ann")
     def _rebuild_ann(self) -> None:
         """(Re)build the IVF ANN tier when enabled and worthwhile."""
@@ -1799,6 +1826,19 @@ class PicoVectorDB:
             from .ops.ivf import IVFIndex, should_build
 
             n_active = len(self._id2idx)
+            if n_active and not self._ivf_fits(n_active):
+                # At the capacity ceiling (e.g. 12.58M int8 rows) even the
+                # int8-only postings cannot sit beside the corpus; skip the
+                # build instead of OOM-crashing into the except below on
+                # every rebuild. Exact serving continues.
+                if self._index_kind == "ivf":
+                    logger.warning(
+                        "IVF postings (%d rows) cannot fit HBM beside the "
+                        "corpus; serving exact instead",
+                        n_active,
+                    )
+                self._ivf = None
+                return
             if n_active and (
                 self._index_kind == "ivf"
                 or (self._index_kind == "auto" and should_build(n_active))
