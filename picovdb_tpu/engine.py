@@ -248,6 +248,11 @@ class PicoVectorDB:
         # picovdb/pico_vdb.py:165-167, _last_faiss_rebuild_mode :203-204)
         self._last_topk_strategy: Optional[str] = None
         self._last_k_eff: Optional[int] = None
+        # count of exact re-serves triggered by segmax underfill or the
+        # near-tie crowding guard (observability: a high rate on a given
+        # corpus says the low-precision tiers don't fit that data and
+        # mixed_precision=False would serve it faster)
+        self._exact_retries: int = 0
         self._last_sync_mode: Optional[str] = None
         # "incremental" | "full" | None — analog of the reference's
         # `_last_faiss_rebuild_mode` (picovdb/pico_vdb.py:203-204, 905, 921)
@@ -1190,6 +1195,7 @@ class PicoVectorDB:
                 idxs = np.asarray(idxs_dev)[:nq, :ke]
             if segmax and np.isneginf(vals).any():
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
+                self._exact_retries += 1
             out.extend(
                 self._assemble(vals, idxs, docs_ref, top_k, better_than, where)
             )
@@ -1279,6 +1285,7 @@ class PicoVectorDB:
                 idxs = np.asarray(idxs_dev)[:nq, :ke]
             if segmax and np.isneginf(vals).any():
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
+                self._exact_retries += 1
             valid = np.isfinite(vals) & (idxs >= 0) & (idxs < docs_len)
             if better_than is not None:
                 valid &= vals >= better_than
@@ -1438,6 +1445,7 @@ class PicoVectorDB:
                 "sharded": self._dev.mesh is not None,
                 "last_sync_mode": self._last_sync_mode,
                 "last_topk_strategy": self._last_topk_strategy,
+                "exact_retries": self._exact_retries,
                 # selection tiers resident on device
                 "mirrors": {
                     "bf16": self._dev.vectors_lp is not None,
@@ -1613,6 +1621,7 @@ class PicoVectorDB:
             vals, idxs = self._dev.query(
                 vecs, k_eff, filter_mask, force_exact=True, mask_key=mask_key
             )
+            self._exact_retries += 1
             self._last_topk_strategy = self._dev.last_strategy
         return vals, idxs
 
