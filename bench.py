@@ -130,6 +130,10 @@ def main() -> int:
               f"in {serving_elapsed*1000:.1f} ms -> {serving_qps:.0f} QPS",
               file=sys.stderr)
 
+        retries = db.stats()["exact_retries"]
+        print(f"# exact retries during serving (underfill/crowding guard): "
+              f"{retries}", file=sys.stderr)
+
         # ---- device-side batch throughput, transport excluded -------------
         # The serving number above includes the dev-harness relay (~27 MB/s
         # result fetches); real PCIe hosts don't have it. Chain M full-batch

@@ -1589,17 +1589,19 @@ class PicoVectorDB:
                 # while the batch's probed-cluster UNION stays well under
                 # the corpus. Draws overlap, so the union grows as
                 # nlist*(1-(1-nprobe/nlist)^Q), not Q*nprobe; route to IVF
-                # while the expected union is <= half the lists. Measured
+                # while the expected union is <= 0.6 of the lists. Measured
                 # at 2M x 1024 / nprobe=128 / nlist=2828 with the int8
                 # postings mirror: 2.6x exact at Q=1 (union 4.5%), 1.7x at
-                # Q=8 (31%), 0.8x at Q=64 (~95%) — the rule flips between
-                # Q=15 and Q=16 there (bench/results/ivf2m_r3b.*).
+                # Q=8 (31%), 1.46x at Q=16 (52%), 1.03x at Q=32 (77%),
+                # 0.8x at Q=64 (~95%) — 0.6 splits the measured win at
+                # Q=16 from the break-even at Q=32
+                # (bench/results/ivf2m_r3b.*, ivf2m_midq in the log).
                 from .ops.ivf import ef_to_nprobe
 
                 npb = self._ivf_nprobe or ef_to_nprobe(ef, self._ivf.nlist)
                 num_q = vecs.shape[0] if getattr(vecs, "ndim", 1) == 2 else 1
                 p_union = 1.0 - (1.0 - npb / self._ivf.nlist) ** num_q
-                use_ann = p_union <= 0.5
+                use_ann = p_union <= 0.6
         if use_ann:
             vals, idxs = self._ivf.search(
                 vecs, k_eff, ef, self._dev, nprobe=self._ivf_nprobe
