@@ -187,3 +187,21 @@ def test_freeze_where_unhashable_in_elements(db_path, rng):
     db.upsert(items)
     res = db.query(vecs[0], top_k=6, where={"k": {"$in": [[1, 0]]}})
     assert {h[K_ID] for h in res} == {"id1", "id3", "id5"}
+
+
+def test_empty_result_shapes_match_reference(db_path, rng):
+    """The reference's empty-result quirk table for 1-D queries (verified
+    against the actual checkout): empty store, fully-filtering where, and
+    all-missing ids return [[]]; better_than filtering every hit to zero
+    returns [] (the candidate set was non-empty)."""
+    import numpy as np
+
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path)
+    q = np.ones(8, dtype=np.float32)
+    assert db.query(q, top_k=3) == [[]]  # empty store
+    db.upsert([{K_ID: "a", K_VECTOR: q.copy(), "g": 1}])
+    assert db.query(q, top_k=3, where={"g": 99}) == [[]]
+    assert db.query(q, top_k=3, ids=["missing"]) == [[]]
+    assert db.query(-q, top_k=3, better_than=0.9) == []
