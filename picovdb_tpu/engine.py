@@ -898,18 +898,59 @@ class PicoVectorDB:
             return self._additional
 
     def vacuum(self) -> None:
-        """Compact the store: drop deleted slots, rebuild maps and the mirror."""
+        """Compact the store: drop deleted slots, rebuild maps and the mirror.
+
+        Fixed-capacity stores compact IN PLACE: actives move to the front
+        of the pre-allocated buffer (the memmap file is kept) and the tail
+        returns to the free list, so inserts keep working until the count
+        reaches `capacity` — the reference's observable semantics (its
+        vacuum shrinks the array but later appends re-grow it until the
+        count check at picovdb/pico_vdb.py:441-442 fires; a 15-seed fuzz
+        soak caught this raising "capacity exceeded" right after vacuum).
+        """
         with self._rwlock.write_lock():
             if not self._free:
                 return
             self._ensure_host_vectors()
             active = sorted(self._id2idx.values())
+            n = len(active)
+            if self._capacity is not None:
+                cap = len(self._ids)
+                hv = self._host_vectors
+                hv[:n] = np.asarray(hv)[active]  # fancy index copies first
+                hv[n:cap] = 0
+                self._ids = [self._ids[i] for i in active] + [None] * (
+                    cap - n
+                )
+                self._docs = [self._docs[i] for i in active] + [None] * (
+                    cap - n
+                )
+                self._id2idx = {
+                    id_: i for i, id_ in enumerate(self._ids[:n])
+                }
+                self._ids_np = None
+                self._active_indices = np.arange(n, dtype=np.int64)
+                self._active_mask = np.zeros(cap, dtype=bool)
+                self._active_mask[:n] = True
+                self._free = list(range(n, cap))
+                self._tag_index.reset()
+                self._tag_index.resize(cap)
+                self._pending_add.clear()
+                self._pending_remove.clear()
+                self._pending_full = False
+                if n:
+                    self._dev.full_upload(
+                        self._host_vectors, self._active_mask
+                    )
+                    self._last_sync_mode = "full"
+                self._rebuild_ann()
+                self._dirty = False
+                return
             self._host_vectors = to_c_f32(np.asarray(self._host_vectors)[active])
             self._ids = [self._ids[i] for i in active]
             self._docs = [self._docs[i] for i in active]
             self._id2idx = {id_: i for i, id_ in enumerate(self._ids)}
             self._ids_np = None
-            n = len(self._ids)
             self._active_indices = np.arange(n, dtype=np.int64)
             self._active_mask = np.ones(n, dtype=bool)
             self._free = []

@@ -82,19 +82,23 @@ def check(model_hits, engine_hits, top_k, tol=1e-4):
 # for quantized storage such queries check floor compliance + per-id
 # score proximity instead of strict hit-set equality.
 STORAGE_CASES = [
-    (None, 1e-4),
-    ("bfloat16", 1.2e-2),
-    ("int8", 1.2e-2),
+    (None, 1e-4, {}),
+    ("bfloat16", 1.2e-2, {}),
+    ("int8", 1.2e-2, {}),
+    # memmap + fixed capacity: the pre-allocated store (reference's
+    # capacity mode, picovdb/pico_vdb.py:286-300) under the same ops
+    (None, 1e-4, {"use_memmap": True, "capacity": 2048}),
 ]
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-@pytest.mark.parametrize("sdt,tol", STORAGE_CASES)
-def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol):
+@pytest.mark.parametrize("sdt,tol,extra", STORAGE_CASES)
+def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
+                                         extra):
     r = np.random.default_rng(1000 + seed)
     path = str(tmp_path / f"fuzz{seed}")
     db = PicoVectorDB(embedding_dim=DIM, storage_file=path,
-                      storage_dtype=sdt)
+                      storage_dtype=sdt, **extra)
     model = Model()
     next_id = 0
 
@@ -132,7 +136,7 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol):
         elif op < 0.6:  # persistence round-trip
             db.save()
             db = PicoVectorDB(embedding_dim=DIM, storage_file=path,
-                              storage_dtype=sdt)
+                              storage_dtype=sdt, **extra)
         elif op < 0.65:
             db.vacuum()
         else:  # query, every filter form

@@ -220,3 +220,40 @@ def test_sharded_save_of_memmap_store_converts_to_ram(db_path, rng):
     db2 = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
     assert db2.count() == n
     assert db2.query(vecs[5], top_k=1)[0][K_ID] == "5"
+
+
+def test_vacuum_keeps_fixed_capacity(db_path, rng):
+    """vacuum on a fixed-capacity (memmap) store compacts IN PLACE: the
+    pre-allocation survives and inserts keep working until the count
+    reaches capacity (found by the fuzz soak: vacuum used to clear the
+    free list, so the very next insert raised 'capacity exceeded')."""
+    import numpy as np
+
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    cap, dim = 64, 8
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      use_memmap=True, capacity=cap)
+    vecs = rng.normal(size=(40, dim)).astype(np.float32)
+    db.upsert([{K_ID: f"v{i}", K_VECTOR: vecs[i]} for i in range(40)])
+    db.delete([f"v{i}" for i in range(10)])
+    db.vacuum()
+    assert db.count() == 30 and db.capacity() == cap
+    # querying still finds the compacted rows
+    r = db.query(vecs[20], top_k=1)
+    assert r[0][K_ID] == "v20"
+    # inserts work up to capacity, then raise like the reference
+    more = rng.normal(size=(cap - 30, dim)).astype(np.float32)
+    db.upsert([{K_ID: f"m{i}", K_VECTOR: more[i]}
+               for i in range(cap - 30)])
+    assert db.count() == cap
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        db.upsert([{K_ID: "over", K_VECTOR: vecs[0]}])
+    # persistence round-trip preserves the compacted capacity store
+    db.save()
+    db2 = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                       use_memmap=True, capacity=cap)
+    assert db2.count() == cap and db2.capacity() == cap
+    assert db2.query(vecs[20], top_k=1)[0][K_ID] == "v20"
