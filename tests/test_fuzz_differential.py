@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS, K_VECTOR
-from picovdb_tpu.utils import normalize_batch
+from picovdb_tpu.utils import hash_vec, normalize_batch
 
 DIM = 24
 
@@ -111,19 +111,25 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
         op = r.random()
         if op < 0.35:  # upsert batch (mix of new and existing ids)
             batch = []
+            payload = []
             for _ in range(int(r.integers(1, 12))):
-                if model.rows and r.random() < 0.3:
+                vec = rand_vec()
+                base = {"group": int(r.integers(0, 4)),
+                        "rank": int(r.integers(0, 100))}
+                if r.random() < 0.1:  # md5 content auto-id (no _id_ given)
+                    _id = hash_vec(
+                        normalize_batch(vec[None, :].astype(np.float32))[0]
+                    )
+                    payload.append({**base, K_VECTOR: vec})
+                elif model.rows and r.random() < 0.3:
                     _id = str(r.choice(sorted(model.rows)))
+                    payload.append({**base, K_ID: _id, K_VECTOR: vec})
                 else:
                     _id = f"v{next_id}"
                     next_id += 1
-                vec = rand_vec()
-                doc = {K_ID: _id, "group": int(r.integers(0, 4)),
-                       "rank": int(r.integers(0, 100))}
-                batch.append((_id, vec, doc))
-            db.upsert([
-                {**doc, K_VECTOR: vec} for _id, vec, doc in batch
-            ])
+                    payload.append({**base, K_ID: _id, K_VECTOR: vec})
+                batch.append((_id, vec, {**base, K_ID: _id}))
+            db.upsert(payload)
             model.upsert(batch)
         elif op < 0.5 and model.rows:  # delete (some missing)
             ids = list(r.choice(sorted(model.rows),
@@ -139,6 +145,12 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
                               storage_dtype=sdt, **extra)
         elif op < 0.65:
             db.vacuum()
+        elif op < 0.72 and model.rows:  # 2-D batch query, no filters
+            qb = np.stack([rand_vec() for _ in range(int(r.integers(2, 6)))])
+            outs = db.query(qb, top_k=3)
+            assert len(outs) == qb.shape[0]
+            for row_q, row_hits in zip(qb, outs):
+                check(model.query(row_q, 3), row_hits, 3, tol=tol)
         else:  # query, every filter form
             q = rand_vec()
             top_k = int(r.integers(1, 8))
