@@ -145,9 +145,23 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
                               storage_dtype=sdt, **extra)
         elif op < 0.65:
             db.vacuum()
-        elif op < 0.72 and model.rows:  # 2-D batch query, no filters
+        elif op < 0.72 and model.rows:  # 2-D batch, all three lanes
             qb = np.stack([rand_vec() for _ in range(int(r.integers(2, 6)))])
-            outs = db.query(qb, top_k=3)
+            lane = r.random()
+            if lane < 0.4:
+                outs = db.query(qb, top_k=3)
+            elif lane < 0.7:  # throughput lane, chunked dispatch
+                outs = db.query_batched(qb, top_k=3, batch_size=2)
+            else:  # columnar serving lane -> rebuild dict-like rows
+                ids_col, scores_col = db.query_columnar(
+                    qb, top_k=3, batch_size=2
+                )
+                outs = [
+                    [{K_ID: i, K_METRICS: float(sc)}
+                     for i, sc in zip(ids_col[row], scores_col[row])
+                     if i is not None]
+                    for row in range(qb.shape[0])
+                ]
             assert len(outs) == qb.shape[0]
             for row_q, row_hits in zip(qb, outs):
                 check(model.query(row_q, 3), row_hits, 3, tol=tol)
