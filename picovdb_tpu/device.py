@@ -915,9 +915,16 @@ class DeviceIndex:
 
             stream = (q_pad > 256 if self.segmax_stream is None
                       else self.segmax_stream)
+            # tie_scale=0: for int8 STORAGE the crowding mark has no
+            # higher-precision tier to retry into — the "exact" fallback
+            # ranks the same quantized scores — so marking would only
+            # drop legitimate storage-precision hits (fuzz-soak find).
+            # Segmax underfill (-inf from per-segment truncation) still
+            # triggers the engine retry as usual.
             s8s_fn = make_segmax_topk_i8(k_pad, interpret=interpret,
                                          stream=stream,
-                                         rescore_dequant=True)
+                                         rescore_dequant=True,
+                                         tie_scale=0.0)
             v8, vs = self.vectors, self.vstore_scale
             fn = lambda q, v, m: s8s_fn(q, v8, vs, v8, m)  # noqa: E731
             self.last_strategy = (
@@ -927,7 +934,8 @@ class DeviceIndex:
             from .ops.pallas_scan import make_fused_topk_i8
 
             f8s_fn = make_fused_topk_i8(k_pad, interpret=interpret,
-                                        rescore_dequant=True)
+                                        rescore_dequant=True,
+                                        tie_scale=0.0)  # see i8s_segmax
             v8, vs = self.vectors, self.vstore_scale
             fn = lambda q, v, m: f8s_fn(q, v8, vs, v8, m)  # noqa: E731
             self.last_strategy = "i8stor_fused_smallq"
@@ -942,7 +950,7 @@ class DeviceIndex:
 
             l8_fn = make_fused_topk_i8(
                 k_pad, interpret=interpret, rescore_dequant=True,
-                tie_scale=0.0 if force_exact else None,
+                tie_scale=0.0,  # see i8s_segmax: no higher tier exists
             )
             v8, vs = self.vectors, self.vstore_scale
             fn = lambda q, v, m: l8_fn(q, v8, vs, v8, m)  # noqa: E731
@@ -1095,7 +1103,8 @@ class DeviceIndex:
             from .ops.pallas_scan import make_fused_topk_i8
 
             inner = make_fused_topk_i8(k_eff, interpret=interpret,
-                                       rescore_dequant=True)
+                                       rescore_dequant=True,
+                                       tie_scale=0.0)
             args = (self.vectors, self.vstore_scale, self.vectors,
                     self.active)
             self.last_strategy = "i8stor_fused_smallq_loop"
