@@ -143,8 +143,12 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
             db.save()
             db = PicoVectorDB(embedding_dim=DIM, storage_file=path,
                               storage_dtype=sdt, **extra)
-        elif op < 0.65:
+        elif op < 0.63:
             db.vacuum()
+        elif op < 0.64:
+            db.rebuild_index()
+        elif op < 0.65:
+            db.flush()
         elif op < 0.72 and model.rows:  # 2-D batch, all three lanes
             qb = np.stack([rand_vec() for _ in range(int(r.integers(2, 6)))])
             lane = r.random()
