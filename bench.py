@@ -176,11 +176,13 @@ def main() -> int:
         # dict assembly, i.e. what a PCIe host would see)
         db.query_batched(q_dev[:args.batch_size], top_k=args.topk,
                          batch_size=args.batch_size)  # warm
-        t0 = time.perf_counter()
-        results_dev = db.query_batched(
-            q_dev, top_k=args.topk, batch_size=args.batch_size
-        )
-        e2e_dev = time.perf_counter() - t0
+        e2e_dev = float("inf")
+        for _ in range(3):  # best-of: host assembly shares one noisy core
+            t0 = time.perf_counter()
+            results_dev = db.query_batched(
+                q_dev, top_k=args.topk, batch_size=args.batch_size
+            )
+            e2e_dev = min(e2e_dev, time.perf_counter() - t0)
         dict_dev_qps = args.queries / e2e_dev
         print(f"# device->dicts (reference contract, device queries): "
               f"{args.queries} queries in {e2e_dev*1000:.1f} ms -> "
