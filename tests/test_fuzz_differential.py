@@ -88,6 +88,8 @@ STORAGE_CASES = [
     # memmap + fixed capacity: the pre-allocated store (reference's
     # capacity mode, picovdb/pico_vdb.py:286-300) under the same ops
     (None, 1e-4, {"use_memmap": True, "capacity": 2048}),
+    # quantized storage over a pre-allocated memmap host matrix
+    ("int8", 1.2e-2, {"use_memmap": True, "capacity": 2048}),
 ]
 
 
