@@ -59,21 +59,25 @@ class Model:
         return out[:top_k]
 
 
-def check(model_hits, engine_hits, top_k, tol=1e-4):
+def check(model_full, engine_hits, top_k, tol=1e-4):
+    """`model_full` is the FULL ranking over the filtered candidates
+    (not just top-k): exact ties at the k boundary — e.g. two zero
+    vectors both normalizing to e0 — make either pick legitimate, so the
+    id check validates the returned id's true score rather than its
+    membership in the model's top-k slice."""
+    model_hits = model_full[:top_k]
     assert len(engine_hits) == len(model_hits), (
         engine_hits, model_hits
     )
+    id2score = {i: s for s, i in model_full}
     for rank, hit in enumerate(engine_hits):
         m_score = model_hits[rank][0]
         assert abs(hit[K_METRICS] - m_score) < tol, (rank, hit, model_hits)
-        # the returned id must score equal to the model's at this rank
-        # (ties between distinct ids are legitimate either-way picks)
-        m_ids_at_score = {
-            i for s, i in model_hits if abs(s - m_score) < tol
-        }
-        assert hit[K_ID] in m_ids_at_score or any(
-            abs(s - hit[K_METRICS]) < tol for s, i in model_hits
-        ), (rank, hit, model_hits)
+        # the returned id must exist and truly score what was returned
+        assert hit[K_ID] in id2score, (rank, hit)
+        assert abs(id2score[hit[K_ID]] - hit[K_METRICS]) < tol, (
+            rank, hit, id2score[hit[K_ID]]
+        )
 
 
 # storage tiers: (dtype, score tolerance). The quantized tiers return
@@ -170,7 +174,7 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
                 ]
             assert len(outs) == qb.shape[0]
             for row_q, row_hits in zip(qb, outs):
-                check(model.query(row_q, 3), row_hits, 3, tol=tol)
+                check(model.query(row_q, 10**9), row_hits, 3, tol=tol)
         else:  # query, every filter form
             q = rand_vec()
             top_k = int(r.integers(1, 8))
@@ -214,7 +218,7 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
                     assert hit[K_METRICS] >= better
                     assert abs(hit[K_METRICS] - id2score[hit[K_ID]]) < tol
                 continue
-            check(model.query(q, top_k, better, where, ids), res, top_k,
+            check(model.query(q, 10**9, better, where, ids), res, top_k,
                   tol=tol)
 
     # final full-state comparison
