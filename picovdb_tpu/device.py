@@ -674,10 +674,26 @@ class DeviceIndex:
                 q_dev = q_dev.astype(jnp.float32)
         k_eff = min(k, vectors.shape[0])
         if vscale is not None:  # int8 storage snapshot
-            from .ops.exact import make_exact_topk_i8r
+            if (getattr(self._device, "platform", "cpu") == "tpu"
+                    and k_eff + 4 <= 1024):
+                # stream via the int8 ladder: the XLA fallback's (Q, cap)
+                # f32 score matrix OOMs near the capacity ceiling (e.g.
+                # a 2048-query chunk over 12.58M rows would need ~100 GB)
+                from .ops.pallas_scan import make_fused_topk_i8
 
-            fn8 = make_exact_topk_i8r(k_eff)
-            vals, idxs = fn8(q_dev, vectors, vscale, active)
+                if num_q > 256 and num_q % 256:
+                    # ladder query tiles are 256-wide past one tile; pad
+                    # with zero rows (they normalize to e0, sliced off)
+                    pad = -(-num_q // 256) * 256 - num_q
+                    q_dev = jnp.pad(q_dev, ((0, pad), (0, 0)))
+                fn8 = make_fused_topk_i8(k_eff, rescore_dequant=True,
+                                         tie_scale=0.0)
+                vals, idxs = fn8(q_dev, vectors, vscale, vectors, active)
+            else:
+                from .ops.exact import make_exact_topk_i8r
+
+                fn8 = make_exact_topk_i8r(k_eff)
+                vals, idxs = fn8(q_dev, vectors, vscale, active)
         else:
             fn = make_exact_topk(k_eff, self.compute_dtype)
             vals, idxs = fn(q_dev, vectors, active)
@@ -1046,11 +1062,24 @@ class DeviceIndex:
             # always. (The filter mask ANDs into the kernel mask.)
             from .ops.pallas_scan import make_mixed_fused_topk
 
-            mfb_fn = make_mixed_fused_topk(k_pad, interpret=interpret)
+            # The crowding mark is only applied UNFILTERED: the engine's
+            # snapshot retry re-serves against (vectors, active) without
+            # the filter mask, so a marked filtered chunk would retry into
+            # the wrong candidate set. Filtered batches therefore serve
+            # ladder-selected bf16 results unmarked (selection is exact
+            # over bf16 scores; only sub-rms near-ties can mis-rank).
+            mfb_fn = make_mixed_fused_topk(
+                k_pad, interpret=interpret,
+                tie_scale=0.0 if (filter_mask is not None or force_exact)
+                else None,
+            )
             lp = self.vectors_lp
             f32 = self.vectors
             fn = lambda q, v, m: mfb_fn(q, lp, f32, m)  # noqa: E731
-            self.last_strategy = "mixed_fused_batch"
+            self.last_strategy = (
+                "mixed_fused_batch_filtered" if filter_mask is not None
+                else "mixed_fused_batch"
+            )
         elif (
             self.scan_mode == "fused"
             or (self.scan_mode == "auto" and self.use_pallas
@@ -1118,13 +1147,20 @@ class DeviceIndex:
         elif self.vectors_i8 is not None and k_eff + 4 <= 16:
             from .ops.pallas_scan import make_fused_topk_i8
 
-            inner = make_fused_topk_i8(k_eff, interpret=interpret)
+            # tie_scale=0: this is the latency-measurement primitive — no
+            # engine retry wraps it, so a crowding mark would surface raw
+            # -inf scores to callers instead of triggering an exact
+            # re-serve (review finding). Callers needing the guard use
+            # the dispatch path (engine.query).
+            inner = make_fused_topk_i8(k_eff, interpret=interpret,
+                                       tie_scale=0.0)
             args = (self.vectors_i8, self.vscale, self.vectors, self.active)
             self.last_strategy = "i8_fused_smallq_loop"
         elif self.vectors_lp is not None and k_eff + 4 <= 16:
             from .ops.pallas_scan import make_mixed_fused_topk
 
-            inner = make_mixed_fused_topk(k_eff, interpret=interpret)
+            inner = make_mixed_fused_topk(k_eff, interpret=interpret,
+                                          tie_scale=0.0)  # see above
             args = (self.vectors_lp, self.vectors, self.active)
             self.last_strategy = "mixed_fused_smallq_loop"
         elif self.storage_dtype == "int8":

@@ -937,14 +937,26 @@ class PicoVectorDB:
                 self._tag_index.resize(cap)
                 self._pending_add.clear()
                 self._pending_remove.clear()
-                self._pending_full = False
                 if n:
+                    self._pending_full = False
                     self._dev.full_upload(
                         self._host_vectors, self._active_mask
                     )
                     self._last_sync_mode = "full"
-                self._rebuild_ann()
-                self._dirty = False
+                    self._rebuild_ann()
+                    self._dirty = False
+                elif self._dev.vectors is not None:
+                    # zero actives: the device mirror may still mark old
+                    # rows active (deletes are lazily synced); leave the
+                    # store dirty so the next query's sync full-uploads
+                    # the cleared mask instead of scattering nothing
+                    self._pending_full = True
+                    self._ivf = None
+                    self._dirty = True
+                else:
+                    self._pending_full = False
+                    self._ivf = None
+                    self._dirty = False
                 return
             self._host_vectors = to_c_f32(np.asarray(self._host_vectors)[active])
             self._ids = [self._ids[i] for i in active]
@@ -958,12 +970,22 @@ class PicoVectorDB:
             self._tag_index.resize(n)
             self._pending_add.clear()
             self._pending_remove.clear()
-            self._pending_full = False
             if n:
+                self._pending_full = False
                 self._dev.full_upload(self._host_vectors, self._active_mask)
                 self._last_sync_mode = "full"
-            self._rebuild_ann()
-            self._dirty = False
+                self._rebuild_ann()
+                self._dirty = False
+            elif self._dev.vectors is not None:
+                # see the fixed-capacity branch above: repair the device
+                # mask at the next sync rather than leaving stale actives
+                self._pending_full = True
+                self._ivf = None
+                self._dirty = True
+            else:
+                self._pending_full = False
+                self._ivf = None
+                self._dirty = False
 
     def rebuild_index(self) -> None:
         """Force a full device mirror refresh (+ ANN rebuild) immediately."""
@@ -1204,29 +1226,34 @@ class PicoVectorDB:
             mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
+            chunk_retry = []  # per chunk: its strategy admits the retry
             pack = _pack_fetch_enabled()
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
                 vd, xd, nq, ke = self._dev.query_async(
                     chunk, k_eff, filter_mask, mask_key=mask_key)
+                # strategies can differ per chunk (a small tail chunk may
+                # route to a non-retry path) — record each chunk's own, or
+                # a full-size chunk's -inf marks would never be retried
+                chunk_retry.append(_needs_exact_retry(self._dev.last_strategy))
                 if pack:
                     pending.append((self._dev.pack_results(vd, xd), nq, ke))
                 else:
                     pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
-            segmax = _needs_exact_retry(self._dev.last_strategy)
             # Captured INSIDE the lock: the underfill retry below runs after
             # release, and a concurrent writer may swap the mirror between —
             # retrying against self._dev would pair new slot indices with
-            # the stale docs_ref snapshot. (Segmax only runs unfiltered, so
-            # the snapshot's active mask is the full candidate mask.)
-            snap = self._dev.snapshot() if segmax else None
+            # the stale docs_ref snapshot. (Retry-marked strategies only run
+            # unfiltered, so the snapshot's active mask is the full
+            # candidate mask.)
+            snap = self._dev.snapshot() if any(chunk_retry) else None
             docs_ref = list(self._docs)
 
         _start_host_copies(pending)
         out: list[list[dict[str, Any]]] = []
-        for chunk, entry in zip(chunks, pending):
+        for chunk, entry, retryable in zip(chunks, pending, chunk_retry):
             if len(entry) == 3:
                 packed, nq, ke = entry
                 vals, idxs = _unpack_fetch(np.asarray(packed), nq, ke)
@@ -1234,7 +1261,7 @@ class PicoVectorDB:
                 vals_dev, idxs_dev, nq, ke = entry
                 vals = np.asarray(vals_dev)[:nq, :ke]
                 idxs = np.asarray(idxs_dev)[:nq, :ke]
-            if segmax and np.isneginf(vals).any():
+            if retryable and np.isneginf(vals).any():
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
                 self._exact_retries += 1
             out.extend(
@@ -1294,21 +1321,24 @@ class PicoVectorDB:
             mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
+            chunk_retry = []
             pack = _pack_fetch_enabled()
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
                 vd, xd, nq, ke = self._dev.query_async(
                     chunk, k_eff, filter_mask, mask_key=mask_key)
+                # per-chunk: a small tail chunk may route differently (see
+                # query_batched)
+                chunk_retry.append(_needs_exact_retry(self._dev.last_strategy))
                 if pack:
                     pending.append((self._dev.pack_results(vd, xd), nq, ke))
                 else:
                     pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
             self._last_k_eff = int(k_eff)
-            segmax = _needs_exact_retry(self._dev.last_strategy)
             # see query_batched: retry must use the dispatch-time snapshot
-            snap = self._dev.snapshot() if segmax else None
+            snap = self._dev.snapshot() if any(chunk_retry) else None
             ids_arr = self._ids_array()
             docs_len = len(self._docs)
 
@@ -1316,7 +1346,7 @@ class PicoVectorDB:
         out_ids = np.full((num_q, top_k), None, dtype=object)
         out_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
         row = 0
-        for chunk, entry in zip(chunks, pending):
+        for chunk, entry, retryable in zip(chunks, pending, chunk_retry):
             if len(entry) == 3:
                 packed, nq, ke = entry
                 vals, idxs = _unpack_fetch(np.asarray(packed), nq, ke)
@@ -1324,7 +1354,7 @@ class PicoVectorDB:
                 vals_dev, idxs_dev, nq, ke = entry
                 vals = np.asarray(vals_dev)[:nq, :ke]
                 idxs = np.asarray(idxs_dev)[:nq, :ke]
-            if segmax and np.isneginf(vals).any():
+            if retryable and np.isneginf(vals).any():
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
                 self._exact_retries += 1
             valid = np.isfinite(vals) & (idxs >= 0) & (idxs < docs_len)
@@ -1778,7 +1808,10 @@ class PicoVectorDB:
 
         if self._dev.storage_dtype == "int8":
             # the classic layout's raw-int8 reordered mirror cannot be
-            # scored (per-row scales) — int8-only is the only layout
+            # scored (per-row scales) — int8-only is the only layout.
+            # (Below IVF_I8_MIN_DIM the postings' column quantization
+            # stacks on the storage quantization; _rebuild_ann skips the
+            # build there and serves exact.)
             return True
         env = _os.getenv("PICOVDB_IVF_I8ONLY", "auto")
         if env in ("0", "false", "False"):
@@ -1791,13 +1824,7 @@ class PicoVectorDB:
         n = max(len(self._id2idx), 1)
         corpus_b = self._dev.cap * self.dim * item
         mirror_b = int(1.05 * n) * self.dim * (item + 1)
-        try:
-            budget = float(
-                _os.getenv("PICOVDB_IVF_BUDGET_GB", "13") or 13
-            ) * 2**30
-        except ValueError:
-            budget = 13 * 2**30
-        return corpus_b + mirror_b > budget
+        return corpus_b + mirror_b > _ivf_budget_bytes()
 
     def _ivf_fits(self, n_active: int) -> bool:
         """Whether an IVF postings mirror can sit beside the corpus in HBM.
@@ -1816,15 +1843,9 @@ class PicoVectorDB:
             post_b = int(1.05 * n_active) * self.dim
         else:
             post_b = int(1.05 * n_active) * self.dim * (item + 1)
-        try:
-            budget = float(
-                _os.getenv("PICOVDB_IVF_BUDGET_GB", "13") or 13
-            ) * 2**30
-        except ValueError:
-            budget = 13 * 2**30
         # the fit bound is 1 GB looser than the layout-choice bound: the
         # 6.29M int8 config (13.16 GB estimated) measured-fits a 16 GB chip
-        return corpus_b + post_b <= budget + 2**30
+        return corpus_b + post_b <= _ivf_budget_bytes() + 2**30
 
     @timed("rebuild_ann")
     def _rebuild_ann(self) -> None:
@@ -1878,6 +1899,22 @@ class PicoVectorDB:
             from .ops.ivf import IVFIndex, should_build
 
             n_active = len(self._id2idx)
+            if n_active and self._dev.storage_dtype == "int8":
+                from .ops.ivf import IVF_I8_MIN_DIM, _ivf_i8_enabled
+
+                if not _ivf_i8_enabled(self.dim):
+                    # int8 storage has no non-int8 postings layout, and
+                    # below IVF_I8_MIN_DIM the column quantization stacks
+                    # on the storage quantization (measured exact-probe
+                    # misses at low dim) — serve exact instead
+                    if self._index_kind == "ivf":
+                        logger.warning(
+                            "index='ivf' with int8 storage needs dim >= "
+                            "%d (or PICOVDB_IVF_I8=1); serving exact",
+                            IVF_I8_MIN_DIM,
+                        )
+                    self._ivf = None
+                    return
             if n_active and not self._ivf_fits(n_active):
                 # At the capacity ceiling (e.g. 12.58M int8 rows) even the
                 # int8-only postings cannot sit beside the corpus; skip the
@@ -1944,15 +1981,36 @@ class PicoVectorDB:
 # mark (near-tie guard-band saturation, ops/pallas_scan._tie_margin).
 # All of them serve UNFILTERED queries only, so the exact retry against
 # the dispatch-time snapshot's (vectors, active) is the full candidate
-# set. mixed_fused_batch is excluded: it can serve filtered queries (no
-# crowding mark is applied there) and its exact ladder never underfills.
-_RETRY_STRATEGIES = (
+# set. "mixed_fused_batch" (exact, without the "_filtered" suffix) marks
+# only when unfiltered — the filtered variant reports
+# "mixed_fused_batch_filtered", is never marked (DeviceIndex passes
+# tie_scale=0 there), and is NOT retried: startswith() on the unfiltered
+# name would also match it, so membership is checked exactly for that
+# one.
+_RETRY_PREFIXES = (
     "segmax", "mixed_fused_smallq", "i8_fused_smallq", "i8c_fused_smallq"
 )
 
 
+def _ivf_budget_bytes() -> float:
+    """PICOVDB_IVF_BUDGET_GB (default 13 GB: 16 GB v5e HBM minus
+    compiler/workspace headroom) — shared by the IVF layout choice
+    (`_ivf_i8_only`) and the fit guard (`_ivf_fits`)."""
+    import os as _os
+
+    try:
+        return float(
+            _os.getenv("PICOVDB_IVF_BUDGET_GB", "13") or 13
+        ) * 2**30
+    except ValueError:
+        return 13 * 2**30
+
+
 def _needs_exact_retry(strategy) -> bool:
-    return bool(strategy) and strategy.startswith(_RETRY_STRATEGIES)
+    if not strategy:
+        return False
+    return (strategy == "mixed_fused_batch"
+            or strategy.startswith(_RETRY_PREFIXES))
 
 
 def _start_host_copies(pending) -> None:

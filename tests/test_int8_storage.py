@@ -114,11 +114,12 @@ def test_int8_storage_rejects_mesh():
         DeviceIndex(32, mesh=make_mesh(), storage_dtype="int8")
 
 
-def test_int8_storage_ivf(db_path, rng):
+def test_int8_storage_ivf(db_path, rng, monkeypatch):
     """index="ivf" on an int8 store: int8-only postings, dequant rescore
     by slot against the int8 corpus."""
     from test_ivf import clustered_data
 
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # force below IVF_I8_MIN_DIM
     n, k = 4096, 5
     V, _ = clustered_data(rng, n, DIM)
     db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
@@ -158,3 +159,20 @@ def test_int8_storage_device_born_ingest(db_path, rng):
                        storage_dtype="int8")
     res2 = db2.query(V[5], top_k=1)
     assert res2[0][K_ID] == "5"
+
+
+def test_int8_storage_low_dim_ivf_serves_exact(db_path, rng):
+    """Below IVF_I8_MIN_DIM (no PICOVDB_IVF_I8 force) an int8 store with
+    index="ivf" warns and serves exact: the postings' column quantization
+    would stack on the storage quantization (review finding)."""
+    from test_ivf import clustered_data
+
+    n = 2048
+    V, _ = clustered_data(rng, n, DIM)  # DIM=128 < IVF_I8_MIN_DIM
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
+                      storage_dtype="int8", index="ivf", ivf_nlist=16)
+    db.upsert_columnar(V.copy(), ids=[str(i) for i in range(n)], copy=False)
+    res = db.query(V[33], top_k=1)
+    assert db._ivf is None
+    assert res[0][K_ID] == "33"
+    assert db._last_topk_strategy.startswith("i8stor")

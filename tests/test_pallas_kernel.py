@@ -721,7 +721,7 @@ def test_mixed_fused_batch_filtered_route(rng):
     Q = normalize_batch(rng.normal(size=(32, dim)).astype(np.float32))
     fmask = rng.random(n) > 0.6  # a filter -> segmax must not serve
     vals, idxs, nq, ke = dev.query_async(Q, k, fmask)
-    assert dev.last_strategy == "mixed_fused_batch"
+    assert dev.last_strategy == "mixed_fused_batch_filtered"
     vals = np.asarray(vals)[:nq, :ke]
     idxs = np.asarray(idxs)[:nq, :ke]
     ovals, oidx, scores = oracle(Q, V, fmask, k)

@@ -257,3 +257,29 @@ def test_vacuum_keeps_fixed_capacity(db_path, rng):
                        use_memmap=True, capacity=cap)
     assert db2.count() == cap and db2.capacity() == cap
     assert db2.query(vecs[20], top_k=1)[0][K_ID] == "v20"
+
+
+@pytest.mark.parametrize("cap_kwargs", [{}, {"use_memmap": True,
+                                             "capacity": 32}])
+def test_vacuum_all_deleted_clears_device_mask(db_path, rng, cap_kwargs):
+    """vacuum with ZERO actives must not leave the device mirror's mask
+    stale: deletes are lazily synced, and vacuum used to clear the
+    pending sets without uploading the cleared mask — a later upsert
+    then scattered only its own row, leaving ghost actives that could
+    outrank it (review finding)."""
+    import numpy as np
+
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    dim = 8
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path, **cap_kwargs)
+    vecs = rng.normal(size=(10, dim)).astype(np.float32)
+    db.upsert([{K_ID: f"v{i}", K_VECTOR: vecs[i]} for i in range(10)])
+    db.query(vecs[0], top_k=3)  # sync the device mirror (10 actives)
+    db.delete([f"v{i}" for i in range(10)])  # lazily pending
+    db.vacuum()  # n == 0: must schedule a device mask repair
+    assert db.count() == 0
+    new = rng.normal(size=dim).astype(np.float32)
+    db.upsert([{K_ID: "fresh", K_VECTOR: new}])
+    hits = db.query(vecs[3], top_k=5)  # query an OLD vector
+    assert [h[K_ID] for h in hits] == ["fresh"], hits
