@@ -124,11 +124,6 @@ class DeviceIndex:
         # tighter than bf16) and lifts the single-chip capacity ceiling to
         # ~12M x 1024 rows. Host persistence remains float32 either way.
         self.storage_dtype = storage_dtype or "float32"
-        if self.storage_dtype == "int8" and mesh is not None:
-            raise ValueError(
-                "storage_dtype='int8' is single-device only (shard the "
-                "corpus with float32/bfloat16 storage instead)"
-            )
         if compute_dtype is None and self.storage_dtype == "bfloat16":
             compute_dtype = "bfloat16"
         self.compute_dtype = compute_dtype
@@ -314,6 +309,29 @@ class DeviceIndex:
         n = host_vectors.shape[0]
         cap = max(self.cap, self._padded_cap(n))
         mask = _pad_rows(np.ascontiguousarray(active_np, dtype=bool), cap)
+        if self.storage_dtype == "int8" and self.mesh is not None:
+            # Sharded int8 corpus: rows + their per-row scales live on the
+            # owning shard. Quantization is row-local, so one jitted pass
+            # over the row-sharded f32 upload partitions with zero
+            # collectives (GSPMD keeps in/out row shardings aligned); the
+            # f32 staging array is transient, mirroring the existing
+            # non-streamed mesh upload below.
+            from .ops.pallas_scan import quantize_rows_i8
+
+            vecs = _pad_rows(
+                np.ascontiguousarray(np.asarray(host_vectors, dtype=Float)),
+                cap,
+            )
+            f_dev = jax.device_put(vecs, self._row_sharding())
+            q8, qs = jax.jit(quantize_rows_i8, donate_argnums=(0,))(f_dev)
+            self.vectors = q8
+            self.vstore_scale = qs
+            self.active = jax.device_put(mask, self._mask_sharding())
+            self.cap = cap
+            self._refresh_lp_mirror()
+            self._mask_cache.clear()
+            self.last_sync_mode = "full"
+            return
         if self.storage_dtype == "int8":
             # Per-row quantization is chunk-local (each row owns its
             # scale), so the int8 corpus builds in ONE streaming pass:
@@ -409,10 +427,10 @@ class DeviceIndex:
                 return v8, vs
 
             v8, vs = _pad_q(vectors_dev, scales, cap - n)
-            self.vectors = jax.device_put(v8, self._device)
-            self.vstore_scale = jax.device_put(vs, self._device)
+            self.vectors = jax.device_put(v8, self._row_sharding())
+            self.vstore_scale = jax.device_put(vs, self._mask_sharding())
             self.active = jax.device_put(
-                jnp.arange(cap, dtype=jnp.int32) < n, self._device
+                jnp.arange(cap, dtype=jnp.int32) < n, self._mask_sharding()
             )
             self.cap = cap
             self._refresh_lp_mirror()
@@ -440,10 +458,10 @@ class DeviceIndex:
                 return q8, qs
 
             v8, vs = _prep_i8(vectors_dev, cap - n, bool(normalize))
-            self.vectors = jax.device_put(v8, self._device)
-            self.vstore_scale = jax.device_put(vs, self._device)
+            self.vectors = jax.device_put(v8, self._row_sharding())
+            self.vstore_scale = jax.device_put(vs, self._mask_sharding())
             self.active = jax.device_put(
-                jnp.arange(cap, dtype=jnp.int32) < n, self._device
+                jnp.arange(cap, dtype=jnp.int32) < n, self._mask_sharding()
             )
             self.cap = cap
             self._refresh_lp_mirror()
@@ -589,7 +607,8 @@ class DeviceIndex:
                 )
             q8, qs = quantize_rows_i8(
                 jax.device_put(
-                    np.ascontiguousarray(rows, dtype=Float), self._device
+                    np.ascontiguousarray(rows, dtype=Float),
+                    self._replicated(),
                 )
             )
             self.vectors = _scatter_rows(self.vectors, dev_idx, q8)
@@ -674,8 +693,12 @@ class DeviceIndex:
                 q_dev = q_dev.astype(jnp.float32)
         k_eff = min(k, vectors.shape[0])
         if vscale is not None:  # int8 storage snapshot
-            if (getattr(self._device, "platform", "cpu") == "tpu"
+            if (self.mesh is None
+                    and getattr(self._device, "platform", "cpu") == "tpu"
                     and k_eff + 4 <= 1024):
+                # single-device only: the Pallas ladder cannot run over a
+                # row-sharded snapshot under plain jit; mesh snapshots use
+                # the XLA i8r scan below, which GSPMD partitions.
                 # stream via the int8 ladder: the XLA fallback's (Q, cap)
                 # f32 score matrix OOMs near the capacity ceiling (e.g.
                 # a 2048-query chunk over 12.58M rows would need ~100 GB)
@@ -915,17 +938,34 @@ class DeviceIndex:
             from .parallel.sharded_query import make_sharded_topk
 
             use_pallas = self.use_pallas or self.scan_mode == "fused"
-            fn = make_sharded_topk(
-                self.mesh,
-                self.shard_axis,
-                k_pad,
-                self.compute_dtype,
-                use_pallas=use_pallas,
-                interpret=use_pallas and interpret,
-            )
-            self.last_strategy = (
-                "sharded_scan_pallas" if use_pallas else "sharded_scan"
-            )
+            if self.storage_dtype == "int8":
+                s8_fn = make_sharded_topk(
+                    self.mesh,
+                    self.shard_axis,
+                    k_pad,
+                    None,
+                    use_pallas=use_pallas,
+                    interpret=use_pallas and interpret,
+                    storage_i8=True,
+                )
+                vs = self.vstore_scale
+                fn = lambda q, v, m: s8_fn(q, v, vs, m)  # noqa: E731
+                self.last_strategy = (
+                    "sharded_scan_i8stor_pallas" if use_pallas
+                    else "sharded_scan_i8stor"
+                )
+            else:
+                fn = make_sharded_topk(
+                    self.mesh,
+                    self.shard_axis,
+                    k_pad,
+                    self.compute_dtype,
+                    use_pallas=use_pallas,
+                    interpret=use_pallas and interpret,
+                )
+                self.last_strategy = (
+                    "sharded_scan_pallas" if use_pallas else "sharded_scan"
+                )
         elif i8s_segmax:
             from .ops.pallas_scan import make_segmax_topk_i8
 

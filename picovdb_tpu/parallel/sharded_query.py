@@ -30,29 +30,37 @@ _CACHE = {}
 
 def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
                       dp_axis: str = "dp", use_pallas: bool = False,
-                      normalize: bool = True, interpret: bool = False):
+                      normalize: bool = True, interpret: bool = False,
+                      storage_i8: bool = False):
     """Build a jitted sharded masked-top-k for a static k.
 
     Signature of the returned fn: (queries (Q, dim) [dp-sharded if dp>1],
     vectors (cap, dim) row-sharded, mask (cap,) row-sharded) ->
     (values (Q, k) f32, indices (Q, k) int32 global slot ids).
 
+    `storage_i8=True` serves an int8 STORAGE corpus (per-row-quantized
+    rows + scales, see DeviceIndex): the returned fn takes an extra
+    `vscale (cap,) f32` row-sharded argument after `vectors`, each shard
+    selects over its int8 rows on the MXU and rescores the winners
+    dequantized, so the merged scores carry storage precision exactly like
+    the single-device int8 lanes.
+
     `interpret=True` runs the Pallas kernel in interpret mode inside each
     shard — the CPU-mesh test path for `use_pallas=True` (compiled Mosaic
     is TPU-only).
     """
     key = (id(mesh), mesh.shape_tuple, shard_axis, k, compute_dtype_name,
-           dp_axis, use_pallas, normalize, interpret)
+           dp_axis, use_pallas, normalize, interpret, storage_i8)
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build(mesh, shard_axis, k, compute_dtype_name, dp_axis,
-                    use_pallas, normalize, interpret)
+                    use_pallas, normalize, interpret, storage_i8)
         _CACHE[key] = fn
     return fn
 
 
 def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
-           normalize, interpret=False):
+           normalize, interpret=False, storage_i8=False):
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     has_dp = dp_axis in mesh.shape and mesh.shape[dp_axis] > 1
     q_spec = P(dp_axis, None) if has_dp else P()
@@ -77,10 +85,40 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
         base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
         return vals, idx + base
 
+    def local_i8(q, v8, vs, m):
+        rows_local = v8.shape[0]
+        k_local = min(k, rows_local)
+        if use_pallas:
+            from ..ops.pallas_scan import (
+                fused_topk_i8,
+                quantize_rows_i8,
+                rescore_exact_i8r,
+            )
+
+            q_i8, _ = quantize_rows_i8(q)
+            k_sel = min(k_local + 4, rows_local)
+            vals, idx = fused_topk_i8(q_i8, v8, vs, m, k_sel,
+                                      interpret=interpret)
+            vals, idx = rescore_exact_i8r(q, v8, vs, vals, idx)
+            vals, idx = vals[:, :k_local], idx[:, :k_local]
+        else:
+            from ..ops.exact import exact_topk_i8r
+
+            vals, idx = exact_topk_i8r(q, v8, vs, m, k_local)
+        base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
+        return vals, idx + base
+
+    if storage_i8:
+        in_specs = (q_spec, P(shard_axis, None), P(shard_axis),
+                    P(shard_axis))
+        body = local_i8
+    else:
+        in_specs = (q_spec, P(shard_axis, None), P(shard_axis))
+        body = local
     mapped = _shard_map(
-        local,
+        body,
         mesh=mesh,
-        in_specs=(q_spec, P(shard_axis, None), P(shard_axis)),
+        in_specs=in_specs,
         out_specs=(P(out_q, shard_axis), P(out_q, shard_axis)),
         # pallas_call outputs carry no varying-mesh-axes metadata yet; the
         # out_specs above declare the sharding explicitly, so the check is
@@ -88,12 +126,12 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
         check_vma=not use_pallas,
     )
 
-    def merged(q, v, m):
+    def merged(q, *arrays):
         if normalize:
             from ..ops.exact import normalize_on_device
 
             q = normalize_on_device(q)
-        vals, idx = mapped(q, v, m)  # (Q, shards * k_local)
+        vals, idx = mapped(q, *arrays)  # (Q, shards * k_local)
         k_final = min(k, vals.shape[1])
         top_vals, order = jax.lax.top_k(vals, k_final)
         top_idx = jnp.take_along_axis(idx, order, axis=1)

@@ -107,11 +107,36 @@ def test_int8_storage_mutation_semantics(db_path, rng):
     assert res[0][K_METRICS] > 0.99
 
 
-def test_int8_storage_rejects_mesh():
+@pytest.mark.parametrize("scan_mode", ["auto", "fused"])
+def test_int8_storage_mesh(db_path, rng, scan_mode):
+    """int8 storage over a device mesh: rows + per-row scales shard
+    together; per-shard int8 selection + dequant rescore merges over the
+    ICI top-k exactly like the f32 sharded path (XLA and Pallas lanes)."""
     from picovdb_tpu.parallel import make_mesh
 
-    with pytest.raises(ValueError):
-        DeviceIndex(32, mesh=make_mesh(), storage_dtype="int8")
+    mesh = make_mesh()
+    n, k = 4096, 5
+    V = rng.normal(size=(n, DIM)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path, mesh=mesh,
+                      storage_dtype="int8", scan_mode=scan_mode)
+    db.upsert_columnar(V.copy(), ids=[str(i) for i in range(n)])
+    res = db.query(V[7], top_k=k)
+    assert res[0][K_ID] == "7" and res[0][K_METRICS] > 0.99
+    assert "i8stor" in db._dev.last_strategy
+    oid, _ = oracle_topk(V[7], V, k)
+    got = {int(r[K_ID]) for r in res}
+    assert len(got & set(oid.tolist())) >= k - 1  # storage-precision ties
+    # mutations keep exact semantics (each row owns its scale)
+    db.delete(["7"])
+    assert db.query(V[7], top_k=1)[0][K_ID] != "7"
+    db.upsert([{K_ID: "7", K_VECTOR: V[7]}])
+    assert db.query(V[7], top_k=1)[0][K_ID] == "7"
+    # persistence stays float32: reload into the same mesh layout
+    db.save()
+    db2 = PicoVectorDB(embedding_dim=DIM, storage_file=db_path, mesh=mesh,
+                       storage_dtype="int8", scan_mode=scan_mode)
+    assert db2.query(V[9], top_k=1)[0][K_ID] == "9"
+    assert db2.count() == n
 
 
 def test_int8_storage_ivf(db_path, rng, monkeypatch):
