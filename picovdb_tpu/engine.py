@@ -314,12 +314,15 @@ class PicoVectorDB:
                         if self._dev.mesh is not None:
                             from .parallel.ivf_mesh import ShardedIVF
 
+                            i8o = self._dev.storage_dtype == "int8"
                             self._ivf = ShardedIVF.from_blob(
                                 blob, np.asarray(self._host_vectors),
                                 self._active_mask, self.dim,
                                 mesh=self._dev.mesh,
                                 shard_axis=self._dev.shard_axis,
                                 storage_dtype=self._dev.storage_dtype,
+                                i8_only=i8o,
+                                corpus_cap=self._dev.cap if i8o else None,
                             )
                         else:
                             from .ops.ivf import IVFIndex
@@ -1862,6 +1865,23 @@ class PicoVectorDB:
                 from .parallel.ivf_mesh import ShardedIVF
 
                 n_active = len(self._id2idx)
+                i8o = self._dev.storage_dtype == "int8"
+                if n_active and i8o:
+                    from .ops.ivf import IVF_I8_MIN_DIM, _ivf_i8_enabled
+
+                    if not _ivf_i8_enabled(self.dim):
+                        # same gate as the single-device branch below:
+                        # int8 storage has no non-int8 postings layout,
+                        # and below IVF_I8_MIN_DIM the postings' column
+                        # quantization stacks on the storage quantization
+                        if self._index_kind == "ivf":
+                            logger.warning(
+                                "index='ivf' with int8 storage needs dim "
+                                ">= %d (or PICOVDB_IVF_I8=1); serving "
+                                "exact", IVF_I8_MIN_DIM,
+                            )
+                        self._ivf = None
+                        return
                 if n_active and (
                     self._index_kind == "ivf"
                     or (self._index_kind == "auto" and should_build(n_active))
@@ -1882,6 +1902,8 @@ class PicoVectorDB:
                         dim=self.dim,
                         warm_centroids=warm,
                         storage_dtype=self._dev.storage_dtype,
+                        i8_only=i8o,
+                        corpus_cap=self._dev.cap if i8o else None,
                     )
                 else:
                     self._ivf = None

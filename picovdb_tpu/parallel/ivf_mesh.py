@@ -89,10 +89,17 @@ class ShardedIVF:
 
     def __init__(self, centroids, vectors, slots, active, seg_starts,
                  cluster2tile, nlist: int, n_tiles: int, cap_shard: int,
-                 dim: int, mesh, shard_axis: str) -> None:
+                 dim: int, mesh, shard_axis: str,
+                 vectors_i8c=None, cscale=None,
+                 corpus_cap: Optional[int] = None) -> None:
         self.centroids = centroids  # (nlist_pad, dim) replicated f32
         self.vectors = vectors  # (nshards*cap_shard, dim) P(shard, None)
-        self.slots = slots  # (nshards*cap_shard,) P(shard) int32 GLOBAL ids
+        # slots: (nshards*cap_shard,) P(shard) int32. Classic layout:
+        # GLOBAL engine slot ids. int8-only layout (vectors is None):
+        # LOCAL corpus-shard row ids — the rescore gathers from the OWNING
+        # corpus shard inside shard_map, and the search body re-globalizes
+        # with the shard base.
+        self.slots = slots
         self.active = active  # (nshards*cap_shard,) P(shard) bool
         self.seg_starts = seg_starts  # (nshards, nlist+2) P(shard, None)
         self.cluster2tile = cluster2tile  # (nshards, nlist_pad, n_tiles)
@@ -102,13 +109,19 @@ class ShardedIVF:
         self.dim = dim
         self.mesh = mesh
         self.shard_axis = shard_axis
+        # int8-only layout: the corpus capacity the per-shard row->slot
+        # mapping was laid out against; a mismatch at query time means the
+        # corpus was re-padded (rows moved shards) and the tier is stale.
+        self.corpus_cap = corpus_cap
         self._host_blob: Optional[dict] = None
-        # optional per-shard column-scaled int8 postings mirror (derived,
-        # never persisted) — same DMA-bound-probe rationale as the
-        # single-device tier (ops/ivf._ivf_i8_enabled)
-        self.vectors_i8c = None
-        self.cscale = None
-        if _ivf_i8_enabled(dim):
+        # per-shard column-scaled int8 postings mirror — same
+        # DMA-bound-probe rationale as the single-device tier
+        # (ops/ivf._ivf_i8_enabled). In the int8-only layout
+        # (vectors is None) the mirror IS the postings store, built by
+        # `build` and passed in here.
+        self.vectors_i8c = vectors_i8c
+        self.cscale = cscale
+        if vectors is not None and _ivf_i8_enabled(dim):
             self.vectors_i8c, self.cscale = _quantize_shards_i8(
                 self.vectors, mesh, shard_axis
             )
@@ -128,6 +141,8 @@ class ShardedIVF:
         seed: int = 0,
         warm_centroids: Optional[np.ndarray] = None,
         storage_dtype: Optional[str] = None,
+        i8_only: bool = False,
+        corpus_cap: Optional[int] = None,
     ) -> "ShardedIVF":
         """Train shared centroids, lay out per-shard postings, upload sharded.
 
@@ -135,6 +150,15 @@ class ShardedIVF:
         bulk-ingest time, where the corpus is host-resident anyway); k-means
         and assignment run on device. Vector payload flows host -> HBM once,
         already in its sharded layout.
+
+        `i8_only=True` (required for int8 STORAGE corpora, where raw
+        storage rows cannot be scored without their per-row scales): the
+        per-shard postings are a column-scaled int8 mirror ONLY — 1
+        B/element beside the corpus — and the exact rescore reads the
+        ENGINE's sharded corpus by slot at query time. Rows are then
+        partitioned by their OWNING corpus shard (slot // per-shard
+        capacity, given via `corpus_cap`) instead of an equal split, so
+        the rescore gather stays shard-local (no collectives).
         """
         dim = int(dim if dim is not None else host_vectors.shape[1])
         nshards = mesh.shape[shard_axis]
@@ -195,43 +219,83 @@ class ShardedIVF:
             )
 
         # --- per-shard cluster-contiguous layout --------------------------
-        # Contiguous equal split of the active rows (insertion order is
-        # effectively random w.r.t. clusters, so posting lists spread
-        # uniformly). All shards share cap_shard so the stacked arrays are
-        # uniform; slack is the tile padding only — the mesh tier rebuilds
-        # rather than appending in place.
-        per = -(-n_active // nshards)  # ceil
-        cap_shard = round_up(per + 1, IVF_BN)
+        # Classic layout: contiguous equal split of the active rows
+        # (insertion order is effectively random w.r.t. clusters, so
+        # posting lists spread uniformly). int8-only layout: rows go to
+        # their OWNING corpus shard so the slot rescore is local; active
+        # slots are ~uniform over the slot space, so balance is similar.
+        # All shards share cap_shard so the stacked arrays are uniform;
+        # slack is the tile padding only — the mesh tier rebuilds rather
+        # than appending in place.
+        if i8_only:
+            if not corpus_cap or corpus_cap % nshards:
+                raise ValueError(
+                    f"i8_only mesh IVF needs the corpus capacity "
+                    f"(multiple of {nshards}); got {corpus_cap}"
+                )
+            shard_rows_corpus = corpus_cap // nshards
+            owner = act_rows // shard_rows_corpus
+            shard_sel = [np.nonzero(owner == s)[0] for s in range(nshards)]
+            per = max((int(x.shape[0]) for x in shard_sel), default=1)
+        else:
+            per = -(-n_active // nshards)  # ceil
+            shard_sel = [
+                np.arange(s * per, min((s + 1) * per, n_active))
+                for s in range(nshards)
+            ]
+        cap_shard = round_up(max(per, 1) + 1, IVF_BN)
         n_tiles = cap_shard // IVF_BN
         nlist_pad = round_up(nlist + 1, 8)
 
-        if storage_dtype in (None, "float32"):
-            np_dtype = np.dtype(Float)
+        if i8_only:
+            post_np = np.zeros((nshards * cap_shard, dim), dtype=np.int8)
+            cs_np = np.ones((nshards, dim), dtype=np.float32)
+            vecs_np = None
         else:
-            import ml_dtypes  # ships with jax
+            if storage_dtype in (None, "float32"):
+                np_dtype = np.dtype(Float)
+            else:
+                import ml_dtypes  # ships with jax
 
-            np_dtype = np.dtype(getattr(ml_dtypes, storage_dtype))
-
-        vecs_np = np.zeros((nshards * cap_shard, dim), dtype=np_dtype)
+                np_dtype = np.dtype(getattr(ml_dtypes, storage_dtype))
+            vecs_np = np.zeros((nshards * cap_shard, dim), dtype=np_dtype)
         slots_np = np.full(nshards * cap_shard, -1, dtype=np.int32)
         act_np = np.zeros(nshards * cap_shard, dtype=bool)
         segs_np = np.zeros((nshards, nlist + 2), dtype=np.int32)
         c2t_np = np.zeros((nshards, nlist_pad, n_tiles), dtype=Float)
 
         for s in range(nshards):
-            lo, hi = s * per, min((s + 1) * per, n_active)
-            local_rows = act_rows[lo:hi]  # global engine slots of this shard
-            local_assign = assign[lo:hi]
+            sel_s = shard_sel[s]
+            local_rows = act_rows[sel_s]  # global engine slots of this shard
+            local_assign = assign[sel_s]
             order = np.argsort(local_assign, kind="stable")
             sorted_clusters = local_assign[order]
             n_local = local_rows.shape[0]
             base = s * cap_shard
-            vecs_np[base : base + n_local] = host_vectors[
-                local_rows[order]
-            ].astype(np_dtype, copy=False)
-            slots_np[base : base + n_local] = local_rows[order].astype(
-                np.int32
-            )
+            if i8_only:
+                # per-shard column-scaled int8 postings (selection only;
+                # the rescore reads the engine corpus) — same math as
+                # ops/pallas_scan.quantize_cols_i8, host-side
+                rows_f = host_vectors[local_rows[order]].astype(
+                    np.float32, copy=False
+                )
+                if n_local:
+                    cs = np.maximum(np.abs(rows_f).max(axis=0), 1e-30) / 127.0
+                    cs_np[s] = cs
+                    post_np[base : base + n_local] = np.clip(
+                        np.rint(rows_f / cs), -127, 127
+                    ).astype(np.int8)
+                # LOCAL corpus-shard row ids (see __init__)
+                slots_np[base : base + n_local] = (
+                    local_rows[order] - s * shard_rows_corpus
+                ).astype(np.int32)
+            else:
+                vecs_np[base : base + n_local] = host_vectors[
+                    local_rows[order]
+                ].astype(np_dtype, copy=False)
+                slots_np[base : base + n_local] = local_rows[order].astype(
+                    np.int32
+                )
             act_np[base : base + n_local] = True
             starts = np.searchsorted(sorted_clusters, np.arange(nlist + 1))
             segs_np[s] = np.concatenate([starts, [cap_shard]]).astype(
@@ -250,7 +314,9 @@ class ShardedIVF:
         rep = NamedSharding(mesh, P())
         idx = cls(
             centroids=jax.device_put(cent_np, rep),
-            vectors=jax.device_put(vecs_np, row_sh),
+            vectors=(
+                None if i8_only else jax.device_put(vecs_np, row_sh)
+            ),
             slots=jax.device_put(slots_np, vec_sh),
             active=jax.device_put(act_np, vec_sh),
             seg_starts=jax.device_put(segs_np, row_sh),
@@ -263,6 +329,13 @@ class ShardedIVF:
             dim=dim,
             mesh=mesh,
             shard_axis=shard_axis,
+            vectors_i8c=(
+                jax.device_put(post_np, row_sh) if i8_only else None
+            ),
+            cscale=(
+                jax.device_put(cs_np, row_sh) if i8_only else None
+            ),
+            corpus_cap=corpus_cap if i8_only else None,
         )
         idx._host_blob = {
             "centroids": cent_np[:nlist],
@@ -302,6 +375,8 @@ class ShardedIVF:
         mesh=None,
         shard_axis: str = "shard",
         storage_dtype: Optional[str] = None,
+        i8_only: bool = False,
+        corpus_cap: Optional[int] = None,
     ) -> Optional["ShardedIVF"]:
         """Relayout from a persisted sidecar without retraining k-means."""
         try:
@@ -325,6 +400,8 @@ class ShardedIVF:
                 warm_centroids=cent,
                 iters=0,
                 storage_dtype=storage_dtype,
+                i8_only=i8_only,
+                corpus_cap=corpus_cap,
             )
         except Exception:
             return None
@@ -334,6 +411,15 @@ class ShardedIVF:
     def search(self, queries, k: int, ef: int, dev,
                nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         """Probed sharded top-k; host (vals, GLOBAL slot ids) of (Q, k)."""
+        if self.vectors is None and dev.cap != self.corpus_cap:
+            # int8-only layout laid out against a corpus capacity that has
+            # since been re-padded (rows moved shards): the local row ids
+            # are stale. Unreachable through the engine (mutations dirty
+            # the store and every query-time rebuild precedes the search),
+            # but self-heal to the exact sharded scan rather than serve
+            # wrong rows.
+            num_q = queries.shape[0]
+            return dev.query(np.asarray(queries)[:num_q], k, None)
         vals, slot_ids, num_q = self.search_async(queries, k, ef, dev, nprobe)
         vals_np = np.asarray(vals)[:num_q, :k]
         slots_np = np.asarray(slot_ids)[:num_q, :k]
@@ -381,6 +467,23 @@ class ShardedIVF:
             ),
         )
         use_i8 = self.vectors_i8c is not None
+        i8_only = self.vectors is None
+        if i8_only:
+            corpus_scaled = dev.vstore_scale is not None
+            fn = _make_sharded_ivf_search(
+                id(self.mesh), self.mesh, self.shard_axis, k, nprobe,
+                self.nlist, None, interpret, g_tiles, True,
+                i8_only=True, corpus_scaled=corpus_scaled,
+            )
+            args = (
+                q_dev, self.centroids, self.slots, self.seg_starts,
+                self.active, self.cluster2tile, self.vectors_i8c,
+                self.cscale, dev.vectors,
+            )
+            if corpus_scaled:
+                args = args + (dev.vstore_scale,)
+            vals, slot_ids = fn(*args)
+            return vals, slot_ids, num_q
         fn = _make_sharded_ivf_search(
             id(self.mesh), self.mesh, self.shard_axis, k, nprobe, self.nlist,
             None if self.vectors.dtype == jnp.float32
@@ -405,14 +508,16 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
                              nprobe: int, nlist: int,
                              compute_dtype_name: Optional[str],
                              interpret: bool, g_tiles: int,
-                             use_i8: bool = False):
+                             use_i8: bool = False, i8_only: bool = False,
+                             corpus_scaled: bool = False):
     key = (mesh_key, mesh.shape_tuple, shard_axis, k, nprobe, nlist,
-           compute_dtype_name, interpret, g_tiles, use_i8)
+           compute_dtype_name, interpret, g_tiles, use_i8, i8_only,
+           corpus_scaled)
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_sharded_ivf_search(
             mesh, shard_axis, k, nprobe, nlist, compute_dtype_name,
-            interpret, g_tiles, use_i8,
+            interpret, g_tiles, use_i8, i8_only, corpus_scaled,
         )
         _CACHE[key] = fn
     return fn
@@ -420,11 +525,12 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
 
 def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
                               compute_dtype_name, interpret, g_tiles,
-                              use_i8=False):
+                              use_i8=False, i8_only=False,
+                              corpus_scaled=False):
     # guard band, see ops/pallas_scan.make_fused_topk; widened for int8
     # postings (integer-selection noise > bf16's; +6 keeps k_sel at the
     # ladder's unroll boundary for the default k=10 — see ops/ivf.py)
-    k_sel = k + (6 if use_i8 else 4)
+    k_sel = k + (6 if (use_i8 or i8_only) else 4)
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )
@@ -439,13 +545,43 @@ def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
         )
         return vals, slot_ids  # slots are global already — no base offset
 
-    in_specs = (P(), P(), P(shard_axis, None), P(shard_axis),
-                P(shard_axis, None), P(shard_axis),
-                P(shard_axis, None, None))
-    if use_i8:
-        in_specs = in_specs + (P(shard_axis, None), P(shard_axis, None))
+    def local_i8only(q, cent, slots, segs, act, c2t, v8, cs, corpus,
+                     *maybe_scale):
+        # int8-only layout: `slots` hold LOCAL corpus-shard row ids and the
+        # exact rescore gathers from this shard's slice of the engine
+        # corpus (dequantized via its per-row scales when int8 STORAGE) —
+        # everything stays shard-local until the final merge.
+        vals, local_ids = probe_scan_local(
+            q, cent, corpus, slots, segs[0], act, c2t[0],
+            k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
+            interpret=interpret, compute_dtype=None,
+            vectors_i8=v8, cscale=cs[0],
+            rescore_by_slot=True,
+            rescore_scale=maybe_scale[0] if corpus_scaled else None,
+        )
+        base = (
+            jax.lax.axis_index(shard_axis) * corpus.shape[0]
+        ).astype(jnp.int32)
+        gids = jnp.where(local_ids >= 0, local_ids + base, jnp.int32(-1))
+        return vals, gids
+
+    if i8_only:
+        in_specs = (P(), P(), P(shard_axis), P(shard_axis, None),
+                    P(shard_axis), P(shard_axis, None, None),
+                    P(shard_axis, None), P(shard_axis, None),
+                    P(shard_axis, None))
+        if corpus_scaled:
+            in_specs = in_specs + (P(shard_axis),)
+        body = local_i8only
+    else:
+        in_specs = (P(), P(), P(shard_axis, None), P(shard_axis),
+                    P(shard_axis, None), P(shard_axis),
+                    P(shard_axis, None, None))
+        if use_i8:
+            in_specs = in_specs + (P(shard_axis, None), P(shard_axis, None))
+        body = local
     mapped = _shard_map(
-        local,
+        body,
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P(None, shard_axis), P(None, shard_axis)),
@@ -454,11 +590,11 @@ def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
         check_vma=False,
     )
 
-    def merged(q, cent, v, slots, segs, act, c2t, *i8_args):
+    def merged(q, *arrays):
         from ..ops.exact import normalize_on_device
 
         q = normalize_on_device(q)
-        vals, sids = mapped(q, cent, v, slots, segs, act, c2t, *i8_args)
+        vals, sids = mapped(q, *arrays)
         # (Q, nshards*k) candidate slabs -> final top-k over ICI
         k_final = min(k, vals.shape[1])
         top_vals, order = jax.lax.top_k(vals, k_final)

@@ -138,6 +138,47 @@ def test_engine_mesh_ivf_sidecar_roundtrip(db_path, rng):
     assert r3[0][K_ID] == "42"
 
 
+def test_engine_mesh_int8_only_ivf(db_path, rng, monkeypatch):
+    """index='ivf' on a mesh store with int8 STORAGE: the int8-only
+    per-shard postings layout (no full-precision postings copy — rows are
+    partitioned by their owning corpus shard and the exact rescore gathers
+    the engine's sharded int8 corpus by local slot, dequantized)."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # force below IVF_I8_MIN_DIM
+    mesh = make_mesh()
+    dim, n, k = 32, 4096, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="int8", ivf_nlist=16,
+    )
+    db.upsert_columnar(vectors.copy(), ids=[str(i) for i in range(n)])
+    db.rebuild_index()
+    assert db._ivf is not None and db._ivf.vectors is None  # i8-only
+    assert db._ivf.corpus_cap == db._dev.cap
+    res = db.query(vectors[77], top_k=k, ef_search=1000)
+    assert db._last_topk_strategy.startswith("ivf")
+    assert res[0][K_ID] == "77"
+    # full-probe agreement with the sharded-exact scan on the same store
+    # (both rank dequantized int8 storage scores)
+    exact = db.query(vectors[77], top_k=k, ef_search=1000, where=lambda d: True)
+    assert {r[K_ID] for r in res} == {r[K_ID] for r in exact}
+
+    # deletes route through the full-rebuild policy and disappear
+    db.delete(["77"])
+    res3 = db.query(vectors[77], top_k=k, ef_search=1000)
+    assert all(r[K_ID] != "77" for r in res3)
+
+    # sidecar roundtrip rebuilds the i8-only layout warm
+    db.save()
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="int8", ivf_nlist=16,
+    )
+    assert db2._ivf is not None and db2._ivf.vectors is None
+    r2 = db2.query(vectors[42], top_k=k, ef_search=1000)
+    assert r2[0][K_ID] == "42"
+
+
 def test_sharded_ivf_int8_parity(rng, monkeypatch):
     """Per-shard int8 postings select the same winners as the f32 sweep
     through the ICI merge."""
