@@ -63,6 +63,10 @@ def main() -> int:
     p.add_argument("--shards", type=int, default=8)
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--queries", type=int, default=64)
+    p.add_argument("--storage-dtype", default=None,
+                   help="device storage dtype (e.g. int8 — the layout "
+                        "that lifts the v5e-8 ceiling to ~100M x 1024)")
+    p.add_argument("--index", default="exact", choices=["exact", "ivf"])
     p.add_argument("--out", default="bench/results/northstar10m_r3.json")
     p.add_argument("--reuse", default="",
                    help="path prefix of an existing sharded store: skip "
@@ -83,7 +87,9 @@ def main() -> int:
     import tempfile
 
     rng = np.random.default_rng(0)
-    out = {"rows": args.rows, "dim": args.dim, "shards": args.shards}
+    out = {"rows": args.rows, "dim": args.dim, "shards": args.shards,
+           "storage_dtype": args.storage_dtype or "float32",
+           "index": args.index}
 
     ctx = (
         tempfile.TemporaryDirectory()
@@ -110,7 +116,7 @@ def main() -> int:
             gen_s = time.perf_counter() - t0
             db = PicoVectorDB(
                 embedding_dim=args.dim, storage_file=path, mesh=mesh,
-                index="exact",
+                index=args.index, storage_dtype=args.storage_dtype,
             )
             ids = [str(i) for i in range(args.rows)]
             t0 = time.perf_counter()
@@ -140,7 +146,7 @@ def main() -> int:
         t0 = time.perf_counter()
         db2 = PicoVectorDB(
             embedding_dim=args.dim, storage_file=path, mesh=mesh,
-            index="exact",
+            index=args.index, storage_dtype=args.storage_dtype,
         )
         load_s = time.perf_counter() - t0
         assert len(db2._id2idx) == args.rows
@@ -169,7 +175,7 @@ def main() -> int:
         serve_s = time.perf_counter() - t0
         out["serve_batch_ms"] = round(serve_s * 1000, 1)
         out["serve_qps"] = round(m / serve_s, 1)
-        assert db2._last_topk_strategy.startswith("sharded"), (
+        assert db2._last_topk_strategy.startswith(("sharded", "ivf")), (
             db2._last_topk_strategy
         )
         out["strategy"] = db2._last_topk_strategy
@@ -205,7 +211,8 @@ def main() -> int:
         print(f"# serve {m} queries: {serve_s*1000:.0f} ms "
               f"({out['serve_qps']} qps, {out['strategy']}); "
               f"recall@{args.topk} vs oracle = {agree:.4f}", file=sys.stderr)
-        assert agree >= 0.999, agree
+        floor = 0.999 if args.storage_dtype != "int8" else 0.95
+        assert agree >= floor, agree
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
