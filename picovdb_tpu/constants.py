@@ -48,4 +48,5 @@ ENV_ARGSORT_THRESHOLD = "PICOVDB_ARGSORT_THRESHOLD"
 ENV_FAISS_THREADS = "PICOVDB_FAISS_THREADS"  # accepted & ignored (no OpenMP here)
 # New TPU-specific env knobs (same kwarg -> env -> constant precedence).
 ENV_USE_PALLAS = "PICOVDB_USE_PALLAS"
+ENV_WRITER_PRIORITY = "PICOVDB_WRITER_PRIORITY"
 ENV_COMPUTE_DTYPE = "PICOVDB_COMPUTE_DTYPE"

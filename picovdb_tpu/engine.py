@@ -48,6 +48,7 @@ from .constants import (
     ENV_ARGSORT_THRESHOLD,
     ENV_COMPUTE_DTYPE,
     ENV_USE_PALLAS,
+    ENV_WRITER_PRIORITY,
     Float,
     HNSW_EFC,
     HNSW_EFS,
@@ -151,9 +152,16 @@ class PicoVectorDB:
         index: Literal["auto", "exact", "ivf"] = "auto",
         ivf_nlist: Optional[int] = None,
         ivf_nprobe: Optional[int] = None,
+        writer_priority: Optional[bool] = None,
     ) -> None:
         _maybe_enable_compile_cache()
-        self._rwlock = RWLock()
+        # Writer priority is opt-in; the default reproduces the reference's
+        # no-priority semantics (picovdb/pico_vdb.py:1019-1063), under which
+        # a saturated reader pool can starve writers (see locking.py).
+        if writer_priority is None:
+            wp_env = os.getenv(ENV_WRITER_PRIORITY)
+            writer_priority = wp_env not in (None, "0", "false", "False", "")
+        self._rwlock = RWLock(writer_priority=bool(writer_priority))
         self.dim = int(embedding_dim)
         self.metric = metric
         self._path = storage_file

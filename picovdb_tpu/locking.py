@@ -7,6 +7,15 @@ dirty-row sets); device arrays are immutable JAX values, so queries get
 snapshot isolation for free once they have captured the current device
 handles — the property the reference's snapshot tests
 (tests/test_task11_snapshot_reads.py) verify by construction here.
+
+The reference's no-writer-priority choice means a saturated reader pool can
+starve writers indefinitely; this framework widens that window slightly
+because readers also hold the read lock through a device-mirror currency
+check (`engine._synced_read`). `RWLock(writer_priority=True)` (engine kwarg
+`writer_priority`, env `PICOVDB_WRITER_PRIORITY=1`) closes it: while a
+writer is waiting, *new* readers queue behind it; in-flight readers drain
+normally. Default stays off for exact reference parity. Measured starvation
+numbers: bench/lock_stress.py -> bench/results/lock_stress_r3.json.
 """
 
 from __future__ import annotations
@@ -24,11 +33,13 @@ class RWLock:
     race detectors the reference lacks (SURVEY.md §5 "Race detection").
     """
 
-    def __init__(self) -> None:
+    def __init__(self, writer_priority: bool = False) -> None:
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._readers = 0
         self._writer = False
+        self._waiting_writers = 0
+        self._writer_priority = bool(writer_priority)
         self._local = threading.local()
 
     def _read_depth(self) -> int:
@@ -51,8 +62,14 @@ class RWLock:
             self.release_write()
 
     def acquire_read(self) -> None:
+        # A thread re-entering the read lock must not queue behind a waiting
+        # writer: it already holds a read, so the writer cannot proceed until
+        # it releases — gating the nested acquire would deadlock both.
+        reentrant = self._read_depth() > 0
         with self._cond:
-            while self._writer:
+            while self._writer or (
+                self._writer_priority and not reentrant and self._waiting_writers > 0
+            ):
                 self._cond.wait()
             self._readers += 1
         self._local.read_depth = self._read_depth() + 1
@@ -71,8 +88,12 @@ class RWLock:
                 "read lock"
             )
         with self._cond:
-            while self._writer or self._readers > 0:
-                self._cond.wait()
+            self._waiting_writers += 1
+            try:
+                while self._writer or self._readers > 0:
+                    self._cond.wait()
+            finally:
+                self._waiting_writers -= 1
             self._writer = True
 
     def release_write(self) -> None:

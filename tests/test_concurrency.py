@@ -150,6 +150,103 @@ def test_reentrant_read_lock_allowed():
         pass
 
 
+def test_writer_priority_gates_new_readers():
+    """With writer_priority=True a waiting writer blocks NEW readers (they
+    queue behind it) while in-flight readers drain; without it the writer
+    has no such gate (reference parity, picovdb/pico_vdb.py:1019-1063)."""
+    lock = RWLock(writer_priority=True)
+    order = []
+    reader_started = threading.Event()
+    release_reader = threading.Event()
+    writer_waiting = threading.Event()
+
+    def first_reader():
+        with lock.read_lock():
+            reader_started.set()
+            release_reader.wait(timeout=10)
+        order.append("reader1-done")
+
+    def writer():
+        writer_waiting.set()
+        with lock.write_lock():
+            order.append("writer")
+
+    def late_reader():
+        with lock.read_lock():
+            order.append("reader2")
+
+    t1 = threading.Thread(target=first_reader)
+    t1.start()
+    assert reader_started.wait(timeout=10)
+    tw = threading.Thread(target=writer)
+    tw.start()
+    assert writer_waiting.wait(timeout=10)
+    time.sleep(0.05)  # let the writer reach its wait loop
+    t2 = threading.Thread(target=late_reader)
+    t2.start()
+    time.sleep(0.1)
+    # the late reader must be gated while the writer waits
+    assert "reader2" not in order
+    release_reader.set()
+    for t in (t1, tw, t2):
+        t.join(timeout=10)
+    assert order.index("writer") < order.index("reader2")
+
+
+def test_writer_priority_reentrant_read_not_gated():
+    """A thread already holding a read lock must be able to re-enter it even
+    while a writer waits — gating the nested acquire would deadlock both."""
+    lock = RWLock(writer_priority=True)
+    done = threading.Event()
+    outer_read = threading.Event()
+    writer_started = threading.Event()
+
+    def holder():
+        with lock.read_lock():
+            outer_read.set()
+            writer_started.wait(timeout=10)
+            time.sleep(0.05)  # writer is in its wait loop now
+            with lock.read_lock():  # must NOT block behind the writer
+                done.set()
+
+    def writer():
+        outer_read.wait(timeout=10)
+        writer_started.set()
+        with lock.write_lock():
+            pass
+
+    th = threading.Thread(target=holder)
+    tw = threading.Thread(target=writer)
+    th.start()
+    tw.start()
+    th.join(timeout=10)
+    tw.join(timeout=10)
+    assert done.is_set()
+
+
+def test_writer_priority_engine_knob(db_path, rng, monkeypatch):
+    """Engine kwarg -> env -> default precedence for writer_priority."""
+    dim = 8
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    assert db._rwlock._writer_priority is False
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_wp", writer_priority=True
+    )
+    assert db2._rwlock._writer_priority is True
+    monkeypatch.setenv("PICOVDB_WRITER_PRIORITY", "1")
+    db3 = PicoVectorDB(embedding_dim=dim, storage_file=db_path + "_env")
+    assert db3._rwlock._writer_priority is True
+    db4 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_kw", writer_priority=False
+    )
+    assert db4._rwlock._writer_priority is False
+    # end-to-end sanity: a priority store still serves correct results
+    vecs = rng.normal(size=(32, dim)).astype(np.float32)
+    db2.upsert_columnar(vecs.copy(), ids=[f"p{i}" for i in range(32)])
+    hits = db2.query(vecs[3], top_k=1)
+    assert hits[0][K_ID] == "p3"
+
+
 def test_filtered_queries_under_concurrent_writes(db_path, rng):
     """Mask-cache correctness under contention: readers issue the same
     dict-`where` query (device mask cache hits) while a writer mutates
