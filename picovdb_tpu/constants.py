@@ -50,3 +50,16 @@ ENV_FAISS_THREADS = "PICOVDB_FAISS_THREADS"  # accepted & ignored (no OpenMP her
 ENV_USE_PALLAS = "PICOVDB_USE_PALLAS"
 ENV_WRITER_PRIORITY = "PICOVDB_WRITER_PRIORITY"
 ENV_COMPUTE_DTYPE = "PICOVDB_COMPUTE_DTYPE"
+
+# Host-f32 exact rescore for lossy storage dtypes (bfloat16 / int8): the
+# device selects top-(k + RESCORE_GUARD) candidates, the host re-ranks them
+# against the authentic float32 rows. "auto" applies it on lossy-storage
+# stores for batches up to RESCORE_MAX_Q queries.
+ENV_RESCORE = "PICOVDB_RESCORE"
+ENV_RESCORE_GUARD = "PICOVDB_RESCORE_GUARD"
+ENV_RESCORE_MAX_Q = "PICOVDB_RESCORE_MAX_Q"
+# Guard 128 measured recall@10 = 1.0000 vs the f64 oracle on every corpus
+# tried, including near-duplicate clusters at dim 64 where guard 32 loses
+# candidates to selection noise (tests/test_rescore.py).
+RESCORE_GUARD = 128
+RESCORE_MAX_Q = 128

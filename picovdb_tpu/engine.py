@@ -47,9 +47,14 @@ from .constants import (
     ENV_ADAPTIVE_BUFFER,
     ENV_ARGSORT_THRESHOLD,
     ENV_COMPUTE_DTYPE,
+    ENV_RESCORE,
+    ENV_RESCORE_GUARD,
+    ENV_RESCORE_MAX_Q,
     ENV_USE_PALLAS,
     ENV_WRITER_PRIORITY,
     Float,
+    RESCORE_GUARD,
+    RESCORE_MAX_Q,
     HNSW_EFC,
     HNSW_EFS,
     HNSW_M,
@@ -153,6 +158,7 @@ class PicoVectorDB:
         ivf_nlist: Optional[int] = None,
         ivf_nprobe: Optional[int] = None,
         writer_priority: Optional[bool] = None,
+        rescore: Optional[Literal["auto", "host", "device"]] = None,
     ) -> None:
         _maybe_enable_compile_cache()
         # Writer priority is opt-in; the default reproduces the reference's
@@ -228,6 +234,25 @@ class PicoVectorDB:
 
         self._incr_threshold_ratio = float(faiss_incremental_threshold_ratio)
         self._index_kind = "exact" if no_faiss or index == "exact" else index
+
+        # Host-f32 exact rescore for lossy storage dtypes (new; no reference
+        # analog — the reference is f32-only). kwarg -> env -> "auto".
+        if rescore is None:
+            rescore = os.getenv(ENV_RESCORE) or "auto"
+        if rescore not in ("auto", "host", "device"):
+            raise ValueError(
+                f"rescore must be 'auto', 'host' or 'device'; got {rescore!r}"
+            )
+        self._rescore_mode: str = rescore
+        rg_env = os.getenv(ENV_RESCORE_GUARD)
+        self._rescore_guard: int = int(rg_env) if rg_env else RESCORE_GUARD
+        rq_env = os.getenv(ENV_RESCORE_MAX_Q)
+        self._rescore_max_q: int = int(rq_env) if rq_env else RESCORE_MAX_Q
+        # True once the host matrix was materialized from a lossy device
+        # mirror (bf16/int8 device-born store): rescoring against such a
+        # copy cannot recover f32 precision, so the rescore tier disables.
+        self._host_f32_lossy: bool = False
+        self._last_rescore: Optional[str] = None
         self._ivf_nlist = ivf_nlist
         self._ivf_nprobe = ivf_nprobe
         self._ivf = None  # built lazily by the ANN tier (ops/ivf.py)
@@ -868,6 +893,10 @@ class PicoVectorDB:
             self._host_vectors = to_c_f32(
                 np.asarray(self._dev.vectors[:n]).astype(Float)
             )
+        if n and self._dev.storage_dtype != "float32":
+            # Rows round-tripped through a lossy mirror; the host copy is
+            # not authentic f32, so the host rescore tier stands down.
+            self._host_f32_lossy = True
         self._host_lazy = False
 
     def delete(self, ids: list[str]) -> list[str]:
@@ -1088,10 +1117,17 @@ class PicoVectorDB:
             base = top_k + self._adaptive_buffer if callable(where) else top_k
             k_eff = min(base, n_cand)
             self._last_k_eff = int(k_eff)
+            rescore = self._host_rescore_applies(num_q)
+            k_req = min(k_eff + self._rescore_guard, n_cand) if rescore else k_eff
             vals, idxs = self._dispatch_query(
-                vecs, k_eff, filter_mask, ef_search, hnsw_ef_search,
+                vecs, k_req, filter_mask, ef_search, hnsw_ef_search,
                 mask_key=self._mask_key(where, ids),
             )
+            if rescore:
+                # Inside the read lock: host rows mutate in place under the
+                # write lock, so the gather must see a consistent snapshot.
+                vals, idxs = self._host_rescore(vals, idxs, vecs)
+            self._last_rescore = "host" if rescore else None
             docs_ref = list(self._docs)
 
         # Assembly outside the lock on snapshots (reference:
@@ -1219,6 +1255,14 @@ class PicoVectorDB:
                 f"got shape {tuple(vecs.shape)}"
             )
         num_q = vecs.shape[0]
+        if isinstance(vecs, np.ndarray) and self._host_rescore_applies(num_q):
+            # Small batches on lossy-storage stores route through the
+            # single-dispatch path, which applies the host-f32 exact
+            # rescore; chunk overlap doesn't pay at this size anyway.
+            return self.query(  # type: ignore[return-value]
+                vecs, top_k=top_k, better_than=better_than,
+                where=where, ids=ids,
+            )
 
         with self._synced_read():
             if not self._id2idx:
@@ -1329,16 +1373,21 @@ class PicoVectorDB:
             if n_cand == 0:
                 return empty_ids, empty_scores
             k_eff = min(top_k, n_cand)
+            rescore = (
+                self._host_rescore_applies(num_q)
+                and isinstance(vecs, np.ndarray)
+            )
+            k_req = min(k_eff + self._rescore_guard, n_cand) if rescore else k_eff
             mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
             chunk_retry = []
-            pack = _pack_fetch_enabled()
+            pack = _pack_fetch_enabled() and not rescore
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
                 vd, xd, nq, ke = self._dev.query_async(
-                    chunk, k_eff, filter_mask, mask_key=mask_key)
+                    chunk, k_req, filter_mask, mask_key=mask_key)
                 # per-chunk: a small tail chunk may route differently (see
                 # query_batched)
                 chunk_retry.append(_needs_exact_retry(self._dev.last_strategy))
@@ -1348,6 +1397,29 @@ class PicoVectorDB:
                     pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
             self._last_k_eff = int(k_eff)
+            self._last_rescore = "host" if rescore else None
+            if rescore:
+                # Materialize, retry and exact-rescore INSIDE the read lock:
+                # the host gather must see a consistent row snapshot, and
+                # holding the lock means the mirror cannot swap mid-retry
+                # (small-Q lane only, gated by _rescore_max_q).
+                resc = []
+                for chunk, entry, retryable in zip(chunks, pending, chunk_retry):
+                    vd, xd, nq, ke = entry
+                    vals = np.asarray(vd)[:nq, :ke]
+                    idxs = np.asarray(xd)[:nq, :ke]
+                    if retryable and np.isneginf(vals).any():
+                        vals, idxs = self._dev.query(
+                            chunk, k_req, filter_mask, force_exact=True,
+                            mask_key=mask_key,
+                        )
+                        self._exact_retries += 1
+                    vals, idxs = self._host_rescore(vals, idxs, chunk)
+                    resc.append(
+                        (vals[:, :k_eff], idxs[:, :k_eff], nq, k_eff)
+                    )
+                pending = resc
+                chunk_retry = [False] * len(pending)
             # see query_batched: retry must use the dispatch-time snapshot
             snap = self._dev.snapshot() if any(chunk_retry) else None
             ids_arr = self._ids_array()
@@ -1491,6 +1563,7 @@ class PicoVectorDB:
                 "index_kind": self._index_kind,
                 "ann_active": self._ivf is not None,
                 "ann_rebuild_mode": self._last_ann_rebuild_mode,
+                "rescore": self._last_rescore,
             }
 
     def profile_trace(self, log_dir: str):
@@ -1642,6 +1715,55 @@ class PicoVectorDB:
             )
             mask &= wmask
         return mask
+
+    def _host_rescore_applies(self, num_q: int) -> bool:
+        """Whether this query should re-rank on authentic host f32 rows.
+
+        Only meaningful on lossy-storage stores (bfloat16 floors recall@10
+        at ~0.994, int8 at ~0.98 on near-tie corpora — BENCHMARKS.md): the
+        device selects a guard-widened candidate set, the host restores the
+        exact f32 ranking. Never applies when the host copy itself came
+        from the lossy mirror (device-born stores)."""
+        mode = self._rescore_mode
+        if mode == "device":
+            return False
+        if self._dev.storage_dtype == "float32":
+            return False
+        if self._host_lazy or self._host_f32_lossy:
+            return False
+        if mode == "host":
+            return True
+        return num_q <= self._rescore_max_q
+
+    def _host_rescore(self, vals, idxs, vecs):
+        """Exact f32 re-rank of device candidates (caller holds read lock).
+
+        Gathers the candidate rows from the authoritative host matrix
+        (RAM or memmap), recomputes cosine scores against the normalized
+        queries in float64 — the candidate set is tiny, so full-precision
+        ranking costs nothing and resolves ties that collapse at f32
+        resolution (near-duplicate corpora pack true gaps below ~6e-8) —
+        and re-sorts each row's candidates. Invalid slots (-1 padding,
+        -inf/NaN scores) sink to the tail as -inf. Returned scores are
+        float32 (the result contract's dtype).
+        """
+        vals = np.asarray(vals, dtype=np.float32)
+        idxs = np.asarray(idxs, dtype=np.int64)
+        n_rows = self._host_vectors.shape[0]
+        valid = (idxs >= 0) & (idxs < n_rows) & np.isfinite(vals)
+        if not valid.any():
+            return vals, idxs
+        q = normalize_batch(np.asarray(vecs, dtype=Float)).astype(np.float64)
+        nq, kr = idxs.shape
+        flat = np.where(valid, idxs, 0).ravel()
+        rows = np.asarray(self._host_vectors[flat], dtype=np.float64)
+        ex = np.einsum("qd,qkd->qk", q, rows.reshape(nq, kr, self.dim))
+        ex = np.where(valid, ex, -np.inf)
+        order = np.argsort(-ex, axis=1, kind="stable")
+        return (
+            np.take_along_axis(ex, order, axis=1).astype(np.float32),
+            np.take_along_axis(idxs, order, axis=1),
+        )
 
     def _dispatch_query(self, vecs, k_eff, filter_mask, ef_search,
                         hnsw_ef_search, mask_key=None):

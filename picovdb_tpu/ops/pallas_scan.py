@@ -797,7 +797,20 @@ def fused_topk_i8(q_i8, v_i8, vscale, mask, k: int,
     cap = v_i8.shape[0]
     qt = min(qt, num_q)
     bn = _pick_bn(dim, qt, k, 1, cap, bn)
-    assert k <= bn, (k, bn)
+    if k > bn:
+        # k beyond the VMEM block cannot be served in-kernel (the running
+        # top-k is one (qt, k) block and each tile surfaces at most bn
+        # candidates) — dense XLA fallback with the same ranking semantics
+        # (scaled int8 scores; callers rescore). Trace-time decision, like
+        # fused_topk's. The (Q, cap) score matrix it materializes means
+        # very wide k at HBM-ceiling corpus sizes stays unserveable.
+        scores = jnp.dot(
+            q_i8.astype(jnp.float32), v_i8.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * vscale[None, :].astype(jnp.float32)
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, min(k, cap))
+        return vals, idx.astype(jnp.int32)
     assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
     lane_bits = max(1, int(bn - 1).bit_length())
     mask2d = mask.reshape(1, cap).astype(jnp.int32)
@@ -1332,7 +1345,17 @@ def fused_topk_i8c(q_i8, v_i8, mask, k: int, qt: int = DEFAULT_QT,
     cap = v_i8.shape[0]
     qt = min(qt, num_q)
     bn = _pick_bn(dim, qt, k, 1, cap, bn)
-    assert k <= bn, (k, bn)
+    if k > bn:
+        # See fused_topk_i8: dense XLA fallback for k beyond the VMEM
+        # block. Integer scores (column scales already folded into the
+        # query by callers), ranking-faithful like the kernel's output.
+        scores = jnp.dot(
+            q_i8.astype(jnp.float32), v_i8.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, min(k, cap))
+        return vals, idx.astype(jnp.int32)
     assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
     # int32 score keys must stay above KEY_MIN; the f32 carry is exact for
     # any such score because the >= 7 cleared lane bits leave < 24
