@@ -286,6 +286,9 @@ class PicoVectorDB:
         # corpus says the low-precision tiers don't fit that data and
         # mixed_precision=False would serve it faster)
         self._exact_retries: int = 0
+        # queries whose rescore guard band saturated and re-dispatched
+        # wider (see _rescored_dispatch)
+        self._rescore_escalations: int = 0
         self._last_sync_mode: Optional[str] = None
         # "incremental" | "full" | None — analog of the reference's
         # `_last_faiss_rebuild_mode` (picovdb/pico_vdb.py:203-204, 905, 921)
@@ -1118,15 +1121,18 @@ class PicoVectorDB:
             k_eff = min(base, n_cand)
             self._last_k_eff = int(k_eff)
             rescore = self._host_rescore_applies(num_q)
-            k_req = min(k_eff + self._rescore_guard, n_cand) if rescore else k_eff
-            vals, idxs = self._dispatch_query(
-                vecs, k_req, filter_mask, ef_search, hnsw_ef_search,
-                mask_key=self._mask_key(where, ids),
-            )
             if rescore:
                 # Inside the read lock: host rows mutate in place under the
                 # write lock, so the gather must see a consistent snapshot.
-                vals, idxs = self._host_rescore(vals, idxs, vecs)
+                vals, idxs = self._rescored_dispatch(
+                    vecs, k_eff, n_cand, filter_mask, ef_search,
+                    hnsw_ef_search, mask_key=self._mask_key(where, ids),
+                )
+            else:
+                vals, idxs = self._dispatch_query(
+                    vecs, k_eff, filter_mask, ef_search, hnsw_ef_search,
+                    mask_key=self._mask_key(where, ids),
+                )
             self._last_rescore = "host" if rescore else None
             docs_ref = list(self._docs)
 
@@ -1377,49 +1383,46 @@ class PicoVectorDB:
                 self._host_rescore_applies(num_q)
                 and isinstance(vecs, np.ndarray)
             )
-            k_req = min(k_eff + self._rescore_guard, n_cand) if rescore else k_eff
             mask_key = self._mask_key(where, ids)
             pending = []
             chunks = []
             chunk_retry = []
-            pack = _pack_fetch_enabled() and not rescore
-            for start in range(0, num_q, batch_size):
-                chunk = vecs[start : start + batch_size]
-                chunks.append(chunk)
-                vd, xd, nq, ke = self._dev.query_async(
-                    chunk, k_req, filter_mask, mask_key=mask_key)
-                # per-chunk: a small tail chunk may route differently (see
-                # query_batched)
-                chunk_retry.append(_needs_exact_retry(self._dev.last_strategy))
-                if pack:
-                    pending.append((self._dev.pack_results(vd, xd), nq, ke))
-                else:
-                    pending.append((vd, xd, nq, ke))
+            if rescore:
+                # Dispatch, exact-rescore and (if the guard band saturates)
+                # escalate INSIDE the read lock: the host gather must see a
+                # consistent row snapshot, and holding the lock means the
+                # mirror cannot swap mid-retry (small-Q lane only, gated by
+                # _rescore_max_q). _dispatch_query handles the segmax
+                # underfill retry internally.
+                for start in range(0, num_q, batch_size):
+                    chunk = vecs[start : start + batch_size]
+                    chunks.append(chunk)
+                    v, x = self._rescored_dispatch(
+                        chunk, k_eff, n_cand, filter_mask, mask_key=mask_key
+                    )
+                    pending.append((v, x, chunk.shape[0], k_eff))
+                    chunk_retry.append(False)
+            else:
+                pack = _pack_fetch_enabled()
+                for start in range(0, num_q, batch_size):
+                    chunk = vecs[start : start + batch_size]
+                    chunks.append(chunk)
+                    vd, xd, nq, ke = self._dev.query_async(
+                        chunk, k_eff, filter_mask, mask_key=mask_key)
+                    # per-chunk: a small tail chunk may route differently
+                    # (see query_batched)
+                    chunk_retry.append(
+                        _needs_exact_retry(self._dev.last_strategy)
+                    )
+                    if pack:
+                        pending.append(
+                            (self._dev.pack_results(vd, xd), nq, ke)
+                        )
+                    else:
+                        pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = self._dev.last_strategy
             self._last_k_eff = int(k_eff)
             self._last_rescore = "host" if rescore else None
-            if rescore:
-                # Materialize, retry and exact-rescore INSIDE the read lock:
-                # the host gather must see a consistent row snapshot, and
-                # holding the lock means the mirror cannot swap mid-retry
-                # (small-Q lane only, gated by _rescore_max_q).
-                resc = []
-                for chunk, entry, retryable in zip(chunks, pending, chunk_retry):
-                    vd, xd, nq, ke = entry
-                    vals = np.asarray(vd)[:nq, :ke]
-                    idxs = np.asarray(xd)[:nq, :ke]
-                    if retryable and np.isneginf(vals).any():
-                        vals, idxs = self._dev.query(
-                            chunk, k_req, filter_mask, force_exact=True,
-                            mask_key=mask_key,
-                        )
-                        self._exact_retries += 1
-                    vals, idxs = self._host_rescore(vals, idxs, chunk)
-                    resc.append(
-                        (vals[:, :k_eff], idxs[:, :k_eff], nq, k_eff)
-                    )
-                pending = resc
-                chunk_retry = [False] * len(pending)
             # see query_batched: retry must use the dispatch-time snapshot
             snap = self._dev.snapshot() if any(chunk_retry) else None
             ids_arr = self._ids_array()
@@ -1601,6 +1604,7 @@ class PicoVectorDB:
                 "last_sync_mode": self._last_sync_mode,
                 "last_topk_strategy": self._last_topk_strategy,
                 "exact_retries": self._exact_retries,
+                "rescore_escalations": self._rescore_escalations,
                 # selection tiers resident on device
                 "mirrors": {
                     "bf16": self._dev.vectors_lp is not None,
@@ -1734,6 +1738,67 @@ class PicoVectorDB:
         if mode == "host":
             return True
         return num_q <= self._rescore_max_q
+
+    def _rescored_dispatch(self, vecs, k_eff, n_cand, filter_mask,
+                           ef_search=None, hnsw_ef_search=None,
+                           mask_key=None):
+        """Device dispatch + host-f64 rescore + one saturation escalation.
+
+        Caller holds the read lock. Returns (vals, idxs) with k_eff
+        columns, exactly ranked against the authentic f32 rows.
+
+        The guard band can saturate: a near-duplicate corpus may pack more
+        near-ties than `rescore_guard` candidates (e.g. 250-member clusters
+        vs guard 128 — measured recall@10 0.78 on TPU at 100k x 256 int8,
+        1.0000 after escalation). Detection is principled: every unselected
+        point's approx score is <= the selection bottom `a_min`, and its
+        exact score is <= a_min + eps (eps = 3x the tier's measured
+        quantization-noise rms, ops/pallas_scan._tie_margin — random
+        corpora's boundary gaps run 5-50x rms, near-duplicate bands sit far
+        below it). If a_min + eps reaches the exact k-th score, the true
+        top-k may extend past the candidate set: those queries re-dispatch
+        once at 4x the width (capped at 4096 — clusters of near-ties wider
+        than that exceed the tier's guarantee and are reported via
+        `stats()['rescore_escalations']`).
+        """
+        k_req = min(k_eff + self._rescore_guard, n_cand)
+        vals_a, idxs = self._dispatch_query(
+            vecs, k_req, filter_mask, ef_search, hnsw_ef_search,
+            mask_key=mask_key,
+        )
+        vals, idxs = self._host_rescore(vals_a, idxs, vecs)
+        if k_req < n_cand:
+            sat = self._rescore_saturated(vals_a, vals, k_eff)
+            k2 = min(max(4 * k_req, 1024), n_cand, 4096)
+            if sat.any() and k2 > k_req:
+                self._rescore_escalations += int(sat.sum())
+                sub = np.ascontiguousarray(np.asarray(vecs)[sat])
+                v2a, i2 = self._dispatch_query(
+                    sub, k2, filter_mask, ef_search, hnsw_ef_search,
+                    mask_key=mask_key,
+                )
+                v2, i2 = self._host_rescore(v2a, i2, sub)
+                vals = np.asarray(vals)[:, :k_eff].copy()
+                idxs = np.asarray(idxs)[:, :k_eff].copy()
+                vals[sat] = v2[:, :k_eff]
+                idxs[sat] = i2[:, :k_eff]
+                return vals, idxs
+        return np.asarray(vals)[:, :k_eff], np.asarray(idxs)[:, :k_eff]
+
+    def _rescore_saturated(self, vals_approx, vals_exact, k_eff):
+        """(Q,) bool: queries whose guard band may be truncated mid-tie
+        (see _rescored_dispatch). vals_approx = the device's selection
+        scores, vals_exact = the rescored (sorted) exact scores."""
+        from .ops.pallas_scan import _tie_margin
+
+        va = np.asarray(vals_approx, dtype=np.float32)
+        finite = np.isfinite(va)
+        a_min = np.where(finite, va, np.inf).min(axis=1)
+        ve = np.asarray(vals_exact)
+        kth = ve[:, min(k_eff, ve.shape[1]) - 1]
+        kind = "bf16" if self._dev.storage_dtype == "bfloat16" else "int8"
+        eps = 3.0 * _tie_margin(kind, self.dim, 1.0)
+        return finite.any(axis=1) & np.isfinite(kth) & (a_min + eps >= kth)
 
     def _host_rescore(self, vals, idxs, vecs):
         """Exact f32 re-rank of device candidates (caller holds read lock).

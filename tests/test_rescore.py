@@ -198,6 +198,19 @@ def test_wide_topk_on_int8_storage_does_not_crash(db_path, rng):
     assert hits[0][K_ID] == "5"
 
 
+def test_guard_saturation_escalates(db_path, rng):
+    """Clusters wider than the guard band (256 near-duplicates vs guard
+    128) trigger the one-shot 4x-wider re-dispatch and still serve exact
+    top-k (the TPU-measured failure geometry, scaled down)."""
+    data = _neartie_corpus(rng, n=4096, n_centers=16)  # ~256 mates/cluster
+    q = data[rng.integers(0, len(data), 8)] + 0.005 * rng.normal(
+        size=(8, DIM)
+    ).astype(np.float32)
+    db = _mkdb(db_path, data, rescore="host")
+    assert _recall(db, data, q) == 1.0
+    assert db.stats()["rescore_escalations"] > 0
+
+
 def test_memmap_store_rescore(db_path, rng):
     data = _neartie_corpus(rng, n=1024)
     db = PicoVectorDB(
