@@ -94,6 +94,11 @@ STORAGE_CASES = [
     (None, 1e-4, {"use_memmap": True, "capacity": 2048}),
     # quantized storage over a pre-allocated memmap host matrix
     ("int8", 1.2e-2, {"use_memmap": True, "capacity": 2048}),
+    # rescore="auto" (the default, covered above) serves these small
+    # batches through the host-f64 rescore tier; keep the device-ranked
+    # path under fuzz too
+    ("int8", 1.2e-2, {"rescore": "device"}),
+    ("bfloat16", 1.2e-2, {"rescore": "device"}),
 ]
 
 
