@@ -122,8 +122,28 @@ class DeviceIndex:
         # boundary flips). int8 storage quarters residency (per-ROW scales:
         # exact mutation semantics, ~3e-4 score quantization at dim 1024 —
         # tighter than bf16) and lifts the single-chip capacity ceiling to
-        # ~12M x 1024 rows. Host persistence remains float32 either way.
+        # ~12M x 1024 rows. int4 storage halves int8 again (~25M x 1024 on
+        # one chip; two-plane nibble packing, ops/pallas_scan.py int4
+        # section) — intended for host-born stores where the engine's
+        # host-f64 rescore restores exact ranking. Host persistence
+        # remains float32 in every case.
         self.storage_dtype = storage_dtype or "float32"
+        if self.storage_dtype not in ("float32", "bfloat16", "int8", "int4"):
+            raise ValueError(
+                "storage_dtype must be one of float32/bfloat16/int8/int4; "
+                f"got {self.storage_dtype!r}"
+            )
+        if self.storage_dtype == "int4":
+            if dim % 2:
+                raise ValueError(
+                    "int4 storage packs two elements per byte and needs an "
+                    f"even embedding_dim; got {dim}"
+                )
+            if mesh is not None:
+                raise NotImplementedError(
+                    "int4 storage is single-device for now; use int8 for "
+                    "mesh stores (per-shard HBM is rarely the bound there)"
+                )
         if compute_dtype is None and self.storage_dtype == "bfloat16":
             compute_dtype = "bfloat16"
         self.compute_dtype = compute_dtype
@@ -332,15 +352,18 @@ class DeviceIndex:
             self._mask_cache.clear()
             self.last_sync_mode = "full"
             return
-        if self.storage_dtype == "int8":
+        if self.storage_dtype in ("int8", "int4"):
             # Per-row quantization is chunk-local (each row owns its
-            # scale), so the int8 corpus builds in ONE streaming pass:
-            # upload an f32 chunk, quantize on device, scatter into the
-            # int8 buffer + scale column.
-            from .ops.pallas_scan import quantize_rows_i8
+            # scale), so the quantized corpus builds in ONE streaming
+            # pass: upload an f32 chunk, quantize (+pack, for int4) on
+            # device, scatter into the narrow buffer + scale column.
+            from .ops.pallas_scan import quantize_rows_i4, quantize_rows_i8
 
+            i4 = self.storage_dtype == "int4"
+            quant = quantize_rows_i4 if i4 else quantize_rows_i8
+            cols = self.dim // 2 if i4 else self.dim
             buf = jax.device_put(
-                jnp.zeros((cap, self.dim), dtype=jnp.int8), self._device
+                jnp.zeros((cap, cols), dtype=jnp.int8), self._device
             )
             scales = jax.device_put(
                 jnp.zeros((cap,), dtype=jnp.float32), self._device
@@ -350,7 +373,7 @@ class DeviceIndex:
                 rows = np.ascontiguousarray(
                     np.asarray(host_vectors[start:start + chunk], dtype=Float)
                 )
-                q8, qs = quantize_rows_i8(
+                q8, qs = quant(
                     jax.device_put(rows, self._device)
                 )
                 idx = jax.device_put(
@@ -408,15 +431,21 @@ class DeviceIndex:
         donated so peak HBM is input + padded output.
         """
         cap = max(self.cap, self._padded_cap(n))
-        if self.storage_dtype == "int8" and scales is not None:
+        if self.storage_dtype in ("int8", "int4") and scales is not None:
             # pre-quantized device-born input (built chunk-wise when the
             # f32 intermediate could never fit HBM — e.g. 12M x 1024):
-            # pad and adopt as-is. NOTE: at the capacity ceiling, build the
+            # pad and adopt as-is. For int4 the input is the PACKED
+            # (n, dim//2) byte matrix (quantize_rows_i4's layout). NOTE:
+            # at the capacity ceiling, build the
             # input with n a ROW_PAD multiple — pad != 0 cannot alias the
             # donated buffer (shape change), so the pad step transiently
             # doubles the corpus (measured OOM at 12.0M x 1024; 12.58M =
             # 1536 * 8192 adopts with zero copies).
             assert vectors_dev.dtype == jnp.int8, vectors_dev.dtype
+            if self.storage_dtype == "int4":
+                assert vectors_dev.shape[1] == self.dim // 2, (
+                    vectors_dev.shape, self.dim
+                )
 
             @functools.partial(jax.jit, static_argnums=(2,),
                                donate_argnums=(0, 1))
@@ -437,13 +466,16 @@ class DeviceIndex:
             self._mask_cache.clear()
             self.last_sync_mode = "full"
             return
-        if self.storage_dtype == "int8":
-            from .ops.pallas_scan import quantize_rows_i8
+        if self.storage_dtype in ("int8", "int4"):
+            from .ops.pallas_scan import quantize_rows_i4, quantize_rows_i8
+
+            quant = (quantize_rows_i4 if self.storage_dtype == "int4"
+                     else quantize_rows_i8)
 
             @functools.partial(
                 jax.jit, static_argnums=(1, 2), donate_argnums=(0,)
             )
-            def _prep_i8(x, pad, do_norm):
+            def _prep_q(x, pad, do_norm):
                 x = x.astype(jnp.float32)
                 if do_norm:
                     nrm = jnp.linalg.norm(x, axis=1, keepdims=True)
@@ -451,13 +483,13 @@ class DeviceIndex:
                     x = jnp.where(
                         nrm > 0.0, x / jnp.where(nrm > 0, nrm, 1), e0
                     )
-                q8, qs = quantize_rows_i8(x)
+                q8, qs = quant(x)
                 if pad:
                     q8 = jnp.pad(q8, ((0, pad), (0, 0)))
                     qs = jnp.pad(qs, (0, pad))
                 return q8, qs
 
-            v8, vs = _prep_i8(vectors_dev, cap - n, bool(normalize))
+            v8, vs = _prep_q(vectors_dev, cap - n, bool(normalize))
             self.vectors = jax.device_put(v8, self._row_sharding())
             self.vstore_scale = jax.device_put(vs, self._mask_sharding())
             self.active = jax.device_put(
@@ -515,7 +547,7 @@ class DeviceIndex:
         """
         import os as _os
 
-        if self.storage_dtype == "int8":
+        if self.storage_dtype in ("int8", "int4"):
             # the corpus IS the quantized tier; no mirrors
             self.vectors_lp = None
             self.vectors_i8 = None
@@ -597,15 +629,17 @@ class DeviceIndex:
         else:
             pad_idx, pad_act = idxs, active_vals
         dev_idx = jax.device_put(pad_idx.astype(np.int32), self._replicated())
-        if rows is not None and self.storage_dtype == "int8":
+        if rows is not None and self.storage_dtype in ("int8", "int4"):
             # per-row scales: mutations quantize exactly, no stale scales
-            from .ops.pallas_scan import quantize_rows_i8
+            from .ops.pallas_scan import quantize_rows_i4, quantize_rows_i8
 
+            quant = (quantize_rows_i4 if self.storage_dtype == "int4"
+                     else quantize_rows_i8)
             if pad_n != n:
                 rows = np.concatenate(
                     [rows, np.repeat(rows[-1:], pad_n - n, axis=0)]
                 )
-            q8, qs = quantize_rows_i8(
+            q8, qs = quant(
                 jax.device_put(
                     np.ascontiguousarray(rows, dtype=Float),
                     self._replicated(),
@@ -692,7 +726,23 @@ class DeviceIndex:
             if q_dev.dtype != jnp.float32:
                 q_dev = q_dev.astype(jnp.float32)
         k_eff = min(k, vectors.shape[0])
-        if vscale is not None:  # int8 storage snapshot
+        if vscale is not None and vectors.shape[1] != self.dim:
+            # packed int4 snapshot (the (cap, dim//2) byte layout)
+            if (self.mesh is None
+                    and getattr(self._device, "platform", "cpu") == "tpu"):
+                from .ops.pallas_scan import make_fused_topk_i4
+
+                if num_q > 256 and num_q % 256:
+                    pad = -(-num_q // 256) * 256 - num_q
+                    q_dev = jnp.pad(q_dev, ((0, pad), (0, 0)))
+                fn4 = make_fused_topk_i4(k_eff)
+                vals, idxs = fn4(q_dev, vectors, vscale, active)
+            else:
+                from .ops.exact import make_exact_topk_i4r
+
+                fn4 = make_exact_topk_i4r(k_eff)
+                vals, idxs = fn4(q_dev, vectors, vscale, active)
+        elif vscale is not None:  # int8 storage snapshot
             if (self.mesh is None
                     and getattr(self._device, "platform", "cpu") == "tpu"
                     and k_eff + 4 <= 1024):
@@ -783,6 +833,11 @@ class DeviceIndex:
         # corpus for large unfiltered batches, the int8 ladder for small
         # ones, the int8 XLA scan otherwise — all with dequant rescore.
         i8s = self.storage_dtype == "int8"
+        # int4 STORAGE: every route goes through the packed ladder (TPU)
+        # or the unpacking XLA scan (CPU / wide k inside the kernel's own
+        # fallback) — there is no segmax tier; at the capacities the tier
+        # exists for, every batch is sweep-bound anyway.
+        i4s = self.storage_dtype == "int4"
         i8s_segmax = (
             i8s
             and not force_exact
@@ -865,6 +920,7 @@ class DeviceIndex:
         small_q_xla = (
             self.mesh is None
             and not i8s
+            and not i4s
             and self.scan_mode == "auto"
             and not use_segmax
             and not small_q_i8
@@ -875,7 +931,7 @@ class DeviceIndex:
         q_pad = (
             num_q if (small_q_xla or small_q_mixed or small_q_i8
                       or small_q_i8c or i8s_smallq
-                      or (i8s and not i8s_segmax
+                      or ((i8s or i4s) and not i8s_segmax
                           and num_q <= self.SMALL_Q_XLA))
             else max(MIN_QUERY_PAD, next_pow2(num_q))
         )
@@ -1018,6 +1074,24 @@ class DeviceIndex:
             vs = self.vstore_scale
             fn = lambda q, v, m: x8_fn(q, v, vs, m)  # noqa: E731
             self.last_strategy = "i8stor_xla"
+        elif i4s and self.use_pallas:
+            # packed int4 ladder: exact selection over the quantized
+            # scores, filter mask honored, streaming (never materializes
+            # the unpacked corpus); k beyond the VMEM block falls back to
+            # the dense XLA scan inside fused_topk_i4.
+            from .ops.pallas_scan import make_fused_topk_i4
+
+            f4_fn = make_fused_topk_i4(k_pad, interpret=interpret)
+            v4, vs = self.vectors, self.vstore_scale
+            fn = lambda q, v, m: f4_fn(q, v4, vs, m)  # noqa: E731
+            self.last_strategy = "i4stor_fused"
+        elif i4s:
+            from .ops.exact import make_exact_topk_i4r
+
+            x4_fn = make_exact_topk_i4r(k_pad)
+            vs = self.vstore_scale
+            fn = lambda q, v, m: x4_fn(q, v, vs, m)  # noqa: E731
+            self.last_strategy = "i4stor_xla"
         elif use_segmax and self.segmax_i8c and self.ensure_i8c_mirror():
             from .ops.pallas_scan import make_segmax_topk_i8c
 
@@ -1203,6 +1277,18 @@ class DeviceIndex:
                                           tie_scale=0.0)  # see above
             args = (self.vectors_lp, self.vectors, self.active)
             self.last_strategy = "mixed_fused_smallq_loop"
+        elif self.storage_dtype == "int4" and self.use_pallas:
+            from .ops.pallas_scan import make_fused_topk_i4
+
+            inner = make_fused_topk_i4(k_eff, interpret=interpret)
+            args = (self.vectors, self.vstore_scale, self.active)
+            self.last_strategy = "i4stor_fused_loop"
+        elif self.storage_dtype == "int4":
+            from .ops.exact import make_exact_topk_i4r
+
+            inner = make_exact_topk_i4r(k_eff)
+            args = (self.vectors, self.vstore_scale, self.active)
+            self.last_strategy = "i4stor_xla_loop"
         elif self.storage_dtype == "int8":
             from .ops.exact import make_exact_topk_i8r
 

@@ -888,6 +888,14 @@ class PicoVectorDB:
         n = len(self._ids)
         if n == 0:
             self._host_vectors = np.empty((0, self.dim), dtype=Float)
+        elif self._dev.storage_dtype == "int4":  # unpack + dequantize
+            from .ops.pallas_scan import unpack_i4
+
+            rows = np.asarray(
+                unpack_i4(self._dev.vectors[:n])
+            ).astype(Float)
+            rows *= np.asarray(self._dev.vstore_scale[:n])[:, None]
+            self._host_vectors = to_c_f32(rows)
         elif self._dev.vstore_scale is not None:  # int8 storage: dequantize
             rows = np.asarray(self._dev.vectors[:n]).astype(Float)
             rows *= np.asarray(self._dev.vstore_scale[:n])[:, None]
@@ -1488,8 +1496,15 @@ class PicoVectorDB:
         host matrix is lazy (device-born ingestion), without materializing
         the whole corpus under a read lock."""
         if self._host_lazy:
-            row = np.asarray(self._dev.vectors[idx]).astype(Float)
-            if self._dev.vstore_scale is not None:  # int8 storage
+            if self._dev.storage_dtype == "int4":
+                from .ops.pallas_scan import unpack_i4
+
+                row = np.asarray(
+                    unpack_i4(self._dev.vectors[idx][None, :])
+                )[0].astype(Float)
+            else:
+                row = np.asarray(self._dev.vectors[idx]).astype(Float)
+            if self._dev.vstore_scale is not None:  # quantized storage
                 row *= float(self._dev.vstore_scale[idx])
             return row
         return np.array(self._host_vectors[idx], dtype=Float)
@@ -1796,7 +1811,9 @@ class PicoVectorDB:
         a_min = np.where(finite, va, np.inf).min(axis=1)
         ve = np.asarray(vals_exact)
         kth = ve[:, min(k_eff, ve.shape[1]) - 1]
-        kind = "bf16" if self._dev.storage_dtype == "bfloat16" else "int8"
+        kind = {"bfloat16": "bf16", "int4": "int4"}.get(
+            self._dev.storage_dtype, "int8"
+        )
         eps = 3.0 * _tie_margin(kind, self.dim, 1.0)
         return finite.any(axis=1) & np.isfinite(kth) & (a_min + eps >= kth)
 
@@ -2110,6 +2127,18 @@ class PicoVectorDB:
                 self._ivf = None
             return
         if self._index_kind == "exact":
+            self._ivf = None
+            return
+        if self._dev.storage_dtype == "int4":
+            # No int4 postings layout: probing would re-quantize 4-bit
+            # data into int8 postings, stacking two quantizations, and at
+            # the capacities this tier exists for (>12M rows) the postings
+            # don't fit beside the corpus anyway. Exact scan serves.
+            if self._index_kind == "ivf":
+                logger.warning(
+                    "index='ivf' is not supported with int4 storage; "
+                    "serving the exact scan"
+                )
             self._ivf = None
             return
         try:

@@ -157,6 +157,51 @@ def make_exact_topk_i8r(k: int, normalize: bool = True):
     return jax.jit(fn)
 
 
+def exact_topk_i4r(queries, v_i4, vscale, mask, k: int, guard: int = 4):
+    """Masked top-k over a packed int4 corpus (storage tier).
+
+    `exact_topk_i8r` for the two-plane nibble layout
+    (ops/pallas_scan.py int4 section): selection unpacks the corpus and
+    runs two half-width int8 matmuls with per-row rescale; ranking is the
+    dequantizing int4 rescore — scores carry the 4-bit storage
+    quantization (~18x int8's; exact ranking on host-born stores comes
+    from the engine's host-f64 rescore). This is the XLA fallback
+    (CPU, filtered retries, wide k) for `storage_dtype="int4"`; the TPU
+    serving path is the Pallas ladder, which never materializes the
+    unpacked corpus.
+    """
+    from .pallas_scan import (
+        quantize_rows_i8,
+        rescore_exact_i4r,
+        unpack_i4,
+    )
+
+    q_i8, _ = quantize_rows_i8(queries)
+    v = unpack_i4(v_i4)
+    s_i32 = jax.lax.dot_general(
+        q_i8, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = s_i32.astype(jnp.float32) * vscale[None, :]
+    scores = jnp.where(mask[None, :], scores, NEG_INF)
+    k_sel = min(k + guard, scores.shape[1])
+    vals, idx = jax.lax.top_k(scores, k_sel)
+    vals, idx = rescore_exact_i4r(queries, v_i4, vscale, vals, idx)
+    return vals[:, :k], idx[:, :k].astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=256)
+def make_exact_topk_i4r(k: int, normalize: bool = True):
+    """Jitted `exact_topk_i4r` closure for a static k."""
+
+    def fn(queries, v_i4, vscale, mask):
+        if normalize:
+            queries = normalize_on_device(queries)
+        return exact_topk_i4r(queries, v_i4, vscale, mask, k)
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=256)
 def make_exact_topk(k: int, compute_dtype_name: str | None = None,
                     normalize: bool = True):

@@ -684,7 +684,9 @@ def _tie_margin(kind: str, dim: int, scale: float) -> float:
     the candidate count) has a -inf bottom, making the gap infinite — no
     spurious retries on small stores. PICOVDB_TIE_MARGIN_SCALE multiplies
     (0 disables)."""
-    base = 0.0017 if kind == "bf16" else 0.0122  # = rms * sqrt(dim)
+    # = rms * sqrt(dim); int4's step is 127/7 ~ 18x int8's, so its noise
+    # scales accordingly (per-row symmetric quantization in both).
+    base = {"bf16": 0.0017, "int4": 0.22}.get(kind, 0.0122)
     return base * scale / (dim ** 0.5)
 
 
@@ -1051,6 +1053,277 @@ def _make_fused_topk_i8_cached(k: int, guard: int = 4, interpret: bool = False,
         out_vals = _mark_crowded(vals[:, :k], vals, k,
                                  _tie_margin("i8", queries.shape[1], tie_scale))
         return out_vals, idx[:, :k]
+
+    return jax.jit(impl)
+
+
+# --------------------------------------------------------------------------
+# int4 STORAGE tier: two-plane nibble packing, 0.5 B/element.
+#
+# Per-row symmetric 4-bit quantization halves int8 storage again (a 16 GB
+# v5e chip holds ~25M x 1024 rows), at ~18x int8's score noise — the tier
+# exists for HOST-BORN stores where the engine's host-f64 rescore restores
+# exact ranking (engine._rescored_dispatch); device-only ranking carries
+# the documented quantization error.
+#
+# Packing layout ("two-plane"): element j < dim/2 lives in the LOW nibble
+# of byte j, element j + dim/2 in the HIGH nibble. Unpacking is then two
+# vector ops per byte and the int4 dot decomposes into two clean
+# half-width int8 MXU matmuls — q[:, :half] @ lo.T + q[:, half:] @ hi.T —
+# with no in-kernel interleaving or lane shuffles. Nibbles store value+8
+# (unsigned 1..15): the +8 bias contributes 8 * sum(q) to every row's
+# score, a per-query scalar folded out after the matmuls, so the kernel
+# never materializes bias-corrected operands.
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def quantize_rows_i4(v):
+    """Per-row symmetric int4 quantization: (packed int8 (n, dim//2),
+    scales f32 (n,)).
+
+    scales[r] = max|v[r]| / 7 (floored like `quantize_rows_i8`); nibble
+    values are clip(round(v/s), -7, 7) + 8 — BOTH nibbles biased unsigned
+    [1, 15], so the kernel's per-byte mask extraction (an i32-bitcast
+    trick, see `_scan_kernel_i4`) yields MXU-ready non-negative int8
+    planes, and the bias folds into one per-query scalar (8 * sum(q)).
+    `dim` must be even.
+    """
+    f = v.astype(jnp.float32)
+    half = f.shape[1] // 2
+    a = jnp.max(jnp.abs(f), axis=1)
+    s = jnp.maximum(a, 1e-30) / 7.0
+    q = jnp.clip(jnp.round(f / s[:, None]), -7, 7).astype(jnp.int32) + 8
+    lo = q[:, :half]
+    hi = q[:, half:]
+    # int32 -> int8 conversion truncates bits (XLA modular semantics), so
+    # the packed byte keeps both nibbles intact.
+    return (lo | (hi << 4)).astype(jnp.int8), s
+
+
+def unpack_i4(packed):
+    """(n, dim//2) packed int8 -> (n, dim) int8 nibble values in [-7, 7]."""
+    p = packed.astype(jnp.int32) & 255
+    lo = (p & 15) - 8
+    hi = ((p >> 4) & 15) - 8
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
+
+
+def rescore_exact_i4r(queries, v_i4, vscale, vals, idxs):
+    """Dequantizing rescore against a packed int4 STORAGE corpus.
+
+    `rescore_exact_i8r` for the nibble-packed layout: the k winning rows
+    unpack to [-7, 7] and reconstruct as v = nibble * vscale[row]; the
+    returned scores carry the 4-bit storage quantization (the engine's
+    host rescore replaces them with exact f64 ranking on host-born
+    stores)."""
+    gathered = jnp.take(v_i4, idxs, axis=0)
+    g = gathered.astype(jnp.int32) & 255
+    lo = ((g & 15) - 8).astype(jnp.float32)
+    hi = (((g >> 4) & 15) - 8).astype(jnp.float32)
+    half = v_i4.shape[1]
+    exact = (
+        jnp.einsum("qd,qkd->qk", queries[:, :half], lo,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("qd,qkd->qk", queries[:, half:], hi,
+                     preferred_element_type=jnp.float32)
+    ) * jnp.take(vscale, idxs)
+    exact = jnp.where(jnp.isneginf(vals), -jnp.inf, exact)
+    order = jnp.argsort(-exact, axis=1)
+    return jnp.take_along_axis(exact, order, axis=1), jnp.take_along_axis(
+        idxs, order, axis=1
+    )
+
+
+def _scan_kernel_i4(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
+                    k: int, bn: int, lane_bits: int):
+    """int4 variant of `_scan_kernel_i8`: in-VMEM nibble unpack, two
+    half-width s8 MXU matmuls, per-query bias fold, per-row rescale."""
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
+
+    q = q_ref[...]  # (QT, dim) int8
+    v = v_ref[...]  # (BN, dim//2) packed bytes
+    # Nibble extraction without int8 shifts (Mosaic cannot legalize
+    # arith.shrui on i8 vectors) and without cross-bitwidth CONVERSIONS
+    # on corpus-sized tiles (the measured relayout tax): BITCAST the
+    # packed block to i32, mask/shift per byte, bitcast back. The masks
+    # are the same constant in every byte position, so the result is
+    # correct under any byte permutation the bitcast pair applies — the
+    # roundtrip is self-inverse. Both planes come out as the stored
+    # biased nibbles (value + 8, in [1, 15]) — MXU-ready non-negative
+    # int8 — and the bias folds into one per-query scalar: 8 * sum(q).
+    v32 = pltpu.bitcast(v, jnp.int32)
+    lo = pltpu.bitcast(v32 & jnp.int32(0x0F0F0F0F), jnp.int8)
+    hi = pltpu.bitcast(
+        jax.lax.shift_right_logical(v32, 4) & jnp.int32(0x0F0F0F0F),
+        jnp.int8,
+    )
+    half = v.shape[1]
+    qa = q[:, :half]
+    qb = q[:, half:]
+    dn = (((1,), (1,)), ((), ()))
+    s_i32 = jax.lax.dot_general(
+        qa, lo, dimension_numbers=dn, preferred_element_type=jnp.int32
+    ) + jax.lax.dot_general(
+        qb, hi, dimension_numbers=dn, preferred_element_type=jnp.int32
+    )
+    qsum = jnp.sum(q.astype(jnp.int32), axis=1, keepdims=True)  # (QT, 1)
+    scores = (s_i32 - 8 * qsum).astype(jnp.float32) * vs_ref[...]
+    mask = m_ref[...]  # (1, BN)
+
+    qt = scores.shape[0]
+    low_mask = jnp.int32((1 << lane_bits) - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    bits = pltpu.bitcast(scores, jnp.int32)
+    keys = (_to_sortable(bits) & ~low_mask) | lane
+    keys = jnp.where(mask > 0, keys, jnp.int32(KEY_MIN))
+
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+    def body(j, carry):
+        keys, tvals, tidx = carry
+        m = jnp.max(keys, axis=1, keepdims=True)
+        amx = m & low_mask
+        approx = pltpu.bitcast(_from_sortable(m & ~low_mask), jnp.float32)
+        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+        here = col_k == j
+        tvals = jnp.where(here, approx, tvals)
+        tidx = jnp.where(here, amx, tidx)
+        keys = jnp.where(keys == m, jnp.int32(KEY_MIN), keys)
+        return keys, tvals, tidx
+
+    init = (
+        keys,
+        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.zeros((qt, k), jnp.int32),
+    )
+    _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
+                                               unroll=(k if k <= 16 else 1))
+    tile_idx = tile_idx + b * bn
+
+    vals, idx = _small_merge(vals_ref[...], idx_ref[...], tile_vals, tile_idx, k)
+    vals_ref[...] = vals
+    idx_ref[...] = idx
+
+
+def fused_topk_i4(q_i8, v_i4, vscale, mask, k: int,
+                  qt: int = DEFAULT_QT, bn: int = 4096,
+                  interpret: bool = False):
+    """Exact-ladder masked top-k over the packed int4 corpus.
+
+    Args:
+      q_i8: (Q, dim) int8 quantized queries (per-query scale irrelevant
+        for ranking).
+      v_i4: (cap, dim//2) packed two-plane nibbles; vscale: (cap,) f32.
+      mask: (cap,) bool.
+    Returns ((Q, k) f32 scaled-approximate scores, (Q, k) int32 indices);
+    callers rescore (host-f64 on host-born stores, dequantizing
+    otherwise).
+    """
+    num_q, dim = q_i8.shape
+    cap, half = v_i4.shape
+    assert dim == 2 * half, (dim, half)
+    qt = min(qt, num_q)
+    # itemsize 1: the DMA'd block is 0.5 B/elem and the two transient
+    # nibble planes add ~1 B/elem, so budgeting like the 1-byte int8
+    # mirror keeps bn=4096 at dim 1024 (tiny Q) — halving the grid-step
+    # count, the dominant per-step cost in this regime (measured 2.15 ->
+    # 1.28 ms/sweep at 1M x 1024 vs bn=2048 — under the int8 ladder's
+    # 1.38 ms on the same corpus; bench/results/i4_kernel_r3.json).
+    bn = _pick_bn(dim, qt, k, 1, cap, bn)
+    if k > bn:
+        # dense XLA fallback for k beyond the VMEM block (see
+        # fused_topk_i8); unpacks the full corpus, so wide k at
+        # HBM-ceiling corpus sizes stays unserveable either way.
+        v = unpack_i4(v_i4).astype(jnp.float32)
+        scores = jnp.dot(
+            q_i8.astype(jnp.float32), v.T,
+            preferred_element_type=jnp.float32,
+        ) * vscale[None, :].astype(jnp.float32)
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+        vals, idx = jax.lax.top_k(scores, min(k, cap))
+        return vals, idx.astype(jnp.int32)
+    assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
+    lane_bits = max(1, int(bn - 1).bit_length())
+    mask2d = mask.reshape(1, cap).astype(jnp.int32)
+    vs2d = vscale.reshape(1, cap).astype(jnp.float32)
+
+    grid = (num_q // qt, cap // bn)
+    vals, idxs = pl.pallas_call(
+        functools.partial(_scan_kernel_i4, k=k, bn=bn, lane_bits=lane_bits),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, dim), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, half), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, b: (0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_q, k), jnp.float32),
+            jax.ShapeDtypeStruct((num_q, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_q * cap * dim,
+            bytes_accessed=cap * half + num_q * dim,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_i8, v_i4, vs2d, mask2d)
+    return vals, idxs
+
+
+def make_fused_topk_i4(k: int, guard: int = 4, interpret: bool = False,
+                       normalize: bool = True, tie_scale=None):
+    """Env-resolving wrapper: see `_make_fused_topk_i4_cached`."""
+    if tie_scale is None:
+        tie_scale = _tie_scale_env()
+    return _make_fused_topk_i4_cached(k, guard, interpret, normalize,
+                                      tie_scale)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_fused_topk_i4_cached(k: int, guard: int = 4,
+                               interpret: bool = False,
+                               normalize: bool = True,
+                               tie_scale: float = 1.0):
+    """int4-STORAGE top-k: selection ladder over the packed corpus +
+    dequantizing rescore.
+
+    tie_scale is accepted for signature parity but the crowding mark is
+    never applied (tie_scale forced 0 like the int8-storage routes): no
+    higher-precision DEVICE tier exists to retry into — exact ranking on
+    host-born stores comes from the engine's host-f64 rescore instead.
+
+    fn(queries f32, v_i4, vscale, mask) -> (vals, idx)
+    """
+    del tie_scale  # see docstring
+
+    def impl(queries, v_i4, vscale, mask):
+        if normalize:
+            from .exact import normalize_on_device
+
+            queries = normalize_on_device(queries)
+        q_i8, _ = quantize_rows_i8(queries)
+        k_sel = k + max(0, guard)
+        vals, idx = fused_topk_i4(q_i8, v_i4, vscale, mask, k_sel,
+                                  interpret=interpret)
+        vals, idx = rescore_exact_i4r(queries, v_i4, vscale, vals, idx)
+        return vals[:, :k], idx[:, :k]
 
     return jax.jit(impl)
 

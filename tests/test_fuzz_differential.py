@@ -99,6 +99,11 @@ STORAGE_CASES = [
     # path under fuzz too
     ("int8", 1.2e-2, {"rescore": "device"}),
     ("bfloat16", 1.2e-2, {"rescore": "device"}),
+    # packed int4 storage: the auto host-f64 rescore makes served scores
+    # exact despite 4-bit residency; device-ranked int4 is too noisy for
+    # the model's hit-set checks by design (tests/test_int4_storage.py
+    # covers that path's contract directly)
+    ("int4", 1.2e-2, {}),
 ]
 
 
