@@ -123,27 +123,21 @@ class DeviceIndex:
         # exact mutation semantics, ~3e-4 score quantization at dim 1024 —
         # tighter than bf16) and lifts the single-chip capacity ceiling to
         # ~12M x 1024 rows. int4 storage halves int8 again (~25M x 1024 on
-        # one chip; two-plane nibble packing, ops/pallas_scan.py int4
-        # section) — intended for host-born stores where the engine's
-        # host-f64 rescore restores exact ranking. Host persistence
-        # remains float32 in every case.
+        # one chip, ~200M over a v5e-8 mesh; two-plane nibble packing,
+        # ops/pallas_scan.py int4 section) — intended for host-born stores
+        # where the engine's host-f64 rescore restores exact ranking. Host
+        # persistence remains float32 in every case.
         self.storage_dtype = storage_dtype or "float32"
         if self.storage_dtype not in ("float32", "bfloat16", "int8", "int4"):
             raise ValueError(
                 "storage_dtype must be one of float32/bfloat16/int8/int4; "
                 f"got {self.storage_dtype!r}"
             )
-        if self.storage_dtype == "int4":
-            if dim % 2:
-                raise ValueError(
-                    "int4 storage packs two elements per byte and needs an "
-                    f"even embedding_dim; got {dim}"
-                )
-            if mesh is not None:
-                raise NotImplementedError(
-                    "int4 storage is single-device for now; use int8 for "
-                    "mesh stores (per-shard HBM is rarely the bound there)"
-                )
+        if self.storage_dtype == "int4" and dim % 2:
+            raise ValueError(
+                "int4 storage packs two elements per byte and needs an "
+                f"even embedding_dim; got {dim}"
+            )
         if compute_dtype is None and self.storage_dtype == "bfloat16":
             compute_dtype = "bfloat16"
         self.compute_dtype = compute_dtype
@@ -329,23 +323,26 @@ class DeviceIndex:
         n = host_vectors.shape[0]
         cap = max(self.cap, self._padded_cap(n))
         mask = _pad_rows(np.ascontiguousarray(active_np, dtype=bool), cap)
-        if self.storage_dtype == "int8" and self.mesh is not None:
-            # Sharded int8 corpus: rows + their per-row scales live on the
-            # owning shard. Quantization is row-local, so one jitted pass
-            # over the row-sharded f32 upload partitions with zero
-            # collectives (GSPMD keeps in/out row shardings aligned); the
-            # f32 staging array is transient, mirroring the existing
-            # non-streamed mesh upload below.
-            from .ops.pallas_scan import quantize_rows_i8
+        if self.storage_dtype in ("int8", "int4") and self.mesh is not None:
+            # Sharded quantized corpus: rows + their per-row scales live on
+            # the owning shard. Quantization (and for int4 the two-plane
+            # nibble pack) is row-local, so one jitted pass over the
+            # row-sharded f32 upload partitions with zero collectives
+            # (GSPMD keeps in/out row shardings aligned); the f32 staging
+            # array is transient, mirroring the existing non-streamed mesh
+            # upload below.
+            from .ops.pallas_scan import quantize_rows_i4, quantize_rows_i8
 
+            quant = (quantize_rows_i4 if self.storage_dtype == "int4"
+                     else quantize_rows_i8)
             vecs = _pad_rows(
                 np.ascontiguousarray(np.asarray(host_vectors, dtype=Float)),
                 cap,
             )
             f_dev = jax.device_put(vecs, self._row_sharding())
-            q8, qs = jax.jit(quantize_rows_i8, donate_argnums=(0,))(f_dev)
-            self.vectors = q8
-            self.vstore_scale = qs
+            q8, qs = jax.jit(quant, donate_argnums=(0,))(f_dev)
+            self.vectors = jax.device_put(q8, self._row_sharding())
+            self.vstore_scale = jax.device_put(qs, self._mask_sharding())
             self.active = jax.device_put(mask, self._mask_sharding())
             self.cap = cap
             self._refresh_lp_mirror()
@@ -994,7 +991,8 @@ class DeviceIndex:
             from .parallel.sharded_query import make_sharded_topk
 
             use_pallas = self.use_pallas or self.scan_mode == "fused"
-            if self.storage_dtype == "int8":
+            if self.storage_dtype in ("int8", "int4"):
+                i4m = self.storage_dtype == "int4"
                 s8_fn = make_sharded_topk(
                     self.mesh,
                     self.shard_axis,
@@ -1002,13 +1000,15 @@ class DeviceIndex:
                     None,
                     use_pallas=use_pallas,
                     interpret=use_pallas and interpret,
-                    storage_i8=True,
+                    storage_i8=not i4m,
+                    storage_i4=i4m,
                 )
                 vs = self.vstore_scale
                 fn = lambda q, v, m: s8_fn(q, v, vs, m)  # noqa: E731
+                stor = "i4stor" if i4m else "i8stor"
                 self.last_strategy = (
-                    "sharded_scan_i8stor_pallas" if use_pallas
-                    else "sharded_scan_i8stor"
+                    f"sharded_scan_{stor}_pallas" if use_pallas
+                    else f"sharded_scan_{stor}"
                 )
             else:
                 fn = make_sharded_topk(

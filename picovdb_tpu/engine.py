@@ -817,9 +817,15 @@ class PicoVectorDB:
                 "ingest_device expects a device-resident jax.Array; for "
                 "host numpy data use upsert_columnar"
             )
-        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+        # pre-quantized int4 input arrives PACKED: (n, dim // 2) bytes
+        want_dim = (
+            self.dim // 2
+            if self._dev.storage_dtype == "int4" and scales is not None
+            else self.dim
+        )
+        if vectors.ndim != 2 or vectors.shape[1] != want_dim:
             raise ValueError(
-                f"ingest_device expects a 2D array with last dim {self.dim};"
+                f"ingest_device expects a 2D array with last dim {want_dim};"
                 f" got shape {tuple(vectors.shape)}"
             )
         n = vectors.shape[0]
@@ -2070,6 +2076,19 @@ class PicoVectorDB:
             # per-shard cluster-contiguous postings, probe fan-out under
             # shard_map with the ICI top-k merge (parallel/ivf_mesh.py).
             if self._index_kind == "exact":
+                self._ivf = None
+                return
+            if self._dev.storage_dtype == "int4":
+                # Same gate as the single-device branch below: no int4
+                # postings layout exists, so IVF would stack a second
+                # quantization on the 4-bit storage. The sharded exact
+                # scan serves (per-shard sweeps stay short at int4's
+                # bytes/row).
+                if self._index_kind == "ivf":
+                    logger.warning(
+                        "index='ivf' is not supported with int4 storage; "
+                        "serving the sharded exact scan"
+                    )
                 self._ivf = None
                 return
             try:

@@ -31,7 +31,7 @@ _CACHE = {}
 def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
                       dp_axis: str = "dp", use_pallas: bool = False,
                       normalize: bool = True, interpret: bool = False,
-                      storage_i8: bool = False):
+                      storage_i8: bool = False, storage_i4: bool = False):
     """Build a jitted sharded masked-top-k for a static k.
 
     Signature of the returned fn: (queries (Q, dim) [dp-sharded if dp>1],
@@ -45,22 +45,32 @@ def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
     dequantized, so the merged scores carry storage precision exactly like
     the single-device int8 lanes.
 
+    `storage_i4=True` serves a packed int4 STORAGE corpus (two-plane
+    nibbles, (cap, dim//2) int8 bytes + per-row scales): same extra
+    `vscale` argument and the same select-then-dequantizing-rescore shape
+    as int8, with queries int8-quantized for the nibble kernel
+    (ops/pallas_scan.py int4 section). Merged scores carry 4-bit storage
+    precision; host-born stores restore exact ranking via the engine's
+    host-f64 rescore tier exactly as on a single device.
+
     `interpret=True` runs the Pallas kernel in interpret mode inside each
     shard — the CPU-mesh test path for `use_pallas=True` (compiled Mosaic
     is TPU-only).
     """
     key = (id(mesh), mesh.shape_tuple, shard_axis, k, compute_dtype_name,
-           dp_axis, use_pallas, normalize, interpret, storage_i8)
+           dp_axis, use_pallas, normalize, interpret, storage_i8,
+           storage_i4)
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build(mesh, shard_axis, k, compute_dtype_name, dp_axis,
-                    use_pallas, normalize, interpret, storage_i8)
+                    use_pallas, normalize, interpret, storage_i8,
+                    storage_i4)
         _CACHE[key] = fn
     return fn
 
 
 def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
-           normalize, interpret=False, storage_i8=False):
+           normalize, interpret=False, storage_i8=False, storage_i4=False):
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     has_dp = dp_axis in mesh.shape and mesh.shape[dp_axis] > 1
     q_spec = P(dp_axis, None) if has_dp else P()
@@ -108,10 +118,33 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
         base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
         return vals, idx + base
 
-    if storage_i8:
+    def local_i4(q, v4, vs, m):
+        rows_local = v4.shape[0]
+        k_local = min(k, rows_local)
+        if use_pallas:
+            from ..ops.pallas_scan import (
+                fused_topk_i4,
+                quantize_rows_i8,
+                rescore_exact_i4r,
+            )
+
+            q_i8, _ = quantize_rows_i8(q)
+            k_sel = min(k_local + 4, rows_local)
+            vals, idx = fused_topk_i4(q_i8, v4, vs, m, k_sel,
+                                      interpret=interpret)
+            vals, idx = rescore_exact_i4r(q, v4, vs, vals, idx)
+            vals, idx = vals[:, :k_local], idx[:, :k_local]
+        else:
+            from ..ops.exact import exact_topk_i4r
+
+            vals, idx = exact_topk_i4r(q, v4, vs, m, k_local)
+        base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
+        return vals, idx + base
+
+    if storage_i8 or storage_i4:
         in_specs = (q_spec, P(shard_axis, None), P(shard_axis),
                     P(shard_axis))
-        body = local_i8
+        body = local_i4 if storage_i4 else local_i8
     else:
         in_specs = (q_spec, P(shard_axis, None), P(shard_axis))
         body = local

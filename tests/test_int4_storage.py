@@ -146,18 +146,95 @@ def test_device_born_ingest(db_path, rng):
     assert np.abs(row - stored).max() < float(db._dev.vstore_scale[3])
 
 
-def test_int4_rejects_odd_dim_and_mesh(db_path):
+def test_device_born_ingest_prepacked(db_path, rng):
+    """ingest_device with pre-quantized PACKED (n, dim//2) input + scales:
+    the path bench/exact25m_i4.py uses to build 25M-row corpora chunk-wise
+    on device without any (n, dim) f32 array ever existing."""
+    import jax
+    import jax.numpy as jnp
+
+    from picovdb_tpu.ops.pallas_scan import quantize_rows_i4
+
+    n = 512
+    V = _corpus(rng, n=n)
+    v4, vs = quantize_rows_i4(jnp.asarray(V))
+    assert v4.shape == (n, DIM // 2)
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
+                      storage_dtype="int4")
+    db.ingest_device(jax.device_put(v4), ids=[str(i) for i in range(n)],
+                     normalize=False, scales=jax.device_put(vs))
+    hits = db.query(V[3], top_k=3)
+    assert hits[0][K_ID] == "3"
+    # packed input must match an unpacked-ingest store bit-for-bit
+    db2 = PicoVectorDB(embedding_dim=DIM, storage_file=db_path + "_u",
+                       storage_dtype="int4")
+    db2.ingest_device(jnp.asarray(V), ids=[str(i) for i in range(n)])
+    np.testing.assert_array_equal(
+        np.asarray(db._dev.vectors), np.asarray(db2._dev.vectors))
+    # wrong (unpacked) width with scales is rejected with the packed dim
+    with pytest.raises(ValueError, match=str(DIM // 2)):
+        db2_fresh = PicoVectorDB(embedding_dim=DIM,
+                                 storage_file=db_path + "_w",
+                                 storage_dtype="int4")
+        db2_fresh.ingest_device(jnp.asarray(V),
+                                ids=[str(i) for i in range(n)],
+                                normalize=False, scales=jax.device_put(vs))
+
+
+def test_int4_rejects_odd_dim(db_path):
     with pytest.raises(ValueError, match="even embedding_dim"):
         PicoVectorDB(embedding_dim=127, storage_file=db_path,
                      storage_dtype="int4")
-    import jax
-    from jax.sharding import Mesh
 
-    devs = np.array(jax.devices()[:8]).reshape(8)
-    with pytest.raises(NotImplementedError, match="single-device"):
-        PicoVectorDB(embedding_dim=DIM, storage_file=db_path + "_m",
-                     storage_dtype="int4",
-                     mesh=Mesh(devs, ("shard",)))
+
+@pytest.mark.parametrize("scan_mode", ["auto", "fused"])
+def test_int4_storage_mesh(db_path, rng, scan_mode):
+    """int4 storage over a device mesh: packed (cap, dim//2) rows + per-row
+    scales shard together; per-shard nibble-kernel selection + dequant
+    rescore merges over the ICI top-k (XLA and Pallas-interpret lanes).
+    Extends the one-chip capacity ladder (f32 3M -> bf16 4M -> int8 12.58M
+    -> int4 25.17M) onto the mesh: ~25M rows/chip x shards."""
+    from picovdb_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    n, k = 4096, 5
+    V = rng.normal(size=(n, DIM)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path, mesh=mesh,
+                      storage_dtype="int4", scan_mode=scan_mode)
+    db.upsert_columnar(V.copy(), ids=[str(i) for i in range(n)])
+    res = db.query(V[7], top_k=k)
+    assert res[0][K_ID] == "7"
+    assert "i4stor" in db._dev.last_strategy
+    assert db._dev.vectors.shape == (db._dev.cap, DIM // 2)
+    # host-born store: the host-f64 rescore tier applies under a mesh
+    # too, so ranking (and recall) is exact despite 4-bit storage
+    assert db.last_query_debug()["rescore"] == "host"
+    assert abs(res[0][K_METRICS] - 1.0) < 1e-5
+    q = V[rng.integers(0, n, 8)]
+    assert _tie_aware_recall(db, V, q) == 1.0
+    # mutations keep exact semantics (each row owns its scale)
+    db.delete(["7"])
+    assert db.query(V[7], top_k=1)[0][K_ID] != "7"
+    db.upsert([{K_ID: "7", K_VECTOR: V[7]}])
+    assert db.query(V[7], top_k=1)[0][K_ID] == "7"
+    # persistence stays float32: reload into the same mesh layout
+    db.save()
+    db2 = PicoVectorDB(embedding_dim=DIM, storage_file=db_path, mesh=mesh,
+                       storage_dtype="int4", scan_mode=scan_mode)
+    assert db2.query(V[9], top_k=1)[0][K_ID] == "9"
+    assert db2.count() == n
+
+
+def test_int4_mesh_ivf_request_serves_exact(db_path, rng):
+    from picovdb_tpu.parallel import make_mesh
+
+    V = _corpus(rng, n=2048)
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
+                      mesh=make_mesh(), storage_dtype="int4", index="ivf")
+    db.upsert([{K_ID: str(i), K_VECTOR: V[i]} for i in range(len(V))])
+    hits = db.query(V[9], top_k=3)
+    assert hits[0][K_ID] == "9"
+    assert db._ivf is None  # warned + stayed on the sharded exact scan
 
 
 def test_int4_ivf_request_serves_exact(db_path, rng):
