@@ -134,7 +134,9 @@ def main() -> int:
     sweep_ms = 1000 * (times[32] - times[8]) / 24
     print(f"Q=1 sweep {sweep_ms:.2f} ms (serial slope 8->32)", flush=True)
 
-    # Q=8 throughput
+    # Q=8 throughput (warm first: the Q=8 pad is a fresh kernel
+    # specialization — cold it times a multi-second Mosaic compile)
+    db.query(qh[:8], top_k=10)
     t0 = time.time()
     db.query(qh[:8], top_k=10)
     q8_ms = 1000 * (time.time() - t0)

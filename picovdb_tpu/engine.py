@@ -829,6 +829,32 @@ class PicoVectorDB:
                 f" got shape {tuple(vectors.shape)}"
             )
         n = vectors.shape[0]
+        if scales is not None:
+            # pre-quantized input: rows were normalized-then-quantized by
+            # the caller (quantize_rows_i8/_i4), so there is nothing left
+            # to normalize — requiring an explicit normalize=False keeps
+            # the default from silently doing nothing on mis-scaled rows.
+            if self._dev.storage_dtype not in ("int8", "int4"):
+                raise ValueError(
+                    "scales= is only meaningful for int8/int4 storage; "
+                    f"this store is {self._dev.storage_dtype!r}"
+                )
+            if normalize:
+                raise ValueError(
+                    "pre-quantized ingest (scales=...) requires "
+                    "normalize=False: rows must already be "
+                    "normalized-then-quantized (quantize_rows_i8/_i4)"
+                )
+            if str(vectors.dtype) != "int8":
+                raise ValueError(
+                    "pre-quantized ingest expects int8 rows (packed bytes "
+                    f"for int4 storage); got dtype {vectors.dtype}"
+                )
+            if getattr(scales, "ndim", 1) != 1 or scales.shape[0] != n:
+                raise ValueError(
+                    f"scales must be a ({n},) array (one per row); got "
+                    f"shape {tuple(getattr(scales, 'shape', ()))}"
+                )
         if n == 0:
             return {"update": [], "insert": []}
         if ids is None or len(ids) != n:

@@ -95,56 +95,36 @@ def _build(mesh, shard_axis, k, compute_dtype_name, dp_axis, use_pallas,
         base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
         return vals, idx + base
 
-    def local_i8(q, v8, vs, m):
-        rows_local = v8.shape[0]
+    def local_quant(q, vq, vs, m):
+        # shared int8/int4-STORAGE body: int8-quantized queries select over
+        # the quantized (for int4: packed-nibble) rows with a +4 guard,
+        # winners dequant-rescored before the slice — one place for the
+        # guard width and global-base arithmetic.
+        i4 = storage_i4
+        rows_local = vq.shape[0]
         k_local = min(k, rows_local)
         if use_pallas:
-            from ..ops.pallas_scan import (
-                fused_topk_i8,
-                quantize_rows_i8,
-                rescore_exact_i8r,
-            )
+            from ..ops import pallas_scan as ps
 
-            q_i8, _ = quantize_rows_i8(q)
+            q_i8, _ = ps.quantize_rows_i8(q)
             k_sel = min(k_local + 4, rows_local)
-            vals, idx = fused_topk_i8(q_i8, v8, vs, m, k_sel,
-                                      interpret=interpret)
-            vals, idx = rescore_exact_i8r(q, v8, vs, vals, idx)
+            select = ps.fused_topk_i4 if i4 else ps.fused_topk_i8
+            rescore = ps.rescore_exact_i4r if i4 else ps.rescore_exact_i8r
+            vals, idx = select(q_i8, vq, vs, m, k_sel, interpret=interpret)
+            vals, idx = rescore(q, vq, vs, vals, idx)
             vals, idx = vals[:, :k_local], idx[:, :k_local]
         else:
-            from ..ops.exact import exact_topk_i8r
+            from ..ops.exact import exact_topk_i4r, exact_topk_i8r
 
-            vals, idx = exact_topk_i8r(q, v8, vs, m, k_local)
-        base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
-        return vals, idx + base
-
-    def local_i4(q, v4, vs, m):
-        rows_local = v4.shape[0]
-        k_local = min(k, rows_local)
-        if use_pallas:
-            from ..ops.pallas_scan import (
-                fused_topk_i4,
-                quantize_rows_i8,
-                rescore_exact_i4r,
-            )
-
-            q_i8, _ = quantize_rows_i8(q)
-            k_sel = min(k_local + 4, rows_local)
-            vals, idx = fused_topk_i4(q_i8, v4, vs, m, k_sel,
-                                      interpret=interpret)
-            vals, idx = rescore_exact_i4r(q, v4, vs, vals, idx)
-            vals, idx = vals[:, :k_local], idx[:, :k_local]
-        else:
-            from ..ops.exact import exact_topk_i4r
-
-            vals, idx = exact_topk_i4r(q, v4, vs, m, k_local)
+            exact = exact_topk_i4r if i4 else exact_topk_i8r
+            vals, idx = exact(q, vq, vs, m, k_local)
         base = (jax.lax.axis_index(shard_axis) * rows_local).astype(jnp.int32)
         return vals, idx + base
 
     if storage_i8 or storage_i4:
         in_specs = (q_spec, P(shard_axis, None), P(shard_axis),
                     P(shard_axis))
-        body = local_i4 if storage_i4 else local_i8
+        body = local_quant
     else:
         in_specs = (q_spec, P(shard_axis, None), P(shard_axis))
         body = local

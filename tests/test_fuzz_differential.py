@@ -235,3 +235,16 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
     assert db.count() == len(model.rows)
     got = {rec[K_ID] for rec in db.get_all()}
     assert got == set(model.rows)
+
+
+def test_fuzz_mesh_int4(tmp_path, rng):
+    """One fuzz seed with the packed int4 tier over the 8-device mesh:
+    random mutation/query/persistence sequences must match the numpy
+    model through the sharded nibble lanes (`local_quant`) + host-f64
+    rescore, exactly like the single-device cells above. Single seed —
+    mesh dispatch makes each step ~4x a single-device step on CPU."""
+    from picovdb_tpu.parallel import make_mesh
+
+    test_fuzz_engine_matches_numpy_model(
+        tmp_path, 0, rng, "int4", 1.2e-2, {"mesh": make_mesh()}
+    )

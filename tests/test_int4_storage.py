@@ -172,13 +172,27 @@ def test_device_born_ingest_prepacked(db_path, rng):
     np.testing.assert_array_equal(
         np.asarray(db._dev.vectors), np.asarray(db2._dev.vectors))
     # wrong (unpacked) width with scales is rejected with the packed dim
+    fresh = PicoVectorDB(embedding_dim=DIM, storage_file=db_path + "_w",
+                         storage_dtype="int4")
+    ids_n = [str(i) for i in range(n)]
     with pytest.raises(ValueError, match=str(DIM // 2)):
-        db2_fresh = PicoVectorDB(embedding_dim=DIM,
-                                 storage_file=db_path + "_w",
-                                 storage_dtype="int4")
-        db2_fresh.ingest_device(jnp.asarray(V),
-                                ids=[str(i) for i in range(n)],
-                                normalize=False, scales=jax.device_put(vs))
+        fresh.ingest_device(jnp.asarray(V), ids=ids_n,
+                            normalize=False, scales=jax.device_put(vs))
+    # pre-quantized rows are already normalized: normalize=True (the
+    # default) would silently do nothing, so it is rejected up front
+    with pytest.raises(ValueError, match="normalize=False"):
+        fresh.ingest_device(jax.device_put(v4), ids=ids_n,
+                            scales=jax.device_put(vs))
+    # scales must be one-per-row
+    with pytest.raises(ValueError, match="one per row"):
+        fresh.ingest_device(jax.device_put(v4), ids=ids_n,
+                            normalize=False,
+                            scales=jax.device_put(vs[:-1]))
+    # packed rows must be int8 bytes
+    with pytest.raises(ValueError, match="int8"):
+        fresh.ingest_device(jnp.asarray(v4, dtype=jnp.float32)[:, :DIM // 2],
+                            ids=ids_n, normalize=False,
+                            scales=jax.device_put(vs))
 
 
 def test_int4_rejects_odd_dim(db_path):
