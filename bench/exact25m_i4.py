@@ -8,7 +8,7 @@ reported recall is therefore the honest DEVICE-RANKED int4 number
 against a STREAMING f32 ORACLE: while each chunk is still f32 (pre-
 quantization), the test queries' exact scores against it fold into a
 running top-10 on device. Host-born int4 stores rescore to recall
-1.0000 (bench/results/rescore_r3.json methodology, measured at 0.5-1M).
+1.0000 (measured: bench/results/rescore_i4_r3.json at 500k x 1024).
 
 Usage: python bench/exact25m_i4.py [--n 25165824]
 """
@@ -154,7 +154,7 @@ def main() -> int:
         "packed_gb": round(n * dim / 2 / 2**30, 2),
         "note": "device-born corpus: host-f64 rescore unavailable by "
                 "design; host-born int4 stores measure recall 1.0000 "
-                "(rescore_r3.json)",
+                "(rescore_i4_r3.json)",
     }
     path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results",

@@ -30,10 +30,10 @@ from picovdb_tpu import PicoVectorDB, K_ID
 from picovdb_tpu.utils import normalize_batch
 
 
-def build(path, data, mode):
+def build(path, data, mode, storage_dtype="int8"):
     db = PicoVectorDB(
         embedding_dim=data.shape[1], storage_file=path,
-        storage_dtype="int8", index="exact", rescore=mode,
+        storage_dtype=storage_dtype, index="exact", rescore=mode,
     )
     t0 = time.time()
     db.upsert_columnar(
@@ -61,11 +61,14 @@ def main():
     ap.add_argument("--n", type=int, default=500_000)
     ap.add_argument("--dim", type=int, default=1024)
     ap.add_argument("--nq", type=int, default=32)
+    ap.add_argument("--storage-dtype", default="int8",
+                    help="lossy tier under test (int8 or int4)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     rng = np.random.default_rng(11)
     td = tempfile.mkdtemp()
-    out = {"n": args.n, "dim": args.dim, "nq": args.nq, "cases": {}}
+    out = {"n": args.n, "dim": args.dim, "nq": args.nq,
+           "storage_dtype": args.storage_dtype, "cases": {}}
 
     print("STARTED", flush=True)
     for case in ("random", "clustered"):
@@ -91,7 +94,8 @@ def main():
         res = {}
         for mode in ("device", "host"):
             db, t_build = build(
-                os.path.join(td, f"{case}_{mode}"), data, mode
+                os.path.join(td, f"{case}_{mode}"), data, mode,
+                args.storage_dtype,
             )
             r, wall = recall_and_wall(db, q, s)
             res[mode] = {
