@@ -245,7 +245,17 @@ class PicoVectorDB:
             )
         self._rescore_mode: str = rescore
         rg_env = os.getenv(ENV_RESCORE_GUARD)
-        self._rescore_guard: int = int(rg_env) if rg_env else RESCORE_GUARD
+        if rg_env:
+            self._rescore_guard: int = int(rg_env)
+        elif storage_dtype == "int4":
+            # int4's quantization noise (~18x int8's step) packs ~4x the
+            # near-ties into the band: the default guard saturated 66/96
+            # random-corpus dispatches at 500k x 1024, each paying a
+            # second full dispatch (bench/results/rescore_i4_r3.json).
+            # A 4x default guard selects the wide band up front.
+            self._rescore_guard = 4 * RESCORE_GUARD
+        else:
+            self._rescore_guard = RESCORE_GUARD
         rq_env = os.getenv(ENV_RESCORE_MAX_Q)
         self._rescore_max_q: int = int(rq_env) if rq_env else RESCORE_MAX_Q
         # True once the host matrix was materialized from a lossy device
