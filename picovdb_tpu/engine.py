@@ -1661,6 +1661,15 @@ class PicoVectorDB:
                 "last_sync_mode": self._last_sync_mode,
                 "last_topk_strategy": self._last_topk_strategy,
                 "exact_retries": self._exact_retries,
+                "storage_dtype": self._dev.storage_dtype,
+                # host-f64 rescore tier config (lossy storage): mode,
+                # effective guard band, last-query application
+                "rescore": {
+                    "mode": self._rescore_mode,
+                    "guard": self._rescore_guard,
+                    "max_q": self._rescore_max_q,
+                    "last": self._last_rescore,
+                },
                 "rescore_escalations": self._rescore_escalations,
                 # selection tiers resident on device
                 "mirrors": {

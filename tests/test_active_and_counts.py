@@ -105,3 +105,20 @@ def test_stats_fields(db_path, rng):
     assert s["ann_postings"] in (
         None, "storage", "storage+int8", "int8-only"
     )
+    assert s["storage_dtype"] == "float32"
+    assert set(s["rescore"]) == {"mode", "guard", "max_q", "last"}
+    assert s["rescore"]["mode"] == "auto"
+
+
+def test_stats_rescore_reflects_int4_guard(db_path, rng):
+    """int4 stores report the widened default guard and last-query
+    rescore application through stats()."""
+    db = PicoVectorDB(embedding_dim=8, storage_file=db_path + "_i4",
+                      storage_dtype="int4")
+    items, _ = make_items(rng, 5, 8)
+    db.upsert(items)
+    db.query(np.asarray(items[1][K_VECTOR], dtype=np.float32), top_k=2)
+    s = db.stats()
+    assert s["storage_dtype"] == "int4"
+    assert s["rescore"]["guard"] == 512  # 4x the 128 default
+    assert s["rescore"]["last"] == "host"
