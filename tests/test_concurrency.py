@@ -410,3 +410,60 @@ def test_writer_latency_bounded_under_reader_load(db_path, rng):
           f"max {max(waits)*1000:.1f} ms, all {[f'{w*1000:.0f}' for w in waits]}")
     # generous bound: starvation would show up as tens of seconds
     assert max(waits) < 10.0, waits
+
+
+def test_mesh_int4_queries_stable_under_concurrent_writes(db_path, rng):
+    """Sharded lossy-storage store under concurrent mutation: snapshot
+    isolation must hold across shard_map dispatches AND the host-f64
+    rescore's candidate gather (which reads the host matrix inside the
+    read lock while writers scatter packed rows + scales on device).
+    Every hit returned mid-churn must be internally consistent."""
+    from picovdb_tpu.parallel import make_mesh
+
+    dim = 16
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      mesh=make_mesh(), storage_dtype="int4")
+    items, vecs = make_items(rng, 200, dim)
+    db.upsert(items)
+
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        w_rng = np.random.default_rng(2)
+        while not stop.is_set():
+            try:
+                v = w_rng.normal(size=dim).astype(np.float32)
+                db.upsert([{K_ID: f"w{i % 50}", K_VECTOR: v, "gen": i}])
+                if i % 3 == 0:
+                    db.delete([f"id{i % 200}"])
+                i += 1
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    def reader():
+        while not stop.is_set():
+            try:
+                res = db.query(vecs[3], top_k=5)
+                for r in res:
+                    assert isinstance(r[K_ID], str)
+                    assert np.isfinite(r["_metrics_"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    tw = threading.Thread(target=writer)
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    tw.start()
+    for t in readers:
+        t.start()
+    time.sleep(1.5)
+    stop.set()
+    tw.join(timeout=20)
+    for t in readers:
+        t.join(timeout=20)
+    assert not errors, errors
+    res = db.query(vecs[4], top_k=3)
+    assert res and db._dev.last_strategy.startswith("sharded_scan_i4stor")
