@@ -25,7 +25,15 @@ except ImportError:  # pragma: no cover - older JAX
 
 from ..ops.exact import exact_topk
 
+# Bounded build cache. The key includes id(mesh), and the cached jitted
+# fns close over the mesh object — an UNbounded dict would therefore pin
+# every mesh ever queried (plus its compiled executables) for the process
+# lifetime; a long-lived process that recreates meshes leaks until OOM
+# (observed: a 43 x 10-config fuzz soak exhausted host memory through
+# exactly this path). FIFO eviction drops the oldest builds; a re-query
+# against an evicted (mesh, k, ...) combination just recompiles.
 _CACHE = {}
+_CACHE_MAX = 64
 
 
 def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
@@ -65,6 +73,8 @@ def make_sharded_topk(mesh, shard_axis: str, k: int, compute_dtype_name=None,
         fn = _build(mesh, shard_axis, k, compute_dtype_name, dp_axis,
                     use_pallas, normalize, interpret, storage_i8,
                     storage_i4)
+        while len(_CACHE) >= _CACHE_MAX:
+            _CACHE.pop(next(iter(_CACHE)), None)
         _CACHE[key] = fn
     return fn
 

@@ -241,3 +241,24 @@ def test_mesh_store_builds_sharded_ivf(db_path, rng):
     res = db.query(vecs[3], top_k=1, ef_search=1000)  # full probe
     assert res[0][K_ID] == "id3"
     assert db._last_topk_strategy == "ivf"
+
+
+def test_sharded_build_cache_is_bounded():
+    """The make_sharded_topk build cache must evict: its keys include
+    id(mesh) and the cached fns close over the mesh, so an unbounded dict
+    pins every mesh ever queried (plus compiled executables) for the
+    process lifetime — a long-lived process recreating meshes leaked to
+    OOM through this path (caught by a 43-seed fuzz soak)."""
+    import numpy as np
+
+    from picovdb_tpu.parallel import make_mesh
+    from picovdb_tpu.parallel import sharded_query as sq
+
+    q = np.zeros((1, 16), dtype=np.float32)
+    for i in range(sq._CACHE_MAX + 8):
+        mesh = make_mesh()
+        fn = sq.make_sharded_topk(mesh, "shard", k=1 + (i % 3))
+        v = np.zeros((16, 16), dtype=np.float32)
+        m = np.ones((16,), dtype=bool)
+        fn(q, v, m)  # builds + runs so executables exist
+        assert len(sq._CACHE) <= sq._CACHE_MAX
