@@ -149,7 +149,7 @@ def main() -> int:
             index=args.index, storage_dtype=args.storage_dtype,
         )
         load_s = time.perf_counter() - t0
-        assert len(db2._id2idx) == args.rows
+        assert db2.count() == args.rows  # count() doesn't force the lazy id map
         out["load_s"] = round(load_s, 2)
         print(f"# reload: {load_s:.1f} s", file=sys.stderr)
 

@@ -183,7 +183,14 @@ class PicoVectorDB:
         self._ids: list[Optional[str]] = []
         self._docs: list[Optional[dict]] = []
         self._free: list[int] = []
-        self._id2idx: dict[str, int] = {}
+        # id -> active slot map. `None` means "lazy": bulk ingest lanes
+        # (ingest_device, the fresh upsert_columnar lane, load, vacuum)
+        # skip building it — at 25M rows the dict costs ~1-2 us/insert
+        # (~50 s) of pure CPython while queries never need it. The first
+        # point lookup materializes it via the `_id2idx` property from
+        # `_active_indices`, which is maintained eagerly and is the source
+        # of truth for the active count.
+        self._id2idx_store: Optional[dict[str, int]] = {}
         self._additional: dict[str, Any] = {}
         self._active_indices: np.ndarray = np.empty(0, dtype=np.int64)
         self._active_mask: np.ndarray = np.empty(0, dtype=bool)
@@ -307,6 +314,31 @@ class PicoVectorDB:
         self._load_or_init()
 
     # ------------------------------------------------------------------
+    # id -> slot map (lazy)
+    # ------------------------------------------------------------------
+
+    @property
+    def _id2idx(self) -> dict[str, int]:
+        """Materialize the id -> active-slot map on first point lookup.
+
+        `_active_indices` + `_ids` always carry the same information
+        (for every active slot i, `_ids[i]` is its live id), so bulk
+        lanes leave the dict unbuilt and counting/serving never pays for
+        it. Concurrent readers may race the build; both produce the same
+        dict and the last assignment wins, which is benign.
+        """
+        m = self._id2idx_store
+        if m is None:
+            ids = self._ids
+            m = {ids[i]: i for i in self._active_indices.tolist()}
+            self._id2idx_store = m
+        return m
+
+    @_id2idx.setter
+    def _id2idx(self, value: Optional[dict[str, int]]) -> None:
+        self._id2idx_store = value
+
+    # ------------------------------------------------------------------
     # Persistence
     # ------------------------------------------------------------------
 
@@ -331,36 +363,38 @@ class PicoVectorDB:
             self._docs, self._additional = persistence.load_meta(self._path, count)
             if len(self._docs) < count:
                 self._docs = list(self._docs) + [None] * (count - len(self._docs))
+            free_append = self._free.append
+            actives: list[int] = []
+            actives_append = actives.append
             for i, (_id, doc) in enumerate(zip(self._ids, self._docs)):
                 if doc is None:
-                    self._free.append(i)
+                    free_append(i)
                 elif _id is not None:
-                    self._id2idx[_id] = i
+                    actives_append(i)
+            self._id2idx = None  # lazy: built on first point lookup
             self._active_mask = np.zeros(count, dtype=bool)
-            if self._id2idx:
-                self._active_indices = np.fromiter(
-                    self._id2idx.values(), dtype=np.int64
-                )
+            if actives:
+                self._active_indices = np.asarray(actives, dtype=np.int64)
                 self._active_mask[self._active_indices] = True
             else:
                 self._active_indices = np.empty(0, dtype=np.int64)
             self._tag_index.resize(count)
             # Eager device upload mirrors the reference's FAISS
             # load-or-rebuild in the constructor (picovdb/pico_vdb.py:260-283).
-            if self._id2idx:
+            if self._active_indices.size:
                 self._dev.full_upload(self._host_vectors, self._active_mask)
                 self._last_sync_mode = "full"
             # ANN sidecar: reuse the persisted index when it still matches,
             # else retrain (the reference's read_index-or-rebuild behavior,
             # picovdb/pico_vdb.py:260-283).
-            if self._index_kind != "exact" and self._id2idx:
+            if self._index_kind != "exact" and self._active_indices.size:
                 blob = persistence.load_ann(self._path)
                 if blob is not None:
                     try:
                         if self._dev.mesh is not None:
                             from .parallel.ivf_mesh import ShardedIVF
 
-                            i8o = self._dev.storage_dtype == "int8"
+                            i8o = self._ivf_i8_only()
                             self._ivf = ShardedIVF.from_blob(
                                 blob, np.asarray(self._host_vectors),
                                 self._active_mask, self.dim,
@@ -390,7 +424,8 @@ class PicoVectorDB:
                     self._rebuild_ann()
             self._dirty = False
             logger.info(
-                "Loaded %d active / %d total vectors", len(self._id2idx), count
+                "Loaded %d active / %d total vectors",
+                int(self._active_indices.size), count
             )
         else:
             if self._capacity is not None:
@@ -433,11 +468,11 @@ class PicoVectorDB:
     def count(self) -> int:
         """Number of active (non-deleted) items."""
         with self._rwlock.read_lock():
-            return len(self._id2idx)
+            return int(self._active_indices.size)
 
     def __len__(self) -> int:
         with self._rwlock.read_lock():
-            return len(self._id2idx)
+            return int(self._active_indices.size)
 
     @timed("save")
     def save(self, shards: Optional[int] = None) -> None:
@@ -684,7 +719,7 @@ class PicoVectorDB:
                         {**(m or {}), K_ID: _id}
                         for m, _id in zip(metadata, ids)
                     ]
-                self._id2idx = dict(zip(ids, range(n)))
+                self._id2idx = None  # lazy: built on first point lookup
                 self._active_indices = np.arange(n, dtype=np.int64)
                 self._active_mask = np.ones(n, dtype=bool)
                 self._tag_index.resize(n)
@@ -901,7 +936,7 @@ class PicoVectorDB:
                 self._docs = [
                     {**(m or {}), K_ID: _id} for m, _id in zip(metadata, ids)
                 ]
-            self._id2idx = dict(zip(ids, range(n)))
+            self._id2idx = None  # lazy: built on first point lookup
             self._active_indices = np.arange(n, dtype=np.int64)
             self._active_mask = np.ones(n, dtype=bool)
             self._tag_index.resize(n)
@@ -1005,7 +1040,7 @@ class PicoVectorDB:
             if not self._free:
                 return
             self._ensure_host_vectors()
-            active = sorted(self._id2idx.values())
+            active = np.sort(self._active_indices).tolist()
             n = len(active)
             if self._capacity is not None:
                 cap = len(self._ids)
@@ -1018,9 +1053,7 @@ class PicoVectorDB:
                 self._docs = [self._docs[i] for i in active] + [None] * (
                     cap - n
                 )
-                self._id2idx = {
-                    id_: i for i, id_ in enumerate(self._ids[:n])
-                }
+                self._id2idx = None  # lazy: actives are now _ids[:n]
                 self._ids_np = None
                 self._active_indices = np.arange(n, dtype=np.int64)
                 self._active_mask = np.zeros(cap, dtype=bool)
@@ -1054,7 +1087,7 @@ class PicoVectorDB:
             self._host_vectors = to_c_f32(np.asarray(self._host_vectors)[active])
             self._ids = [self._ids[i] for i in active]
             self._docs = [self._docs[i] for i in active]
-            self._id2idx = {id_: i for i, id_ in enumerate(self._ids)}
+            self._id2idx = None  # lazy: actives are now dense 0..n-1
             self._ids_np = None
             self._active_indices = np.arange(n, dtype=np.int64)
             self._active_mask = np.ones(n, dtype=bool)
@@ -1151,7 +1184,7 @@ class PicoVectorDB:
             # single-vector queries — matching the reference's early return,
             # which skips its own single-query unwrap
             # (picovdb/pico_vdb.py:595-596, 672-673).
-            if not self._id2idx:
+            if not self._active_indices.size:
                 return [[] for _ in range(num_q)]
             filtered = ids is not None or where is not None
             filter_mask: Optional[np.ndarray] = None
@@ -1161,7 +1194,7 @@ class PicoVectorDB:
                 if n_cand == 0:
                     return [[] for _ in range(num_q)]
             else:
-                n_cand = len(self._id2idx)
+                n_cand = int(self._active_indices.size)
             # Over-fetch is only needed when assembly can still reject hits:
             # callable `where` is re-applied there (reference semantics,
             # picovdb/pico_vdb.py:769), while dict/ids filters are already
@@ -1274,7 +1307,7 @@ class PicoVectorDB:
                 f"{tuple(vecs.shape)}"
             )
         with self._synced_read():
-            if not self._id2idx:
+            if not self._active_indices.size:
                 raise ValueError("query_serial_loop on an empty store")
             return self._dev.query_serial_loop(vecs, top_k)
 
@@ -1321,13 +1354,13 @@ class PicoVectorDB:
             )
 
         with self._synced_read():
-            if not self._id2idx:
+            if not self._active_indices.size:
                 return [[] for _ in range(num_q)]
             filtered = ids is not None or where is not None
             filter_mask = self._build_filter_mask(where, ids) if filtered else None
             n_cand = (
                 int(filter_mask.sum()) if filter_mask is not None
-                else len(self._id2idx)
+                else int(self._active_indices.size)
             )
             if n_cand == 0:
                 return [[] for _ in range(num_q)]
@@ -1418,13 +1451,13 @@ class PicoVectorDB:
         empty_ids = np.full((num_q, top_k), None, dtype=object)
         empty_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
         with self._synced_read():
-            if not self._id2idx:
+            if not self._active_indices.size:
                 return empty_ids, empty_scores
             filtered = ids is not None or where is not None
             filter_mask = self._build_filter_mask(where, ids) if filtered else None
             n_cand = (
                 int(filter_mask.sum()) if filter_mask is not None
-                else len(self._id2idx)
+                else int(self._active_indices.size)
             )
             if n_cand == 0:
                 return empty_ids, empty_scores
@@ -1642,7 +1675,7 @@ class PicoVectorDB:
     def stats(self) -> dict[str, Any]:
         """Database statistics, including on-disk file sizes and device info."""
         with self._rwlock.read_lock():
-            active = len(self._id2idx)
+            active = int(self._active_indices.size)
             total = len(self._ids)
             return {
                 "active": active,
@@ -2084,12 +2117,17 @@ class PicoVectorDB:
             return False
         if env not in ("auto", ""):
             return _ivf_i8_enabled(self.dim)
-        if not _ivf_i8_enabled(self.dim) or self._dev.mesh is not None:
+        if not _ivf_i8_enabled(self.dim):
             return False
+        # Mesh stores hold 1/nshards of both the corpus and the postings
+        # per chip, so the same HBM-budget rule applies per shard.
+        shards = 1
+        if self._dev.mesh is not None:
+            shards = int(self._dev.mesh.shape[self._dev.shard_axis])
         item = 2 if self._dev.storage_dtype == "bfloat16" else 4
-        n = max(len(self._id2idx), 1)
-        corpus_b = self._dev.cap * self.dim * item
-        mirror_b = int(1.05 * n) * self.dim * (item + 1)
+        n = max(int(self._active_indices.size), 1)
+        corpus_b = self._dev.cap * self.dim * item // shards
+        mirror_b = int(1.05 * n) * self.dim * (item + 1) // shards
         return corpus_b + mirror_b > _ivf_budget_bytes()
 
     def _ivf_fits(self, n_active: int) -> bool:
@@ -2140,9 +2178,14 @@ class PicoVectorDB:
                 from .ops.ivf import should_build
                 from .parallel.ivf_mesh import ShardedIVF
 
-                n_active = len(self._id2idx)
-                i8o = self._dev.storage_dtype == "int8"
-                if n_active and i8o:
+                n_active = int(self._active_indices.size)
+                # int8-only layout: mandatory for int8 storage (raw rows
+                # cannot be scored without per-row scales) and chosen
+                # automatically when the classic per-shard mirror would
+                # overflow the per-chip HBM budget (same rule as the
+                # single-device branch; _ivf_i8_only is mesh-aware).
+                i8o = self._ivf_i8_only()
+                if n_active and self._dev.storage_dtype == "int8":
                     from .ops.ivf import IVF_I8_MIN_DIM, _ivf_i8_enabled
 
                     if not _ivf_i8_enabled(self.dim):
@@ -2208,7 +2251,7 @@ class PicoVectorDB:
         try:
             from .ops.ivf import IVFIndex, should_build
 
-            n_active = len(self._id2idx)
+            n_active = int(self._active_indices.size)
             if n_active and self._dev.storage_dtype == "int8":
                 from .ops.ivf import IVF_I8_MIN_DIM, _ivf_i8_enabled
 
