@@ -202,3 +202,52 @@ def test_sharded_ivf_int8_parity(rng, monkeypatch):
         len(set(s_i8[i]) & set(s_f32[i])) / k for i in range(16)
     ])
     assert overlap >= 0.95, overlap
+
+
+def test_engine_mesh_capacity_triggered_i8_only(db_path, rng, monkeypatch):
+    """A bf16-storage mesh store whose classic per-shard IVF mirror would
+    overflow the per-chip HBM budget auto-selects the int8-only postings
+    layout — the mesh analog of the single-device capacity-ceiling rule
+    (engine._ivf_i8_only, now per-shard). Past ~30M rows on a v5e-8 this
+    is what keeps an ANN tier possible at all."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # enable below IVF_I8_MIN_DIM
+    # a deliberately tiny per-chip budget stands in for "corpus near the
+    # per-shard HBM ceiling" at test scale
+    monkeypatch.setenv("PICOVDB_IVF_BUDGET_GB", "0.00001")
+    mesh = make_mesh()
+    dim, n, k = 32, 4096, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="bfloat16", ivf_nlist=16,
+    )
+    db.upsert_columnar(vectors.copy(), ids=[str(i) for i in range(n)])
+    db.rebuild_index()
+    assert db._ivf is not None and db._ivf.vectors is None  # i8-only layout
+    assert db._ivf.corpus_cap == db._dev.cap
+    res = db.query(vectors[77], top_k=k, ef_search=1000)
+    assert db._last_topk_strategy.startswith("ivf")
+    assert res[0][K_ID] == "77"
+    # full-probe agreement with the sharded-exact scan on the same store
+    exact = db.query(
+        vectors[77], top_k=k, ef_search=1000, where=lambda d: True
+    )
+    assert {r[K_ID] for r in res} == {r[K_ID] for r in exact}
+
+    # sidecar roundtrip rebuilds the i8-only layout warm
+    db.save()
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="bfloat16", ivf_nlist=16,
+    )
+    assert db2._ivf is not None and db2._ivf.vectors is None
+    r2 = db2.query(vectors[42], top_k=k, ef_search=1000)
+    assert r2[0][K_ID] == "42"
+
+    # with an ample budget the same store keeps the classic layout
+    monkeypatch.setenv("PICOVDB_IVF_BUDGET_GB", "13")
+    db3 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="bfloat16", ivf_nlist=16,
+    )
+    assert db3._ivf is not None and db3._ivf.vectors is not None
