@@ -67,6 +67,15 @@ def main() -> int:
                    help="device storage dtype (e.g. int8 — the layout "
                         "that lifts the v5e-8 ceiling to ~100M x 1024)")
     p.add_argument("--index", default="exact", choices=["exact", "ivf"])
+    p.add_argument("--nlist", type=int, default=0,
+                   help="IVF cluster count (0 = engine auto ~2*sqrt(N))")
+    p.add_argument("--nprobe", type=int, default=0,
+                   help="IVF probe width (0 = engine default; for a "
+                        "correctness artifact on random data use a full "
+                        "probe, --nprobe == --nlist)")
+    p.add_argument("--recall-floor", type=float, default=0.0,
+                   help="override the pass/fail recall floor (0 = "
+                        "dtype-based default)")
     p.add_argument("--out", default="bench/results/northstar10m_r3.json")
     p.add_argument("--reuse", default="",
                    help="path prefix of an existing sharded store: skip "
@@ -117,6 +126,8 @@ def main() -> int:
             db = PicoVectorDB(
                 embedding_dim=args.dim, storage_file=path, mesh=mesh,
                 index=args.index, storage_dtype=args.storage_dtype,
+                ivf_nlist=args.nlist or None,
+                ivf_nprobe=args.nprobe or None,
             )
             ids = [str(i) for i in range(args.rows)]
             t0 = time.perf_counter()
@@ -147,6 +158,8 @@ def main() -> int:
         db2 = PicoVectorDB(
             embedding_dim=args.dim, storage_file=path, mesh=mesh,
             index=args.index, storage_dtype=args.storage_dtype,
+            ivf_nlist=args.nlist or None,
+            ivf_nprobe=args.nprobe or None,
         )
         load_s = time.perf_counter() - t0
         assert db2.count() == args.rows  # count() doesn't force the lazy id map
@@ -211,7 +224,9 @@ def main() -> int:
         print(f"# serve {m} queries: {serve_s*1000:.0f} ms "
               f"({out['serve_qps']} qps, {out['strategy']}); "
               f"recall@{args.topk} vs oracle = {agree:.4f}", file=sys.stderr)
-        floor = 0.999 if args.storage_dtype != "int8" else 0.95
+        floor = args.recall_floor or (
+            0.999 if args.storage_dtype != "int8" else 0.95
+        )
         assert agree >= floor, agree
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

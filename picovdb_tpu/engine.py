@@ -1319,6 +1319,8 @@ class PicoVectorDB:
         where: WhereArg = None,
         ids: Optional[list[str]] = None,
         batch_size: int = 1024,
+        ef_search: Optional[int] = None,
+        hnsw_ef_search: Optional[int] = None,
     ) -> list[list[dict[str, Any]]]:
         """Throughput-mode batch query (new in this framework).
 
@@ -1331,6 +1333,12 @@ class PicoVectorDB:
         `query_vecs` may be a device-resident jax.Array (e.g. embeddings
         produced by an upstream on-TPU model): no host->device transfer
         happens and normalization stays fused on device.
+
+        Unfiltered chunks route through the ANN tier under the same rule
+        as `query` (explicit index="ivf" always probes; "auto" applies
+        the probed-union bound per chunk — at the default chunk sizes
+        that stays exact); `ef_search`/`hnsw_ef_search` scale the probe
+        width exactly as on `query`.
         """
         if isinstance(query_vecs, np.ndarray) or not hasattr(
             query_vecs, "devices"
@@ -1350,7 +1358,8 @@ class PicoVectorDB:
             # rescore; chunk overlap doesn't pay at this size anyway.
             return self.query(  # type: ignore[return-value]
                 vecs, top_k=top_k, better_than=better_than,
-                where=where, ids=ids,
+                where=where, ids=ids, ef_search=ef_search,
+                hnsw_ef_search=hnsw_ef_search,
             )
 
         with self._synced_read():
@@ -1371,10 +1380,35 @@ class PicoVectorDB:
             pending = []
             chunks = []
             chunk_retry = []  # per chunk: its strategy admits the retry
+            chunk_ivf = []    # per chunk: served by the ANN tier
             pack = _pack_fetch_enabled()
+            ann_ok = filter_mask is None and self._ann_admits_k(k_eff)
+            ef = (
+                int(hnsw_ef_search)
+                if hnsw_ef_search is not None
+                else int(ef_search)
+                if ef_search is not None
+                else self._ef_search
+            )
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
+                # Per-chunk ANN routing (the reference's FAISS index serves
+                # its batch queries too, pico_vdb.py:716-751): explicit
+                # index="ivf" always probes; "auto" probes while the
+                # chunk's probed-cluster union bound admits it — at the
+                # default 2048-row chunks that routes to exact, so this
+                # fires for small batches and forced-IVF stores.
+                if ann_ok and self._ann_routes_batch(chunk.shape[0], ef):
+                    vd, xd, nq = self._ivf.search_async(
+                        chunk, k_eff, ef, self._dev,
+                        nprobe=self._ivf_nprobe,
+                    )
+                    chunk_ivf.append(True)
+                    chunk_retry.append(False)
+                    pending.append((vd, xd, nq, k_eff))
+                    continue
+                chunk_ivf.append(False)
                 vd, xd, nq, ke = self._dev.query_async(
                     chunk, k_eff, filter_mask, mask_key=mask_key)
                 # strategies can differ per chunk (a small tail chunk may
@@ -1385,19 +1419,30 @@ class PicoVectorDB:
                     pending.append((self._dev.pack_results(vd, xd), nq, ke))
                 else:
                     pending.append((vd, xd, nq, ke))
-            self._last_topk_strategy = self._dev.last_strategy
+            self._last_topk_strategy = (
+                self._ivf_strategy_name()
+                if chunk_ivf[-1]
+                else self._dev.last_strategy
+            )
             # Captured INSIDE the lock: the underfill retry below runs after
             # release, and a concurrent writer may swap the mirror between —
             # retrying against self._dev would pair new slot indices with
             # the stale docs_ref snapshot. (Retry-marked strategies only run
             # unfiltered, so the snapshot's active mask is the full
-            # candidate mask.)
-            snap = self._dev.snapshot() if any(chunk_retry) else None
+            # candidate mask.) IVF chunks use it for the all-empty-probe
+            # self-heal (same contract as IVFIndex.search's sync fallback).
+            snap = (
+                self._dev.snapshot()
+                if (any(chunk_retry) or any(chunk_ivf))
+                else None
+            )
             docs_ref = list(self._docs)
 
         _start_host_copies(pending)
         out: list[list[dict[str, Any]]] = []
-        for chunk, entry, retryable in zip(chunks, pending, chunk_retry):
+        for chunk, entry, retryable, is_ivf in zip(
+            chunks, pending, chunk_retry, chunk_ivf
+        ):
             if len(entry) == 3:
                 packed, nq, ke = entry
                 vals, idxs = _unpack_fetch(np.asarray(packed), nq, ke)
@@ -1406,6 +1451,12 @@ class PicoVectorDB:
                 vals = np.asarray(vals_dev)[:nq, :ke]
                 idxs = np.asarray(idxs_dev)[:nq, :ke]
             if retryable and np.isneginf(vals).any():
+                vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
+                self._exact_retries += 1
+            elif is_ivf and not np.isfinite(vals).any():
+                # every probed cluster was empty (stale centroids / tiny
+                # nprobe): self-heal to the exact scan on the dispatch-time
+                # snapshot rather than return spuriously empty results
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
                 self._exact_retries += 1
             out.extend(
@@ -1421,6 +1472,8 @@ class PicoVectorDB:
         where: WhereArg = None,
         ids: Optional[list[str]] = None,
         batch_size: int = 2048,
+        ef_search: Optional[int] = None,
+        hnsw_ef_search: Optional[int] = None,
     ):
         """Serving-mode batch query returning columnar results (new here).
 
@@ -1433,7 +1486,9 @@ class PicoVectorDB:
         (None marks missing/filtered positions) and an (Q, top_k) float32
         score matrix. Skips per-hit dict materialization — the high-QPS
         serving contract; fetch metadata afterwards with `get(ids)`.
-        Accepts host or device-resident query arrays like `query_batched`.
+        Accepts host or device-resident query arrays, and routes
+        unfiltered chunks through the ANN tier under the same per-chunk
+        rule, like `query_batched`.
         """
         if isinstance(query_vecs, np.ndarray) or not hasattr(
             query_vecs, "devices"
@@ -1470,6 +1525,7 @@ class PicoVectorDB:
             pending = []
             chunks = []
             chunk_retry = []
+            chunk_ivf = []  # per chunk: served by the ANN tier
             if rescore:
                 # Dispatch, exact-rescore and (if the guard band saturates)
                 # escalate INSIDE the read lock: the host gather must see a
@@ -1487,9 +1543,28 @@ class PicoVectorDB:
                     chunk_retry.append(False)
             else:
                 pack = _pack_fetch_enabled()
+                ann_ok = filter_mask is None and self._ann_admits_k(k_eff)
+                ef = (
+                    int(hnsw_ef_search)
+                    if hnsw_ef_search is not None
+                    else int(ef_search)
+                    if ef_search is not None
+                    else self._ef_search
+                )
                 for start in range(0, num_q, batch_size):
                     chunk = vecs[start : start + batch_size]
                     chunks.append(chunk)
+                    # per-chunk ANN routing, see query_batched
+                    if ann_ok and self._ann_routes_batch(chunk.shape[0], ef):
+                        vd, xd, nq = self._ivf.search_async(
+                            chunk, k_eff, ef, self._dev,
+                            nprobe=self._ivf_nprobe,
+                        )
+                        chunk_ivf.append(True)
+                        chunk_retry.append(False)
+                        pending.append((vd, xd, nq, k_eff))
+                        continue
+                    chunk_ivf.append(False)
                     vd, xd, nq, ke = self._dev.query_async(
                         chunk, k_eff, filter_mask, mask_key=mask_key)
                     # per-chunk: a small tail chunk may route differently
@@ -1503,11 +1578,20 @@ class PicoVectorDB:
                         )
                     else:
                         pending.append((vd, xd, nq, ke))
-            self._last_topk_strategy = self._dev.last_strategy
+            self._last_topk_strategy = (
+                self._ivf_strategy_name()
+                if chunk_ivf and chunk_ivf[-1]
+                else self._dev.last_strategy
+            )
             self._last_k_eff = int(k_eff)
             self._last_rescore = "host" if rescore else None
-            # see query_batched: retry must use the dispatch-time snapshot
-            snap = self._dev.snapshot() if any(chunk_retry) else None
+            # see query_batched: retry must use the dispatch-time snapshot;
+            # IVF chunks use it for the all-empty-probe self-heal
+            snap = (
+                self._dev.snapshot()
+                if (any(chunk_retry) or any(chunk_ivf))
+                else None
+            )
             ids_arr = self._ids_array()
             docs_len = len(self._docs)
 
@@ -1515,7 +1599,11 @@ class PicoVectorDB:
         out_ids = np.full((num_q, top_k), None, dtype=object)
         out_scores = np.full((num_q, top_k), -np.inf, dtype=np.float32)
         row = 0
-        for chunk, entry, retryable in zip(chunks, pending, chunk_retry):
+        if not chunk_ivf:
+            chunk_ivf = [False] * len(chunks)
+        for chunk, entry, retryable, is_ivf in zip(
+            chunks, pending, chunk_retry, chunk_ivf
+        ):
             if len(entry) == 3:
                 packed, nq, ke = entry
                 vals, idxs = _unpack_fetch(np.asarray(packed), nq, ke)
@@ -1524,6 +1612,11 @@ class PicoVectorDB:
                 vals = np.asarray(vals_dev)[:nq, :ke]
                 idxs = np.asarray(idxs_dev)[:nq, :ke]
             if retryable and np.isneginf(vals).any():
+                vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
+                self._exact_retries += 1
+            elif is_ivf and not np.isfinite(vals).any():
+                # all probed clusters empty: self-heal to the exact scan
+                # on the dispatch-time snapshot (see query_batched)
                 vals, idxs = self._dev.query_exact_snapshot(snap, chunk, k_eff)
                 self._exact_retries += 1
             valid = np.isfinite(vals) & (idxs >= 0) & (idxs < docs_len)
@@ -1931,55 +2024,66 @@ class PicoVectorDB:
             np.take_along_axis(idxs, order, axis=1),
         )
 
+    def _ivf_strategy_name(self) -> str:
+        return (
+            "ivf_i8"
+            if getattr(self._ivf, "vectors_i8c", None) is not None
+            else "ivf"
+        )
+
+    def _ann_admits_k(self, k_eff: int) -> bool:
+        """Whether the ANN tier can serve this k (unfiltered stores only).
+
+        The IVF kernel's running top-k is bounded by its scan block (same
+        constraint as the fused kernel, see ops/pallas_scan.py:fused_topk);
+        very wide k goes exact."""
+        if (
+            self._ivf is None
+            or self._index_kind == "exact"
+        ):
+            return False
+        from .ops.ivf import IVF_BN
+
+        return k_eff + 4 <= IVF_BN
+
+    def _ann_routes_batch(self, num_q: int, ef: Optional[int] = None) -> bool:
+        """Batch-size routing (auto tier only; explicit index="ivf" always
+        probes, like the reference always uses a present FAISS index,
+        pico_vdb.py:667-668): the probe scan wins while the batch's
+        probed-cluster UNION stays well under the corpus. Draws overlap,
+        so the union grows as nlist*(1-(1-nprobe/nlist)^Q), not Q*nprobe;
+        route to IVF while the expected union is <= 0.6 of the lists.
+        Measured at 2M x 1024 / nprobe=128 / nlist=2828 with the int8
+        postings mirror: 2.6x exact at Q=1 (union 4.5%), 1.7x at Q=8
+        (31%), 1.46x at Q=16 (52%), 1.03x at Q=32 (77%), 0.8x at Q=64
+        (~95%) — 0.6 splits the measured win at Q=16 from the break-even
+        at Q=32 (bench/results/ivf2m_r3b.*, ivf2m_midq in the log)."""
+        if self._index_kind != "auto":
+            return True
+        from .ops.ivf import ef_to_nprobe
+
+        e = int(ef) if ef is not None else self._ef_search
+        npb = self._ivf_nprobe or ef_to_nprobe(e, self._ivf.nlist)
+        p_union = 1.0 - (1.0 - npb / self._ivf.nlist) ** num_q
+        return p_union <= 0.6
+
     def _dispatch_query(self, vecs, k_eff, filter_mask, ef_search,
                         hnsw_ef_search, mask_key=None):
         """Route to the ANN tier (unfiltered) or the exact fused scan."""
-        use_ann = (
-            self._ivf is not None
-            and filter_mask is None
-            and self._index_kind != "exact"
-        )
-        if use_ann:
-            # The IVF kernel's running top-k is bounded by its scan block
-            # (same constraint as the fused kernel, see
-            # ops/pallas_scan.py:fused_topk); very wide k goes exact.
-            from .ops.ivf import IVF_BN
-
-            use_ann = k_eff + 4 <= IVF_BN
+        use_ann = filter_mask is None and self._ann_admits_k(k_eff)
         if use_ann:
             ef = (
                 int(hnsw_ef_search)
                 if hnsw_ef_search is not None
                 else int(ef_search) if ef_search is not None else self._ef_search
             )
-            if self._index_kind == "auto":
-                # Batch-size routing (auto tier only; explicit index="ivf"
-                # always probes, like the reference always uses a present
-                # FAISS index, pico_vdb.py:667-668): the probe scan wins
-                # while the batch's probed-cluster UNION stays well under
-                # the corpus. Draws overlap, so the union grows as
-                # nlist*(1-(1-nprobe/nlist)^Q), not Q*nprobe; route to IVF
-                # while the expected union is <= 0.6 of the lists. Measured
-                # at 2M x 1024 / nprobe=128 / nlist=2828 with the int8
-                # postings mirror: 2.6x exact at Q=1 (union 4.5%), 1.7x at
-                # Q=8 (31%), 1.46x at Q=16 (52%), 1.03x at Q=32 (77%),
-                # 0.8x at Q=64 (~95%) — 0.6 splits the measured win at
-                # Q=16 from the break-even at Q=32
-                # (bench/results/ivf2m_r3b.*, ivf2m_midq in the log).
-                from .ops.ivf import ef_to_nprobe
-
-                npb = self._ivf_nprobe or ef_to_nprobe(ef, self._ivf.nlist)
-                num_q = vecs.shape[0] if getattr(vecs, "ndim", 1) == 2 else 1
-                p_union = 1.0 - (1.0 - npb / self._ivf.nlist) ** num_q
-                use_ann = p_union <= 0.6
+            num_q = vecs.shape[0] if getattr(vecs, "ndim", 1) == 2 else 1
+            use_ann = self._ann_routes_batch(num_q, ef)
         if use_ann:
             vals, idxs = self._ivf.search(
                 vecs, k_eff, ef, self._dev, nprobe=self._ivf_nprobe
             )
-            self._last_topk_strategy = (
-                "ivf_i8" if getattr(self._ivf, "vectors_i8c", None)
-                is not None else "ivf"
-            )
+            self._last_topk_strategy = self._ivf_strategy_name()
             return vals, idxs
         vals, idxs = self._dev.query(vecs, k_eff, filter_mask,
                                      mask_key=mask_key)
