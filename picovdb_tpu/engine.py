@@ -1406,7 +1406,17 @@ class PicoVectorDB:
                     )
                     chunk_ivf.append(True)
                     chunk_retry.append(False)
-                    pending.append((vd, xd, nq, k_eff))
+                    if pack:
+                        # device-side slice to k columns first: the probe
+                        # kernels select k+guard, and _unpack_fetch's
+                        # column split assumes exactly (Q, 2k)
+                        pending.append((
+                            self._dev.pack_results(
+                                vd[:, :k_eff], xd[:, :k_eff]
+                            ), nq, k_eff,
+                        ))
+                    else:
+                        pending.append((vd, xd, nq, k_eff))
                     continue
                 chunk_ivf.append(False)
                 vd, xd, nq, ke = self._dev.query_async(
@@ -1562,7 +1572,16 @@ class PicoVectorDB:
                         )
                         chunk_ivf.append(True)
                         chunk_retry.append(False)
-                        pending.append((vd, xd, nq, k_eff))
+                        if pack:
+                            # see query_batched: slice off the probe guard
+                            # so the packed buffer is exactly (Q, 2k)
+                            pending.append((
+                                self._dev.pack_results(
+                                    vd[:, :k_eff], xd[:, :k_eff]
+                                ), nq, k_eff,
+                            ))
+                        else:
+                            pending.append((vd, xd, nq, k_eff))
                         continue
                     chunk_ivf.append(False)
                     vd, xd, nq, ke = self._dev.query_async(
