@@ -1400,6 +1400,10 @@ class PicoVectorDB:
                 # default 2048-row chunks that routes to exact, so this
                 # fires for small batches and forced-IVF stores.
                 if ann_ok and self._ann_routes_batch(chunk.shape[0], ef):
+                    # raw chunks are fine: the IVF tiers normalize fused
+                    # on device (_make_ivf_search / ShardedIVF's kernel
+                    # wrapper), same as the exact path — score parity
+                    # with query() pinned in tests/test_ivf_serving_lanes
                     vd, xd, nq = self._ivf.search_async(
                         chunk, k_eff, ef, self._dev,
                         nprobe=self._ivf_nprobe,
@@ -1566,6 +1570,8 @@ class PicoVectorDB:
                     chunks.append(chunk)
                     # per-chunk ANN routing, see query_batched
                     if ann_ok and self._ann_routes_batch(chunk.shape[0], ef):
+                        # raw chunks are fine (tier normalizes on device,
+                        # see query_batched)
                         vd, xd, nq = self._ivf.search_async(
                             chunk, k_eff, ef, self._dev,
                             nprobe=self._ivf_nprobe,

@@ -104,6 +104,11 @@ STORAGE_CASES = [
     # the model's hit-set checks by design (tests/test_int4_storage.py
     # covers that path's contract directly)
     ("int4", 1.2e-2, {}),
+    # forced IVF tier at full probe width (nprobe == nlist probes every
+    # cluster, so results are exact-equivalent and oracle-comparable):
+    # fuzzes the ANN tier's lazy rebuild / incremental maintenance /
+    # serving-lane routing under arbitrary mutation sequences
+    (None, 1e-4, {"index": "ivf", "ivf_nlist": 8, "ivf_nprobe": 8}),
 ]
 
 

@@ -116,3 +116,27 @@ def test_mesh_store_batched_lane_probes(db_path, rng):
     assert db._last_topk_strategy.startswith("ivf")
     for i in range(6):
         assert ids_col[i][0] == str(i)
+
+
+def test_lane_normalizes_queries_for_the_tier(ivf_db, rng):
+    """The IVF tiers expect pre-normalized queries (query() normalizes
+    before _dispatch_query; the exact lanes normalize fused on device).
+    A scaled query through the batch lanes must return the SAME scores as
+    the single-dispatch path — ranking is scale-invariant but scores and
+    better_than floors are not."""
+    db, vectors = ivf_db
+    q = 5.0 * (vectors[:3] + 0.01 * rng.normal(size=(3, 32)).astype(
+        np.float32))
+    res_lane = db.query_batched(q, top_k=5, ef_search=1000)
+    assert db._last_topk_strategy.startswith("ivf")
+    for i in range(3):
+        ref = db.query(q[i], top_k=5, ef_search=1000)
+        assert [h[K_ID] for h in res_lane[i]] == [h[K_ID] for h in ref]
+        for a, b in zip(res_lane[i], ref):
+            assert abs(a["_metrics_"] - b["_metrics_"]) < 1e-5
+    # better_than floors apply to normalized scores
+    floor = res_lane[0][2]["_metrics_"]
+    res_bt = db.query_batched(q[:1], top_k=5, better_than=floor - 1e-6,
+                              ef_search=1000)
+    assert all(h["_metrics_"] >= floor - 1e-6 for h in res_bt[0])
+    assert len(res_bt[0]) >= 3
