@@ -94,6 +94,51 @@ def _ivf_i8_enabled(dim: int) -> bool:
     return True
 
 
+def _ivf_guard(is_i8: bool, dim: int) -> int:
+    """Selection guard width beyond k (PICOVDB_IVF_GUARD overrides).
+
+    The probe selects k+guard candidates, then exact-rescores; winners
+    the low-precision selection drops below the band are unrecoverable.
+    bf16/f32 postings: +4 (selection is near-exact). int8-family
+    selection (postings mirror / int8-only layout): **+22 at
+    dim >= IVF_I8_MIN_DIM** — measured at the 4M x 1024 int8-only
+    capacity ceiling, the +6 band sheds 2.3% of true top-10 to int8
+    selection noise (recall 0.9766, flat across nprobe) while +22
+    recovers recall@10 = 1.0000 AND runs faster end-to-end (Q=1 5.31x
+    vs 4.25x exact; Q=8 5.82x) because the probe width can drop 64 -> 4
+    once selection stops losing winners (bench/results/ivf4m_r3b.* vs
+    ivf4m_guard22_r3.*). Below IVF_I8_MIN_DIM (forced-int8 contexts)
+    the +6 band keeps the ladder kernel's unrolled path."""
+    env = os.getenv("PICOVDB_IVF_GUARD")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    if not is_i8:
+        return 4
+    return 22 if dim >= IVF_I8_MIN_DIM else 6
+
+
+def _ivf_i8_mirror(dim: int) -> bool:
+    """Optional classic-layout int8 postings mirror — OPT-IN (PICOVDB_IVF_I8=1).
+
+    Measured on an honestly-clustered 2M x 1024 corpus (the post-fix
+    mixture, bench/results/ivf2m_r3c.*): int8 selection noise inside the
+    k+6 guard costs 1.4% recall@10 (0.9859 vs bf16 postings' 1.0000,
+    flat across nprobe — it is selection noise, not probe width) while
+    winning only ~8% latency at matched operating points (1.51 vs
+    1.64 ms Q=1) and spending cap_ivf*dim extra HBM bytes. The original
+    default-on call was calibrated on the pre-fix noise-swamped mixture,
+    where the batched-union recall artifact hid the tax. int8 STORAGE
+    and the int8-only capacity layout still use int8 postings out of
+    necessity (capability-gated by `_ivf_i8_enabled`)."""
+    env = os.getenv("PICOVDB_IVF_I8", "auto")
+    if env in ("auto", "", "0", "false", "False"):
+        return False
+    return _ivf_i8_enabled(dim)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows_ivf(arr, idx, vals):
     return arr.at[idx].set(vals.astype(arr.dtype))
@@ -216,7 +261,7 @@ class IVFIndex:
         # corpus mirror by slot id instead (see `search_async`).
         self.vectors_i8c = None
         self.cscale = None
-        if vectors is not None and _ivf_i8_enabled(dim):
+        if vectors is not None and _ivf_i8_mirror(dim):
             self.refresh_i8_mirror()
 
     def refresh_i8_mirror(self) -> None:
@@ -732,6 +777,9 @@ class IVFIndex:
             per_seg,
             self.vectors_i8c is not None,
             slot_rescore,
+            k + _ivf_guard(
+                self.vectors_i8c is not None or slot_rescore, self.dim
+            ),
         )
         vals, slot_ids = fn(
             q_dev,
@@ -1243,16 +1291,17 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
                      style: str = "ladder",
                      per_seg: int = 4,
                      use_i8: bool = False,
-                     slot_rescore: bool = False):
+                     slot_rescore: bool = False,
+                     k_sel: Optional[int] = None):
     """Jitted single-device probed search (see `probe_scan_local` /
-    `probe_scan_segmax`)."""
-    # guard band, see pallas_scan.make_fused_topk; the int8 postings path
-    # widens it — integer-selection noise is larger than bf16's and the
-    # extra rescored ranks are cheap next to the hot-tile sweep. +6 (not
-    # +8): at the default k=10 that keeps k_sel at the ladder kernel's
-    # unroll boundary (16) — k_sel=18 forced the serial fori path and
-    # cost ~0.4 ms at Q=1 on 2M x 1024 (2.97 vs 2.58 ms)
-    k_sel = k + (6 if use_i8 else 4)
+    `probe_scan_segmax`).
+
+    `k_sel` (selection band incl. the guard, see `_ivf_guard`) is an
+    explicit cache-key argument: the caller resolves the guard env/dim
+    policy BEFORE this lru-cached factory so env changes stay effective
+    (the r3 tie-margin lesson)."""
+    if k_sel is None:
+        k_sel = k + (6 if use_i8 else 4)
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )

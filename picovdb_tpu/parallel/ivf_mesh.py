@@ -52,7 +52,9 @@ from ..utils import next_pow2, round_up
 from ..ops.ivf import (
     IVF_BN,
     _assign,
+    _ivf_guard,
     _ivf_i8_enabled,
+    _ivf_i8_mirror,
     _kmeans,
     default_nlist,
     ef_to_nprobe,
@@ -121,7 +123,7 @@ class ShardedIVF:
         # `build` and passed in here.
         self.vectors_i8c = vectors_i8c
         self.cscale = cscale
-        if vectors is not None and _ivf_i8_enabled(dim):
+        if vectors is not None and _ivf_i8_mirror(dim):
             self.vectors_i8c, self.cscale = _quantize_shards_i8(
                 self.vectors, mesh, shard_axis
             )
@@ -474,6 +476,7 @@ class ShardedIVF:
                 id(self.mesh), self.mesh, self.shard_axis, k, nprobe,
                 self.nlist, None, interpret, g_tiles, True,
                 i8_only=True, corpus_scaled=corpus_scaled,
+                k_sel=k + _ivf_guard(True, self.dim),
             )
             args = (
                 q_dev, self.centroids, self.slots, self.seg_starts,
@@ -489,6 +492,7 @@ class ShardedIVF:
             None if self.vectors.dtype == jnp.float32
             else str(self.vectors.dtype),
             interpret, g_tiles, use_i8,
+            k_sel=k + _ivf_guard(use_i8, self.dim),
         )
         if use_i8:
             vals, slot_ids = fn(
@@ -509,15 +513,16 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
                              compute_dtype_name: Optional[str],
                              interpret: bool, g_tiles: int,
                              use_i8: bool = False, i8_only: bool = False,
-                             corpus_scaled: bool = False):
+                             corpus_scaled: bool = False,
+                             k_sel: Optional[int] = None):
     key = (mesh_key, mesh.shape_tuple, shard_axis, k, nprobe, nlist,
            compute_dtype_name, interpret, g_tiles, use_i8, i8_only,
-           corpus_scaled)
+           corpus_scaled, k_sel)
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_sharded_ivf_search(
             mesh, shard_axis, k, nprobe, nlist, compute_dtype_name,
-            interpret, g_tiles, use_i8, i8_only, corpus_scaled,
+            interpret, g_tiles, use_i8, i8_only, corpus_scaled, k_sel,
         )
         _CACHE[key] = fn
     return fn
@@ -526,11 +531,11 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
 def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
                               compute_dtype_name, interpret, g_tiles,
                               use_i8=False, i8_only=False,
-                              corpus_scaled=False):
-    # guard band, see ops/pallas_scan.make_fused_topk; widened for int8
-    # postings (integer-selection noise > bf16's; +6 keeps k_sel at the
-    # ladder's unroll boundary for the default k=10 — see ops/ivf.py)
-    k_sel = k + (6 if (use_i8 or i8_only) else 4)
+                              corpus_scaled=False, k_sel=None):
+    # selection band incl. the guard — resolved by the CALLER via
+    # _ivf_guard (env/dim policy before the cache; see ops/ivf.py)
+    if k_sel is None:
+        k_sel = k + (6 if (use_i8 or i8_only) else 4)
     compute_dtype = (
         jnp.dtype(compute_dtype_name) if compute_dtype_name else None
     )
