@@ -520,3 +520,37 @@ def test_engine_i8only_policy_forced(db_path, rng, monkeypatch):
     db.delete(["x33"])
     res2 = db.query(vecs[33], top_k=1, ef_search=64)
     assert res2[0][K_ID] != "x33"
+
+
+def test_ivf_int8_wide_guard_at_high_dim(rng, monkeypatch):
+    """dim >= IVF_I8_MIN_DIM defaults the int8 selection band to k+22
+    (engine-measured at the 4M ceiling: the k+6 band sheds ~2% of true
+    top-10 to selection noise while k+22 recovers recall AND speed —
+    bench/results/ivf4m_guard22_r3.*). This drives the k_sel=32 kernel
+    shapes in interpret mode and asserts full-probe parity with the
+    exact oracle."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # keep the mirror on
+    from picovdb_tpu.ops.ivf import _ivf_guard
+
+    assert _ivf_guard(True, 256) == 22
+    assert _ivf_guard(True, 64) == 6
+    assert _ivf_guard(False, 1024) == 4
+    monkeypatch.setenv("PICOVDB_IVF_GUARD", "9")
+    assert _ivf_guard(True, 1024) == 9
+    monkeypatch.delenv("PICOVDB_IVF_GUARD")
+
+    n, dim, k = 2048, 256, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    queries = normalize_batch(
+        vectors[:8] + 0.01 * rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    ivf = IVFIndex.build(vectors, mask, nlist=16, dim=dim)
+    assert ivf.vectors_i8c is not None
+    vals, slots = ivf.search(queries, k, ef=1000, dev=None)  # full probe
+    scores = queries @ vectors.T
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    recall = np.mean([
+        len(set(slots[i]) & set(oidx[i].tolist())) / k for i in range(8)
+    ])
+    assert recall >= 0.99, recall
