@@ -2332,7 +2332,14 @@ class PicoVectorDB:
                         return
                 if n_active and (
                     self._index_kind == "ivf"
-                    or (self._index_kind == "auto" and should_build(n_active))
+                    or (
+                        self._index_kind == "auto"
+                        and should_build(
+                            n_active, self.dim, _storage_itemsize(
+                                self._dev.storage_dtype
+                            )
+                        )
+                    )
                 ):
                     warm = (
                         self._ivf._host_blob["centroids"]
@@ -2412,7 +2419,14 @@ class PicoVectorDB:
                 return
             if n_active and (
                 self._index_kind == "ivf"
-                or (self._index_kind == "auto" and should_build(n_active))
+                or (
+                    self._index_kind == "auto"
+                    and should_build(
+                        n_active, self.dim, _storage_itemsize(
+                            self._dev.storage_dtype
+                        )
+                    )
+                )
             ):
                 warm = (
                     self._ivf._host_blob["centroids"]
@@ -2472,6 +2486,13 @@ class PicoVectorDB:
 _RETRY_PREFIXES = (
     "segmax", "mixed_fused_smallq", "i8_fused_smallq", "i8c_fused_smallq"
 )
+
+
+def _storage_itemsize(storage_dtype: Optional[str]) -> float:
+    """Bytes per corpus element as scanned by the exact sweep."""
+    return {"bfloat16": 2.0, "int8": 1.0, "int4": 0.5}.get(
+        storage_dtype or "float32", 4.0
+    )
 
 
 def _ivf_budget_bytes() -> float:

@@ -203,9 +203,20 @@ def ef_to_nprobe(ef: int, nlist: int) -> int:
     return int(max(1, min(nlist, round(ef / 2))))
 
 
-def should_build(n_active: int) -> bool:
-    """auto-index policy: IVF pays off once the corpus outgrows the point
-    where an exact full sweep stays sub-millisecond (~2M rows at 1024-d)."""
+def should_build(n_active: int, dim: Optional[int] = None,
+                 itemsize: float = 4.0) -> bool:
+    """auto-index policy: build the tier once the exact sweep is
+    HBM-bytes-bound enough that the probe's fixed overhead pays off.
+
+    The exact sweep costs ~corpus_bytes / HBM_BW; the probe's fixed
+    preamble is ~1-2 ms. Measured crossover on clustered 1024-d data
+    (corrected methodology, bench/results/ivf*m_r3c.* + the 1M run in
+    the r3 fifth-session log): at 2 GiB (1M x 1024 f32 / 2M bf16) IVF
+    wins 1.4x at Q=1 and 3.4x at Q=8; at 0.4 GiB (100k f32, 0.65 ms
+    sweep) the preamble loses. Threshold: >= 2 GiB of scanned bytes.
+    Row-count fallback (old rule) when the caller can't say."""
+    if dim:
+        return n_active * dim * itemsize >= 2 * 2**30
     return n_active >= 2_000_000
 
 

@@ -554,3 +554,19 @@ def test_ivf_int8_wide_guard_at_high_dim(rng, monkeypatch):
         len(set(slots[i]) & set(oidx[i].tolist())) / k for i in range(8)
     ])
     assert recall >= 0.99, recall
+
+
+def test_should_build_is_bytes_aware():
+    """auto-tier policy: build once the exact sweep is ~2 GiB of scanned
+    bytes (measured crossover on 1024-d clustered data; the probe's fixed
+    preamble loses below it), so dim and storage width matter — 1M x 1024
+    f32 builds, 1M x 64 does not; the row-count fallback keeps the old
+    rule when the caller can't say."""
+    from picovdb_tpu.ops.ivf import should_build
+
+    assert should_build(1_000_000, 1024, 4.0)        # 4 GiB f32
+    assert not should_build(100_000, 1024, 4.0)      # 0.4 GiB
+    assert not should_build(1_000_000, 64, 4.0)      # 0.25 GiB
+    assert should_build(2_000_000, 1024, 2.0)        # 4 GiB bf16
+    assert not should_build(500_000, 1024, 1.0)      # 0.5 GiB int8
+    assert should_build(2_000_000) and not should_build(1_999_999)
