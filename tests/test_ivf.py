@@ -398,7 +398,7 @@ def test_ivf_int8_postings_parity(rng, monkeypatch):
     )
 
     ivf = IVFIndex.build(vectors, mask, nlist=32, dim=dim)
-    assert ivf.vectors_i8c is not None  # default-on mirror
+    assert ivf.vectors_i8c is not None  # mirror forced on via env
     v_i8, s_i8 = ivf.search(queries, k, ef=64, dev=None)
 
     ivf.vectors_i8c = None  # opt out -> storage-dtype sweep
