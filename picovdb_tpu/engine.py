@@ -2077,12 +2077,15 @@ class PicoVectorDB:
         pico_vdb.py:667-668): the probe scan wins while the batch's
         probed-cluster UNION stays well under the corpus. Draws overlap,
         so the union grows as nlist*(1-(1-nprobe/nlist)^Q), not Q*nprobe;
-        route to IVF while the expected union is <= 0.6 of the lists.
-        Measured at 2M x 1024 / nprobe=128 / nlist=2828 with the int8
-        postings mirror: 2.6x exact at Q=1 (union 4.5%), 1.7x at Q=8
-        (31%), 1.46x at Q=16 (52%), 1.03x at Q=32 (77%), 0.8x at Q=64
-        (~95%) — 0.6 splits the measured win at Q=16 from the break-even
-        at Q=32 (bench/results/ivf2m_r3b.*, ivf2m_midq in the log)."""
+        route to IVF while the expected union is <= 0.22 of the lists.
+        Calibrated on honestly-clustered 2M x 1024 bf16 (corrected
+        methodology, fifth session): the union metric generalizes across
+        nprobe — wins at union 0.086 (np=4, Q=64: 1.7-2.8x) and 0.17
+        (np=16, Q=32: 1.44x); loses by 0.30 from either direction
+        (np=16, Q=64: 0.84x; np=4, Q=256: 0.51x). 0.22 splits the
+        measured win at 0.17 from the loss at 0.30, leaning exact (which
+        is always recall-1.0). The earlier 0.6 bound was calibrated on
+        the pre-fix noise-swamped mixture."""
         if self._index_kind != "auto":
             return True
         from .ops.ivf import ef_to_nprobe
@@ -2090,7 +2093,7 @@ class PicoVectorDB:
         e = int(ef) if ef is not None else self._ef_search
         npb = self._ivf_nprobe or ef_to_nprobe(e, self._ivf.nlist)
         p_union = 1.0 - (1.0 - npb / self._ivf.nlist) ** num_q
-        return p_union <= 0.6
+        return p_union <= 0.22
 
     def _dispatch_query(self, vecs, k_eff, filter_mask, ef_search,
                         hnsw_ef_search, mask_key=None):
