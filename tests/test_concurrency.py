@@ -467,3 +467,73 @@ def test_mesh_int4_queries_stable_under_concurrent_writes(db_path, rng):
     assert not errors, errors
     res = db.query(vecs[4], top_k=3)
     assert res and db._dev.last_strategy.startswith("sharded_scan_i4stor")
+
+
+def test_ivf_batched_lane_under_concurrent_writes(db_path, rng):
+    """query_batched with an index='ivf' store under concurrent mutation:
+    the lane dispatches through the tier's search_async while writers
+    force full ANN rebuilds on every mutation (the mesh-style rebuild
+    policy also races the single-device tier's incremental update). The
+    lane captures docs_ref and device handles inside the read lock, so
+    every hit returned mid-churn must be internally consistent (a real
+    id whose finite score came from SOME consistent snapshot)."""
+    import jax.experimental.pallas.tpu as pltpu
+
+    dim = 24
+    with pltpu.force_tpu_interpret_mode():
+        db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                          index="ivf", ivf_nlist=8)
+        items, vecs = make_items(rng, 300, dim)
+        db.upsert(items)
+        db.query(vecs[0], top_k=1)  # build the tier
+
+        stop = threading.Event()
+        errors = []
+
+        def writer():
+            i = 0
+            while not stop.is_set():
+                try:
+                    if i % 3 == 0:
+                        db.upsert(
+                            [{K_ID: f"id{i % 300}",
+                              K_VECTOR: rng.normal(size=dim).astype(
+                                  np.float32)}]
+                        )
+                    else:
+                        db.delete([f"id{i % 300}"])
+                    i += 1
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+                    return
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    res = db.query_batched(
+                        np.stack([vecs[3], vecs[7]]), top_k=5,
+                        ef_search=1000,
+                    )
+                    for row in res:
+                        for r in row:
+                            assert isinstance(r[K_ID], str)
+                            assert np.isfinite(r["_metrics_"])
+                except Exception as e:  # pragma: no cover
+                    errors.append(e)
+                    return
+
+        tw = threading.Thread(target=writer)
+        readers = [threading.Thread(target=reader) for _ in range(2)]
+        tw.start()
+        for t in readers:
+            t.start()
+        time.sleep(1.5)
+        stop.set()
+        tw.join(timeout=20)
+        for t in readers:
+            t.join(timeout=20)
+        assert not errors, errors
+        res = db.query_batched(np.stack([vecs[4]]), top_k=3,
+                               ef_search=1000)
+        assert res and res[0]
+        assert db._last_topk_strategy.startswith("ivf")
