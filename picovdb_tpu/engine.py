@@ -1435,7 +1435,7 @@ class PicoVectorDB:
                     pending.append((vd, xd, nq, ke))
             self._last_topk_strategy = (
                 self._ivf_strategy_name()
-                if chunk_ivf[-1]
+                if chunk_ivf and chunk_ivf[-1]
                 else self._dev.last_strategy
             )
             # Captured INSIDE the lock: the underfill retry below runs after

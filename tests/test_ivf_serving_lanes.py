@@ -140,3 +140,13 @@ def test_lane_normalizes_queries_for_the_tier(ivf_db, rng):
                               ef_search=1000)
     assert all(h["_metrics_"] >= floor - 1e-6 for h in res_bt[0])
     assert len(res_bt[0]) >= 3
+
+
+def test_empty_batch_through_the_lanes(ivf_db):
+    """A (0, dim) batch returns empty results on both lanes (regression:
+    the per-chunk IVF bookkeeping indexed chunk_ivf[-1] on no chunks)."""
+    db, _ = ivf_db
+    q = np.empty((0, 32), dtype=np.float32)
+    assert db.query_batched(q, top_k=5) == []
+    ids_col, scores = db.query_columnar(q, top_k=5)
+    assert ids_col.shape == (0, 5) and scores.shape == (0, 5)
