@@ -1774,6 +1774,36 @@ class PicoVectorDB:
                 "index_kind": self._index_kind,
                 "ann_active": self._ivf is not None,
                 "ann_rebuild_mode": self._last_ann_rebuild_mode,
+                # ANN operating point for operators: what the tier would
+                # serve with right now (None when no tier is built)
+                "ann_operating_point": (
+                    None
+                    if self._ivf is None
+                    else {
+                        "nlist": int(self._ivf.nlist),
+                        "nprobe_default": int(
+                            self._ivf_nprobe
+                            or _ef_to_nprobe_stats(
+                                self._ef_search, self._ivf.nlist
+                            )
+                        ),
+                        "layout": (
+                            "int8_only"
+                            if getattr(self._ivf, "vectors", None) is None
+                            else "classic"
+                        ),
+                        "postings": (
+                            "int8"
+                            if getattr(self._ivf, "vectors_i8c", None)
+                            is not None
+                            else str(
+                                getattr(
+                                    self._ivf.vectors, "dtype", "float32"
+                                )
+                            )
+                        ),
+                    }
+                ),
                 "rescore": self._last_rescore,
             }
 
@@ -2489,6 +2519,12 @@ class PicoVectorDB:
 _RETRY_PREFIXES = (
     "segmax", "mixed_fused_smallq", "i8_fused_smallq", "i8c_fused_smallq"
 )
+
+
+def _ef_to_nprobe_stats(ef: int, nlist: int) -> int:
+    from .ops.ivf import ef_to_nprobe
+
+    return ef_to_nprobe(ef, nlist)
 
 
 def _storage_itemsize(storage_dtype: Optional[str]) -> float:

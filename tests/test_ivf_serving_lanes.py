@@ -150,3 +150,22 @@ def test_empty_batch_through_the_lanes(ivf_db):
     assert db.query_batched(q, top_k=5) == []
     ids_col, scores = db.query_columnar(q, top_k=5)
     assert ids_col.shape == (0, 5) and scores.shape == (0, 5)
+
+
+def test_debug_reports_ann_operating_point(ivf_db):
+    """last_query_debug exposes the live ANN operating point (nlist,
+    default nprobe, layout, postings dtype) so operators can see what
+    the tier would serve with."""
+    db, vectors = ivf_db
+    db.rebuild_index()
+    op = db.last_query_debug()["ann_operating_point"]
+    assert op is not None
+    assert op["nlist"] == 16
+    assert op["layout"] == "classic"
+    assert 1 <= op["nprobe_default"] <= 16
+    assert op["postings"] in ("float32", "int8")
+
+    db2 = PicoVectorDB(
+        embedding_dim=32, storage_file=db._path + "_exact", index="exact"
+    )
+    assert db2.last_query_debug()["ann_operating_point"] is None
