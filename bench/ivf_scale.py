@@ -429,6 +429,7 @@ def main() -> int:
             return best / M
 
         rows = []
+        batched_recalls = {}
         for q in qs:
             qdevs = [
                 jax.device_put(queries[i * q: (i + 1) * q])
@@ -437,10 +438,25 @@ def main() -> int:
             run_ivf(qdevs); run_exact(qdevs)  # warm compiles
             t_ivf = best_of(run_ivf, qdevs)
             t_ex = best_of(run_exact, qdevs)
+            # Recall AT THIS BATCH SHAPE: each Q routes through its own
+            # kernel style (Q=1 ladder, Q>1 may use segmax), so the Q=1
+            # sweep alone can hide a batched-path truncation (the
+            # fifth-session segmax/k_sel depth bug). Batched recall is
+            # also >= the Q=1 number via the hot-union effect.
+            bi, bii, nq_b = ivf.search_async(queries[:q], k, 0, dev,
+                                             nprobe=nprobe)
+            bii = np.asarray(bii)[:q, :k]
+            m_b = min(q, ei.shape[0])
+            r_b = np.mean([
+                len(set(bii[i].tolist()) & set(ei[i].tolist())) / k
+                for i in range(m_b)
+            ])
+            batched_recalls[q] = round(float(r_b), 4)
             rows.append((q, t_ivf, t_ex))
             print(f"# Q={q:5d}: ivf {t_ivf*1000:8.2f} ms ({q/t_ivf:9.0f} QPS)"
                   f" | exact {t_ex*1000:8.2f} ms ({q/t_ex:9.0f} QPS)"
-                  f" | speedup {t_ex/t_ivf:5.2f}x", file=sys.stderr)
+                  f" | speedup {t_ex/t_ivf:5.2f}x"
+                  f" | recall@{k}(batch,{m_b}q) {r_b:.4f}", file=sys.stderr)
 
         best = max(rows, key=lambda r: r[2] / r[1])
         print(json.dumps({
@@ -456,6 +472,7 @@ def main() -> int:
             "qps_exact": round(best[0] / best[2], 0),
             "ivf_ms_q1": round(rows[0][1] * 1000, 3) if qs[0] == 1 else None,
             "exact_ms_q1": round(rows[0][2] * 1000, 3) if qs[0] == 1 else None,
+            "batched_recalls": batched_recalls,
         }))
     return 0
 

@@ -1383,13 +1383,7 @@ class PicoVectorDB:
             chunk_ivf = []    # per chunk: served by the ANN tier
             pack = _pack_fetch_enabled()
             ann_ok = filter_mask is None and self._ann_admits_k(k_eff)
-            ef = (
-                int(hnsw_ef_search)
-                if hnsw_ef_search is not None
-                else int(ef_search)
-                if ef_search is not None
-                else self._ef_search
-            )
+            ef = self._resolve_ef(ef_search, hnsw_ef_search)
             for start in range(0, num_q, batch_size):
                 chunk = vecs[start : start + batch_size]
                 chunks.append(chunk)
@@ -1400,27 +1394,11 @@ class PicoVectorDB:
                 # default 2048-row chunks that routes to exact, so this
                 # fires for small batches and forced-IVF stores.
                 if ann_ok and self._ann_routes_batch(chunk.shape[0], ef):
-                    # raw chunks are fine: the IVF tiers normalize fused
-                    # on device (_make_ivf_search / ShardedIVF's kernel
-                    # wrapper), same as the exact path — score parity
-                    # with query() pinned in tests/test_ivf_serving_lanes
-                    vd, xd, nq = self._ivf.search_async(
-                        chunk, k_eff, ef, self._dev,
-                        nprobe=self._ivf_nprobe,
-                    )
                     chunk_ivf.append(True)
                     chunk_retry.append(False)
-                    if pack:
-                        # device-side slice to k columns first: the probe
-                        # kernels select k+guard, and _unpack_fetch's
-                        # column split assumes exactly (Q, 2k)
-                        pending.append((
-                            self._dev.pack_results(
-                                vd[:, :k_eff], xd[:, :k_eff]
-                            ), nq, k_eff,
-                        ))
-                    else:
-                        pending.append((vd, xd, nq, k_eff))
+                    pending.append(
+                        self._ivf_chunk_dispatch(chunk, k_eff, ef, pack)
+                    )
                     continue
                 chunk_ivf.append(False)
                 vd, xd, nq, ke = self._dev.query_async(
@@ -1558,36 +1536,17 @@ class PicoVectorDB:
             else:
                 pack = _pack_fetch_enabled()
                 ann_ok = filter_mask is None and self._ann_admits_k(k_eff)
-                ef = (
-                    int(hnsw_ef_search)
-                    if hnsw_ef_search is not None
-                    else int(ef_search)
-                    if ef_search is not None
-                    else self._ef_search
-                )
+                ef = self._resolve_ef(ef_search, hnsw_ef_search)
                 for start in range(0, num_q, batch_size):
                     chunk = vecs[start : start + batch_size]
                     chunks.append(chunk)
                     # per-chunk ANN routing, see query_batched
                     if ann_ok and self._ann_routes_batch(chunk.shape[0], ef):
-                        # raw chunks are fine (tier normalizes on device,
-                        # see query_batched)
-                        vd, xd, nq = self._ivf.search_async(
-                            chunk, k_eff, ef, self._dev,
-                            nprobe=self._ivf_nprobe,
-                        )
                         chunk_ivf.append(True)
                         chunk_retry.append(False)
-                        if pack:
-                            # see query_batched: slice off the probe guard
-                            # so the packed buffer is exactly (Q, 2k)
-                            pending.append((
-                                self._dev.pack_results(
-                                    vd[:, :k_eff], xd[:, :k_eff]
-                                ), nq, k_eff,
-                            ))
-                        else:
-                            pending.append((vd, xd, nq, k_eff))
+                        pending.append(
+                            self._ivf_chunk_dispatch(chunk, k_eff, ef, pack)
+                        )
                         continue
                     chunk_ivf.append(False)
                     vd, xd, nq, ke = self._dev.query_async(
@@ -1783,7 +1742,7 @@ class PicoVectorDB:
                         "nlist": int(self._ivf.nlist),
                         "nprobe_default": int(
                             self._ivf_nprobe
-                            or _ef_to_nprobe_stats(
+                            or _ef_to_nprobe(
                                 self._ef_search, self._ivf.nlist
                             )
                         ),
@@ -2079,6 +2038,36 @@ class PicoVectorDB:
             np.take_along_axis(idxs, order, axis=1),
         )
 
+    def _resolve_ef(self, ef_search: Optional[int],
+                    hnsw_ef_search: Optional[int]) -> int:
+        """Per-call ef chain: hnsw_ef_search -> ef_search -> ctor default
+        (reference: picovdb/pico_vdb.py:719-729)."""
+        if hnsw_ef_search is not None:
+            return int(hnsw_ef_search)
+        if ef_search is not None:
+            return int(ef_search)
+        return self._ef_search
+
+    def _ivf_chunk_dispatch(self, chunk, k_eff: int, ef: int, pack: bool):
+        """Async IVF dispatch for one serving-lane chunk.
+
+        Returns the lane's pending entry: packed (buf, nq, k) when the
+        single-transfer fetch is on (the probe kernels select k+guard,
+        so results are sliced to k on device — _unpack_fetch's column
+        split assumes exactly (Q, 2k)), else the raw (vals, idxs, nq, k)
+        tuple. Raw chunks are fine: the IVF tiers normalize fused on
+        device, same as the exact path (score parity pinned in
+        tests/test_ivf_serving_lanes.py)."""
+        vd, xd, nq = self._ivf.search_async(
+            chunk, k_eff, ef, self._dev, nprobe=self._ivf_nprobe,
+        )
+        if pack:
+            return (
+                self._dev.pack_results(vd[:, :k_eff], xd[:, :k_eff]),
+                nq, k_eff,
+            )
+        return (vd, xd, nq, k_eff)
+
     def _ivf_strategy_name(self) -> str:
         return (
             "ivf_i8"
@@ -2118,10 +2107,8 @@ class PicoVectorDB:
         the pre-fix noise-swamped mixture."""
         if self._index_kind != "auto":
             return True
-        from .ops.ivf import ef_to_nprobe
-
         e = int(ef) if ef is not None else self._ef_search
-        npb = self._ivf_nprobe or ef_to_nprobe(e, self._ivf.nlist)
+        npb = self._ivf_nprobe or _ef_to_nprobe(e, self._ivf.nlist)
         p_union = 1.0 - (1.0 - npb / self._ivf.nlist) ** num_q
         return p_union <= 0.22
 
@@ -2130,11 +2117,7 @@ class PicoVectorDB:
         """Route to the ANN tier (unfiltered) or the exact fused scan."""
         use_ann = filter_mask is None and self._ann_admits_k(k_eff)
         if use_ann:
-            ef = (
-                int(hnsw_ef_search)
-                if hnsw_ef_search is not None
-                else int(ef_search) if ef_search is not None else self._ef_search
-            )
+            ef = self._resolve_ef(ef_search, hnsw_ef_search)
             num_q = vecs.shape[0] if getattr(vecs, "ndim", 1) == 2 else 1
             use_ann = self._ann_routes_batch(num_q, ef)
         if use_ann:
@@ -2286,7 +2269,7 @@ class PicoVectorDB:
         shards = 1
         if self._dev.mesh is not None:
             shards = int(self._dev.mesh.shape[self._dev.shard_axis])
-        item = 2 if self._dev.storage_dtype == "bfloat16" else 4
+        item = _storage_itemsize(self._dev.storage_dtype)
         n = max(int(self._active_indices.size), 1)
         corpus_b = self._dev.cap * self.dim * item // shards
         mirror_b = int(1.05 * n) * self.dim * (item + 1) // shards
@@ -2303,7 +2286,7 @@ class PicoVectorDB:
 
         if self._dev.mesh is not None:
             return True  # per-shard residency; the mesh tier self-sizes
-        item = {"bfloat16": 2, "int8": 1}.get(self._dev.storage_dtype, 4)
+        item = _storage_itemsize(self._dev.storage_dtype)
         corpus_b = max(self._dev.cap, n_active) * self.dim * item
         if self._ivf_i8_only():
             post_b = int(1.05 * n_active) * self.dim
@@ -2521,7 +2504,7 @@ _RETRY_PREFIXES = (
 )
 
 
-def _ef_to_nprobe_stats(ef: int, nlist: int) -> int:
+def _ef_to_nprobe(ef: int, nlist: int) -> int:
     from .ops.ivf import ef_to_nprobe
 
     return ef_to_nprobe(ef, nlist)

@@ -134,9 +134,11 @@ def _ivf_i8_mirror(dim: int) -> bool:
     and the int8-only capacity layout still use int8 postings out of
     necessity (capability-gated by `_ivf_i8_enabled`)."""
     env = os.getenv("PICOVDB_IVF_I8", "auto")
-    if env in ("auto", "", "0", "false", "False"):
-        return False
-    return _ivf_i8_enabled(dim)
+    # only explicit truthy values opt in — 'off'/'no'/typos must not
+    # silently enable the mirror (review finding, fifth session)
+    if env.lower() in ("1", "true", "on", "yes"):
+        return _ivf_i8_enabled(dim)
+    return False
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -756,11 +758,19 @@ class IVFIndex:
         slot_rescore = self.vectors is None  # int8-only layout
         postings = self.vectors_i8c if slot_rescore else self.vectors
         cap_rows = int(postings.shape[0])
+        # Resolve the guard-widened selection band FIRST: depth sizing
+        # and the style gate must feed the FULL band, or the per-segment
+        # extraction truncates exactly the extra guard ranks the int8
+        # k+22 policy exists to keep (review finding, fifth session:
+        # sizing from the old k+4 let segmax surface ~span*per_seg < 32
+        # candidates on int8 paths while the kernel selected k_sel=32).
+        use_i8_sel = (self.vectors_i8c is not None) or slot_rescore
+        k_sel = k + _ivf_guard(use_i8_sel, self.dim)
         span_segs = max(1e-6, (cap_rows / max(1, self.nlist)) / SEG)
-        need = math.ceil(1.5 * (k + 4) / span_segs)
+        need = math.ceil(1.5 * k_sel / span_segs)
         per_seg = max(4, min(8, need))
         style = os.getenv("PICOVDB_IVF_STYLE", "") or (
-            "segmax" if num_q > 1 and k + 4 <= 16 and need <= 8
+            "segmax" if num_q > 1 and k_sel <= 64 and need <= 8
             else "ladder"
         )
         if slot_rescore:
@@ -788,9 +798,7 @@ class IVFIndex:
             per_seg,
             self.vectors_i8c is not None,
             slot_rescore,
-            k + _ivf_guard(
-                self.vectors_i8c is not None or slot_rescore, self.dim
-            ),
+            k_sel,
         )
         vals, slot_ids = fn(
             q_dev,
