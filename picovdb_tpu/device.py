@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import os as _os
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -238,7 +239,14 @@ class DeviceIndex:
             None if env_stream in ("auto", "") else
             env_stream not in ("0", "false", "False")
         )
-        self.last_strategy: Optional[str] = None
+        # Per-dispatch strategy introspection. Thread-local: concurrent
+        # readers share the RWLock, and the engine decides the segmax
+        # underfill retry from the strategy of ITS OWN dispatch — a shared
+        # attribute could be overwritten by another thread's dispatch in
+        # the window between dispatch and read, silently skipping the
+        # retry. Threads that never dispatched read the last global value.
+        self._strategy_tls = threading.local()
+        self._strategy_global: Optional[str] = None
         # Introspection: how the last device synchronization was applied
         # ("scatter" | "full" | None) — analog of the reference's
         # `_last_faiss_rebuild_mode` ("incremental" | "full").
@@ -251,6 +259,15 @@ class DeviceIndex:
         # mirror mutation. Bounded FIFO.
         self._mask_cache: dict = {}
         self.MASK_CACHE_MAX = 32
+
+    @property
+    def last_strategy(self) -> Optional[str]:
+        return getattr(self._strategy_tls, "v", self._strategy_global)
+
+    @last_strategy.setter
+    def last_strategy(self, value: Optional[str]) -> None:
+        self._strategy_tls.v = value
+        self._strategy_global = value
 
     # -- placement -----------------------------------------------------------
 

@@ -556,6 +556,22 @@ class PicoVectorDB:
                 buf[j] = vec_raw
             norm = normalize_batch(buf)
 
+            # Resolve every item's id up front so a fixed-capacity store can
+            # be validated BEFORE any state mutates: the reference raises
+            # mid-loop (picovdb/pico_vdb.py:441-442), leaving earlier batch
+            # items partially applied; here the batch is all-or-nothing — a
+            # capacity ValueError leaves the store untouched (documented
+            # deviation; partial application would also desync the deferred
+            # active/tag/epoch bookkeeping done after this loop).
+            item_ids: list[str] = []
+            for j, item in enumerate(items):
+                iid = item.get(K_ID)
+                item_ids.append(iid if iid is not None else hash_vec(norm[j]))
+            if self._capacity is not None:
+                id2idx = self._id2idx
+                fresh = {i for i in item_ids if i not in id2idx}
+                if len(fresh) > len(self._free):
+                    raise ValueError("Database capacity exceeded")
             new_rows: list[int] = []  # rows of `norm` appended at the end
             new_ids: list[str] = []
             new_docs: list[dict] = []
@@ -566,9 +582,7 @@ class PicoVectorDB:
             for j, item in enumerate(items):
                 vec = norm[j]
                 meta = {k: v for k, v in item.items() if k != K_VECTOR}
-                item_id = (
-                    meta.get(K_ID) if meta.get(K_ID) is not None else hash_vec(vec)
-                )
+                item_id = item_ids[j]
                 meta[K_ID] = item_id
                 if item_id in self._id2idx:
                     idx = self._id2idx[item_id]
@@ -731,6 +745,12 @@ class PicoVectorDB:
                 return report
             # ---- general lane: same state machine as upsert --------------
             self._ensure_host_vectors()
+            # All-or-nothing capacity check before any mutation (see upsert)
+            if self._capacity is not None:
+                _m = self._id2idx
+                fresh = {i for i in ids if i not in _m}
+                if len(fresh) > len(self._free):
+                    raise ValueError("Database capacity exceeded")
             new_rows: list[int] = []
             new_ids: list[str] = []
             new_docs: list[dict] = []
@@ -1529,7 +1549,8 @@ class PicoVectorDB:
                     chunk = vecs[start : start + batch_size]
                     chunks.append(chunk)
                     v, x = self._rescored_dispatch(
-                        chunk, k_eff, n_cand, filter_mask, mask_key=mask_key
+                        chunk, k_eff, n_cand, filter_mask, ef_search,
+                        hnsw_ef_search, mask_key=mask_key
                     )
                     pending.append((v, x, chunk.shape[0], k_eff))
                     chunk_retry.append(False)
@@ -1687,12 +1708,14 @@ class PicoVectorDB:
         with self._rwlock.read_lock():
             docs: list[dict[str, Any]] = []
             if include_deleted:
-                for _id, doc in zip(self._ids, self._docs):
+                # slot index comes from the enumeration — looking ids up via
+                # _id2idx would materialize the lazily-built dict on
+                # bulk-ingested stores (engine.__init__: ~50 s at 25M rows)
+                for idx, (_id, doc) in enumerate(zip(self._ids, self._docs)):
                     if doc is not None:
                         rec = dict(doc)
                         rec[K_ID] = _id
                         if include_vector:
-                            idx = self._id2idx[_id]
                             rec[K_VECTOR] = self._host_row(idx)
                         docs.append(rec)
                     else:
@@ -2257,10 +2280,13 @@ class PicoVectorDB:
             # stacks on the storage quantization; _rebuild_ann skips the
             # build there and serves exact.)
             return True
-        env = _os.getenv("PICOVDB_IVF_I8ONLY", "auto")
-        if env in ("0", "false", "False"):
+        env = _os.getenv("PICOVDB_IVF_I8ONLY", "auto").strip().lower()
+        # explicit opt-out / opt-in only — 'off'/'no'/typos must not
+        # silently force the layout (same rule as PICOVDB_IVF_I8,
+        # ops/ivf.py::_ivf_i8_mirror)
+        if env in ("0", "false", "off", "no"):
             return False
-        if env not in ("auto", ""):
+        if env in ("1", "true", "on", "yes"):
             return _ivf_i8_enabled(self.dim)
         if not _ivf_i8_enabled(self.dim):
             return False
@@ -2545,8 +2571,10 @@ def _start_host_copies(pending) -> None:
         for arr in entry[:-2]:
             try:
                 arr.copy_to_host_async()
-            except Exception:  # pragma: no cover
-                return
+            except Exception:
+                # host-resident entry (e.g. the rescore lane's numpy
+                # results) — skip IT, not the remaining device chunks
+                break
 
 
 def _pack_fetch_enabled() -> bool:

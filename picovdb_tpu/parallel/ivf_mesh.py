@@ -61,7 +61,12 @@ from ..ops.ivf import (
     probe_scan_local,
 )
 
+# Bounded FIFO: keys include id(mesh) and cached closures pin their mesh
+# plus compiled executables — unbounded growth leaks dead meshes in
+# long-lived processes that recreate meshes or sweep k/nprobe (the exact
+# failure sharded_query.py's cache bound fixed after a fuzz-soak OOM).
 _CACHE: dict = {}
+_CACHE_MAX = 64
 
 
 def _quantize_shards_i8(vectors, mesh, shard_axis: str):
@@ -524,6 +529,8 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
             mesh, shard_axis, k, nprobe, nlist, compute_dtype_name,
             interpret, g_tiles, use_i8, i8_only, corpus_scaled, k_sel,
         )
+        while len(_CACHE) >= _CACHE_MAX:
+            _CACHE.pop(next(iter(_CACHE)), None)
         _CACHE[key] = fn
     return fn
 

@@ -114,7 +114,9 @@ def save_atomic(
             json.dump(ids, f, ensure_ascii=False)
 
         if n_shards is not None and n_shards > 1:
-            save_vectors_sharded(base, np.asarray(vectors), n_shards)
+            fresh_shards = save_vectors_sharded(
+                base, np.asarray(vectors), n_shards
+            )
         elif vectors_is_memmap:
             vectors.flush()
         else:
@@ -136,6 +138,16 @@ def save_atomic(
         if n_shards is not None and n_shards > 1:
             if os.path.exists(vfile):
                 os.remove(vfile)  # stale single-file matrix
+            # A previous save with a DIFFERENT shard count leaves its own
+            # shardNNNofMMM files behind; find_shards would lexicographically
+            # interleave both generations into a corrupt corpus on reload.
+            keep = set(fresh_shards)
+            for stale in find_shards(base):
+                if stale not in keep:
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
         elif not vectors_is_memmap:
             os.replace(tmp_vecs, vfile)
             for stale in find_shards(base):
@@ -194,10 +206,36 @@ def find_shards(base: str) -> list:
 
 
 def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
-    """Concatenate shard files into one (N, dim) matrix; None when absent."""
+    """Concatenate shard files into one (N, dim) matrix; None when absent.
+
+    The shard set must be one complete generation (indices 0..n-1, all the
+    same `ofNNN` count): stores written before stale-shard cleanup existed
+    (save_atomic) may hold two interleaved generations, which would
+    silently pair ids/docs with wrong vectors if concatenated.
+    """
     paths = find_shards(base)
     if not paths:
         return None
+    import re
+
+    seen = []
+    for p in paths:
+        m = re.search(r"\.vecs\.shard(\d+)of(\d+)\.npy$", p)
+        if m:
+            seen.append((int(m.group(1)), int(m.group(2))))
+    counts = {n for _, n in seen}
+    idxs = sorted(i for i, _ in seen)
+    if len(seen) != len(paths) or len(counts) != 1 or idxs != list(
+        range(next(iter(counts)))
+    ):
+        raise ValueError(
+            f"inconsistent shard set for {base!r}: {sorted(paths)} — "
+            "expected one complete shardNNNofMMM generation; delete the "
+            "stale generation's files and reload"
+        )
+    paths = [p for _, p in sorted(
+        zip((i for i, _ in seen), paths), key=lambda t: t[0]
+    )]
     parts = [np.load(p) for p in paths]
     for p, arr in zip(paths, parts):
         if arr.ndim != 2 or arr.shape[1] != dim:
