@@ -556,118 +556,18 @@ class PicoVectorDB:
                 buf[j] = vec_raw
             norm = normalize_batch(buf)
 
-            # Resolve every item's id up front so a fixed-capacity store can
-            # be validated BEFORE any state mutates: the reference raises
-            # mid-loop (picovdb/pico_vdb.py:441-442), leaving earlier batch
-            # items partially applied; here the batch is all-or-nothing — a
-            # capacity ValueError leaves the store untouched (documented
-            # deviation; partial application would also desync the deferred
-            # active/tag/epoch bookkeeping done after this loop).
+            # Resolve ids + metadata columns, then run the one shared
+            # insert/update state machine (`_upsert_rows`).
             item_ids: list[str] = []
+            metas: list[dict] = []
             for j, item in enumerate(items):
-                iid = item.get(K_ID)
-                item_ids.append(iid if iid is not None else hash_vec(norm[j]))
-            if self._capacity is not None:
-                id2idx = self._id2idx
-                fresh = {i for i in item_ids if i not in id2idx}
-                if len(fresh) > len(self._free):
-                    raise ValueError("Database capacity exceeded")
-            new_rows: list[int] = []  # rows of `norm` appended at the end
-            new_ids: list[str] = []
-            new_docs: list[dict] = []
-            new_active: list[int] = []
-            touched_idx: list[int] = []
-            touched_docs: list[dict] = []
-            pending_pos: dict[str, int] = {}  # id -> position in new_rows
-            for j, item in enumerate(items):
-                vec = norm[j]
                 meta = {k: v for k, v in item.items() if k != K_VECTOR}
-                item_id = item_ids[j]
-                meta[K_ID] = item_id
-                if item_id in self._id2idx:
-                    idx = self._id2idx[item_id]
-                    if idx >= len(self._ids):
-                        # duplicate id within this batch whose first
-                        # occurrence is a pending append: redirect that
-                        # pending row instead of writing out of bounds (the
-                        # reference would IndexError here,
-                        # picovdb/pico_vdb.py:429-431).
-                        pos = pending_pos[item_id]
-                        new_rows[pos] = j
-                        new_docs[pos] = meta
-                    else:
-                        self._host_vectors[idx] = vec
-                        self._docs[idx] = meta
-                        self._pending_add.add(idx)
-                        touched_idx.append(idx)
-                        touched_docs.append(meta)
-                    report["update"].append(item_id)
-                else:
-                    if self._free:
-                        idx = self._free.pop()
-                        self._host_vectors[idx] = vec
-                        self._ids[idx] = item_id
-                        self._docs[idx] = meta
-                        new_active.append(idx)
-                        self._pending_add.add(idx)
-                        touched_idx.append(idx)
-                        touched_docs.append(meta)
-                    else:
-                        if self._capacity is not None:
-                            raise ValueError("Database capacity exceeded")
-                        pending_pos[item_id] = len(new_rows)
-                        new_rows.append(j)
-                        new_ids.append(item_id)
-                        new_docs.append(meta)
-                        idx = len(self._ids) + len(new_ids) - 1
-                        new_active.append(idx)
-                    self._id2idx[item_id] = idx
-                    report["insert"].append(item_id)
-            # bulk append ------------------------------------------------------
-            if new_rows:
-                stacked = norm[new_rows] if len(new_rows) != len(items) else norm
-                if not self._ids:
-                    self._host_vectors = to_c_f32(stacked)
-                else:
-                    if self._use_memmap and isinstance(
-                        self._host_vectors, np.memmap
-                    ):
-                        logger.warning(
-                            "Appending to a memmapped file converts it to an "
-                            "in-memory numpy array, doubling memory usage. For "
-                            "large datasets, consider pre-allocating capacity "
-                            "or using a different growth strategy."
-                        )
-                    self._host_vectors = to_c_f32(
-                        np.vstack([self._host_vectors, stacked])
-                    )
-                start = len(self._ids)
-                self._ids.extend(new_ids)
-                self._docs.extend(new_docs)
-                self._active_mask = np.concatenate(
-                    [self._active_mask, np.zeros(len(new_ids), dtype=bool)]
-                )
-                self._tag_index.resize(len(self._ids))
-                for off, (i_doc) in enumerate(new_docs):
-                    touched_idx.append(start + off)
-                    touched_docs.append(i_doc)
-                for i in range(start, len(self._ids)):
-                    self._pending_add.add(i)
-            # active bookkeeping -------------------------------------------------
-            if new_active:
-                na = np.asarray(new_active, dtype=np.int64)
-                self._active_indices = (
-                    np.append(self._active_indices, na)
-                    if self._active_indices.size
-                    else na
-                )
-                self._active_mask[na] = True
-            if touched_idx:
-                self._tag_index.update_rows(touched_idx, touched_docs)
-            self._ids_np = None
-            self._filter_epoch += 1
-            self._dirty = True
-            return report
+                iid = meta.get(K_ID)
+                iid = iid if iid is not None else hash_vec(norm[j])
+                meta[K_ID] = iid
+                item_ids.append(iid)
+                metas.append(meta)
+            return self._upsert_rows(norm, item_ids, metas)
 
     def upsert_columnar(
         self,
@@ -743,104 +643,130 @@ class PicoVectorDB:
                 self._filter_epoch += 1
                 self._dirty = True
                 return report
-            # ---- general lane: same state machine as upsert --------------
+            # ---- general lane: the shared state machine ------------------
             self._ensure_host_vectors()
-            # All-or-nothing capacity check before any mutation (see upsert)
-            if self._capacity is not None:
-                _m = self._id2idx
-                fresh = {i for i in ids if i not in _m}
-                if len(fresh) > len(self._free):
-                    raise ValueError("Database capacity exceeded")
-            new_rows: list[int] = []
-            new_ids: list[str] = []
-            new_docs: list[dict] = []
-            new_active: list[int] = []
-            touched_idx: list[int] = []
-            touched_docs: list[dict] = []
-            pending_pos: dict[str, int] = {}
-            id2idx = self._id2idx
-            n_slots = len(self._ids)
-            for j in range(n):
-                item_id = ids[j]
-                if metadata is None:
-                    meta = {K_ID: item_id}
+            if metadata is None:
+                metas = [{K_ID: i} for i in ids]
+            else:
+                metas = [
+                    {**(m or {}), K_ID: i} for m, i in zip(metadata, ids)
+                ]
+            return self._upsert_rows(norm, list(ids), metas)
+
+    def _upsert_rows(
+        self, norm: np.ndarray, item_ids: list[str], metas: list[dict]
+    ) -> dict[str, list[str]]:
+        """The insert/update state machine shared by `upsert` and
+        `upsert_columnar` (caller holds the write lock, rows normalized).
+
+        Semantics (reference: picovdb/pico_vdb.py:403-498): update in
+        place for known ids, free-slot reuse, bulk append otherwise;
+        in-batch duplicate ids redirect the pending row (last wins — the
+        reference would IndexError, pico_vdb.py:429-431). Capacity is
+        validated BEFORE any mutation: the reference raises mid-loop
+        (pico_vdb.py:441-442) leaving earlier items partially applied;
+        here a capacity ValueError leaves the store untouched (documented
+        deviation — partial application would also desync the deferred
+        active/tag/epoch bookkeeping done after the loop).
+        """
+        report: dict[str, list[str]] = {"update": [], "insert": []}
+        n = len(item_ids)
+        id2idx = self._id2idx
+        if self._capacity is not None:
+            fresh = {i for i in item_ids if i not in id2idx}
+            if len(fresh) > len(self._free):
+                raise ValueError("Database capacity exceeded")
+        new_rows: list[int] = []  # rows of `norm` appended at the end
+        new_ids: list[str] = []
+        new_docs: list[dict] = []
+        new_active: list[int] = []
+        touched_idx: list[int] = []
+        touched_docs: list[dict] = []
+        pending_pos: dict[str, int] = {}  # id -> position in new_rows
+        n_slots = len(self._ids)
+        for j in range(n):
+            item_id = item_ids[j]
+            meta = metas[j]
+            idx = id2idx.get(item_id)
+            if idx is not None:
+                if idx >= n_slots:
+                    # duplicate id within this batch whose first occurrence
+                    # is a pending append: redirect that pending row
+                    # instead of writing out of bounds
+                    pos = pending_pos[item_id]
+                    new_rows[pos] = j
+                    new_docs[pos] = meta
                 else:
-                    meta = {**(metadata[j] or {}), K_ID: item_id}
-                idx = id2idx.get(item_id)
-                if idx is not None:
-                    if idx >= n_slots:
-                        pos = pending_pos[item_id]
-                        new_rows[pos] = j
-                        new_docs[pos] = meta
-                    else:
-                        self._host_vectors[idx] = norm[j]
-                        self._docs[idx] = meta
-                        self._pending_add.add(idx)
-                        touched_idx.append(idx)
-                        touched_docs.append(meta)
-                    report["update"].append(item_id)
+                    self._host_vectors[idx] = norm[j]
+                    self._docs[idx] = meta
+                    self._pending_add.add(idx)
+                    touched_idx.append(idx)
+                    touched_docs.append(meta)
+                report["update"].append(item_id)
+            else:
+                if self._free:
+                    idx = self._free.pop()
+                    self._host_vectors[idx] = norm[j]
+                    self._ids[idx] = item_id
+                    self._docs[idx] = meta
+                    new_active.append(idx)
+                    self._pending_add.add(idx)
+                    touched_idx.append(idx)
+                    touched_docs.append(meta)
                 else:
-                    if self._free:
-                        idx = self._free.pop()
-                        self._host_vectors[idx] = norm[j]
-                        self._ids[idx] = item_id
-                        self._docs[idx] = meta
-                        new_active.append(idx)
-                        self._pending_add.add(idx)
-                        touched_idx.append(idx)
-                        touched_docs.append(meta)
-                    else:
-                        if self._capacity is not None:
-                            raise ValueError("Database capacity exceeded")
-                        pending_pos[item_id] = len(new_rows)
-                        new_rows.append(j)
-                        new_ids.append(item_id)
-                        new_docs.append(meta)
-                        idx = n_slots + len(new_ids) - 1
-                        new_active.append(idx)
-                    id2idx[item_id] = idx
-                    report["insert"].append(item_id)
-            if new_rows:
-                stacked = norm[new_rows] if len(new_rows) != n else norm
-                if not n_slots:
-                    self._host_vectors = to_c_f32(stacked)
-                else:
-                    if self._use_memmap and isinstance(
-                        self._host_vectors, np.memmap
-                    ):
-                        logger.warning(
-                            "Appending to a memmapped file converts it to an "
-                            "in-memory numpy array, doubling memory usage. For "
-                            "large datasets, consider pre-allocating capacity "
-                            "or using a different growth strategy."
-                        )
-                    self._host_vectors = to_c_f32(
-                        np.vstack([self._host_vectors, stacked])
+                    if self._capacity is not None:  # unreachable: pre-check
+                        raise ValueError("Database capacity exceeded")
+                    pending_pos[item_id] = len(new_rows)
+                    new_rows.append(j)
+                    new_ids.append(item_id)
+                    new_docs.append(meta)
+                    idx = n_slots + len(new_ids) - 1
+                    new_active.append(idx)
+                id2idx[item_id] = idx
+                report["insert"].append(item_id)
+        # bulk append ------------------------------------------------------
+        if new_rows:
+            stacked = norm[new_rows] if len(new_rows) != n else norm
+            if not n_slots:
+                self._host_vectors = to_c_f32(stacked)
+            else:
+                if self._use_memmap and isinstance(
+                    self._host_vectors, np.memmap
+                ):
+                    logger.warning(
+                        "Appending to a memmapped file converts it to an "
+                        "in-memory numpy array, doubling memory usage. For "
+                        "large datasets, consider pre-allocating capacity "
+                        "or using a different growth strategy."
                     )
-                start = n_slots
-                self._ids.extend(new_ids)
-                self._docs.extend(new_docs)
-                self._active_mask = np.concatenate(
-                    [self._active_mask, np.zeros(len(new_ids), dtype=bool)]
+                self._host_vectors = to_c_f32(
+                    np.vstack([self._host_vectors, stacked])
                 )
-                self._tag_index.resize(len(self._ids))
-                touched_idx.extend(range(start, len(self._ids)))
-                touched_docs.extend(new_docs)
-                self._pending_add.update(range(start, len(self._ids)))
-            if new_active:
-                na = np.asarray(new_active, dtype=np.int64)
-                self._active_indices = (
-                    np.append(self._active_indices, na)
-                    if self._active_indices.size
-                    else na
-                )
-                self._active_mask[na] = True
-            if touched_idx:
-                self._tag_index.update_rows(touched_idx, touched_docs)
-            self._ids_np = None
-            self._filter_epoch += 1
-            self._dirty = True
-            return report
+            start = n_slots
+            self._ids.extend(new_ids)
+            self._docs.extend(new_docs)
+            self._active_mask = np.concatenate(
+                [self._active_mask, np.zeros(len(new_ids), dtype=bool)]
+            )
+            self._tag_index.resize(len(self._ids))
+            touched_idx.extend(range(start, len(self._ids)))
+            touched_docs.extend(new_docs)
+            self._pending_add.update(range(start, len(self._ids)))
+        # active bookkeeping -----------------------------------------------
+        if new_active:
+            na = np.asarray(new_active, dtype=np.int64)
+            self._active_indices = (
+                np.append(self._active_indices, na)
+                if self._active_indices.size
+                else na
+            )
+            self._active_mask[na] = True
+        if touched_idx:
+            self._tag_index.update_rows(touched_idx, touched_docs)
+        self._ids_np = None
+        self._filter_epoch += 1
+        self._dirty = True
+        return report
 
     def ingest_device(
         self,
