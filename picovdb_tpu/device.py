@@ -262,6 +262,16 @@ class DeviceIndex:
 
     @property
     def last_strategy(self) -> Optional[str]:
+        """The calling thread's most recent dispatch strategy.
+
+        Thread-local by design (see `_strategy_tls` above): a thread that
+        has dispatched at least once always reads ITS OWN latest strategy,
+        even if other threads dispatched since; threads that never
+        dispatched fall back to the process-wide last value. Cross-thread
+        introspection (e.g. a monitoring thread that itself ran a query
+        earlier) therefore sees that thread's own — possibly stale — value
+        rather than the globally newest one.
+        """
         return getattr(self._strategy_tls, "v", self._strategy_global)
 
     @last_strategy.setter

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import re
 from typing import Optional
 
 import numpy as np
@@ -147,14 +148,24 @@ def save_atomic(
                     try:
                         os.remove(stale)
                     except OSError:
-                        pass
+                        # Surface now: a surviving stale shard makes the
+                        # strict generation check refuse every future load.
+                        logger.warning(
+                            "Could not remove stale shard %s; the store "
+                            "will refuse to load until it is deleted",
+                            stale,
+                        )
         elif not vectors_is_memmap:
             os.replace(tmp_vecs, vfile)
             for stale in find_shards(base):
                 try:
                     os.remove(stale)
                 except OSError:
-                    pass
+                    logger.warning(
+                        "Could not remove stale shard %s; the store "
+                        "will refuse to load until it is deleted",
+                        stale,
+                    )
         os.replace(tmp_meta, mfile)
         if ann_blob is not None:
             os.replace(tmp_ann, ann_file)
@@ -216,8 +227,6 @@ def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
     paths = find_shards(base)
     if not paths:
         return None
-    import re
-
     seen = []
     for p in paths:
         m = re.search(r"\.vecs\.shard(\d+)of(\d+)\.npy$", p)
@@ -228,10 +237,27 @@ def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
     if len(seen) != len(paths) or len(counts) != 1 or idxs != list(
         range(next(iter(counts)))
     ):
+        # Recovery guidance: the generation written last (a crash between
+        # save_atomic's prepare and cleanup phases leaves both) is the
+        # fresh one — report per-generation newest mtime so the operator
+        # knows which files to keep.
+        by_gen: dict[int, float] = {}
+        for (i, n), p in zip(seen, paths):
+            try:
+                by_gen[n] = max(by_gen.get(n, 0.0), os.path.getmtime(p))
+            except OSError:
+                pass
+        freshest = max(by_gen, key=by_gen.get) if by_gen else None
+        hint = (
+            f" (newest mtime belongs to the of{freshest:03d} generation — "
+            "keep those files, delete the rest)"
+            if freshest is not None and len(by_gen) > 1
+            else ""
+        )
         raise ValueError(
             f"inconsistent shard set for {base!r}: {sorted(paths)} — "
             "expected one complete shardNNNofMMM generation; delete the "
-            "stale generation's files and reload"
+            f"stale generation's files and reload{hint}"
         )
     paths = [p for _, p in sorted(
         zip((i for i, _ in seen), paths), key=lambda t: t[0]
