@@ -201,6 +201,15 @@ class PicoVectorDB:
         # reuse one HBM-resident mask instead of re-uploading a (cap,)
         # bool array per query.
         self._filter_epoch: int = 0
+        # Identity-keyed LRU for `ids=` prefilters: repeated queries with
+        # the SAME ids list object skip the O(len(ids)) id->slot
+        # translation AND (via the token in `_mask_key`) the device mask
+        # upload. Entries hold a strong reference to the caller's ids
+        # object, so the `is` check (not id()) is collision-free; the
+        # token is monotonic so evicted entries can never alias a device
+        # cache slot. Invalidation: `_filter_epoch` is part of the key.
+        self._ids_mask_cache: list[dict] = []
+        self._ids_mask_next_token: int = 0
 
         # knob resolution: kwarg -> env -> constant ---------------------------
         ab_env = os.getenv(ENV_ADAPTIVE_BUFFER)
@@ -1827,11 +1836,56 @@ class PicoVectorDB:
         except TypeError:
             return None
 
+    _IDS_MASK_CACHE_MAX = 4
+    _IDS_MASK_CACHE_MIN_LEN = 64  # tiny lists translate faster than lookup
+
+    def _ids_mask_lookup(self, ids) -> Optional[dict]:
+        """Cache entry for this exact ids object at the current epoch, or
+        None. Object identity (`is`), not equality: hashing/comparing a
+        100k-string list costs as much as rebuilding the mask, while the
+        realistic reuse pattern (a caller-held allowlist queried
+        repeatedly) keeps one object alive across calls."""
+        epoch = self._filter_epoch
+        for ent in self._ids_mask_cache:
+            if ent["obj"] is ids and ent["epoch"] == epoch:
+                return ent
+        return None
+
+    def _ids_mask_insert(self, ids, mask: np.ndarray) -> dict:
+        mask.flags.writeable = False  # shared across calls: freeze it
+        ent = {
+            "obj": ids,
+            "epoch": self._filter_epoch,
+            "mask": mask,
+            "token": self._ids_mask_next_token,
+        }
+        self._ids_mask_next_token += 1
+        cache = [
+            e for e in self._ids_mask_cache
+            if e["obj"] is not ids or e["epoch"] != ent["epoch"]
+        ]
+        cache.append(ent)
+        # oldest-first eviction; list rebuild keeps concurrent readers
+        # (holding the previous list object) safe without a lock
+        self._ids_mask_cache = cache[-self._IDS_MASK_CACHE_MAX:]
+        return ent
+
     def _mask_key(self, where: WhereArg, ids) -> Optional[tuple]:
         """Device-mask cache key for this filter, or None (don't cache).
-        `ids` filters are excluded: hashing a large id list costs as much
-        as rebuilding the mask."""
-        if where is None or ids is not None:
+
+        `ids` filters key on the cached translation's token (see
+        `_ids_mask_cache`): the id list itself is never hashed."""
+        if ids is not None:
+            ent = self._ids_mask_lookup(ids)
+            if ent is None:
+                return None
+            if where is None:
+                return (self._filter_epoch, "ids", ent["token"])
+            frozen = self._freeze_where(where)
+            if frozen is None:
+                return None
+            return (self._filter_epoch, "ids", ent["token"], frozen)
+        if where is None:
             return None
         frozen = self._freeze_where(where)
         if frozen is None:
@@ -1843,36 +1897,43 @@ class PicoVectorDB:
     ) -> np.ndarray:
         """Compile ids/where prefilters to one boolean slot mask."""
         if ids is not None:
-            mask = np.zeros(len(self._ids), dtype=bool)
-            n = len(ids)
-            if n == 1:
-                idx = self._id2idx.get(ids[0])
-                if idx is not None:
-                    mask[idx] = True
-            elif n:
-                # itemgetter iterates the dict in C; with the vectorized
-                # fancy-index write this is ~3x the per-id Python loop at
-                # 100k ids (the ids-10% profiler scenario was 0.37x the
-                # unfiltered baseline before, round-2 review item 10).
-                # Missing ids are the rare case: fall back per-id.
-                import operator
+            ent = self._ids_mask_lookup(ids)
+            if ent is not None:
+                mask = ent["mask"]  # read-only; combined below without |=
+            else:
+                mask = np.zeros(len(self._ids), dtype=bool)
+                n = len(ids)
+                if n == 1:
+                    idx = self._id2idx.get(ids[0])
+                    if idx is not None:
+                        mask[idx] = True
+                elif n:
+                    # itemgetter iterates the dict in C; with the vectorized
+                    # fancy-index write this is ~3x the per-id Python loop at
+                    # 100k ids (the ids-10% profiler scenario was 0.37x the
+                    # unfiltered baseline before, round-2 review item 10).
+                    # Missing ids are the rare case: fall back per-id.
+                    import operator
 
-                try:
-                    got = operator.itemgetter(*ids)(self._id2idx)
-                    mask[np.fromiter(got, dtype=np.int64, count=n)] = True
-                except KeyError:
-                    hit = [
-                        i for i in map(self._id2idx.get, ids) if i is not None
-                    ]
-                    if hit:
-                        mask[np.asarray(hit, dtype=np.int64)] = True
+                    try:
+                        got = operator.itemgetter(*ids)(self._id2idx)
+                        mask[np.fromiter(got, dtype=np.int64, count=n)] = True
+                    except KeyError:
+                        hit = [
+                            i for i in map(self._id2idx.get, ids)
+                            if i is not None
+                        ]
+                        if hit:
+                            mask[np.asarray(hit, dtype=np.int64)] = True
+                if n >= self._IDS_MASK_CACHE_MIN_LEN:
+                    self._ids_mask_insert(ids, mask)
         else:
             mask = self._active_mask.copy()
         if where is not None:
             wmask = compile_where_mask(
                 where, self._docs, self._active_mask, self._tag_index
             )
-            mask &= wmask
+            mask = mask & wmask  # no |=: `mask` may be the frozen cache entry
         return mask
 
     def _host_rescore_applies(self, num_q: int) -> bool:

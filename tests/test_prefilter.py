@@ -205,3 +205,41 @@ def test_empty_result_shapes_match_reference(db_path, rng):
     assert db.query(q, top_k=3, where={"g": 99}) == [[]]
     assert db.query(q, top_k=3, ids=["missing"]) == [[]]
     assert db.query(-q, top_k=3, better_than=0.9) == []
+
+
+def test_ids_mask_cache_reuse_and_invalidation(db_path, rng):
+    """Repeated queries with the SAME ids list object reuse the cached
+    slot translation and the device-resident mask; mutation invalidates
+    both; a different (even equal-content) list object misses by design."""
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    n, dim = 200, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    db.upsert([{K_ID: f"f{i}", K_VECTOR: vecs[i]} for i in range(n)])
+    allow = [f"f{i}" for i in range(0, n, 2)]  # 100 ids >= cache threshold
+    q = vecs[4]
+    r1 = db.query(q, top_k=5, ids=allow)
+    assert len(db._ids_mask_cache) == 1
+    tok1 = db._ids_mask_cache[0]["token"]
+    dev_keys = set(db._dev._mask_cache)
+    r2 = db.query(q, top_k=5, ids=allow)
+    assert [h[K_ID] for h in r1] == [h[K_ID] for h in r2]
+    assert db._ids_mask_cache[0]["token"] == tok1  # host entry reused
+    assert set(db._dev._mask_cache) == dev_keys  # device mask reused
+    assert all(h[K_ID] in set(allow) for h in r2)
+    # equal-content but distinct object: identity miss, fresh entry
+    db.query(q, top_k=5, ids=list(allow))
+    assert len(db._ids_mask_cache) == 2
+    # ids + where composes on top of the frozen cached mask
+    rw = db.query(q, top_k=5, ids=allow, where=lambda d: True)
+    assert [h[K_ID] for h in rw] == [h[K_ID] for h in r1]
+    # mutation: delete a cached id; the same list object must see it
+    victim = r1[0][K_ID]
+    db.delete([victim])
+    r3 = db.query(q, top_k=5, ids=allow)
+    assert victim not in [h[K_ID] for h in r3]
+    # LRU bound holds
+    for j in range(6):
+        db.query(q, top_k=5, ids=[f"f{i}" for i in range(0, n, 2)])
+    assert len(db._ids_mask_cache) <= db._IDS_MASK_CACHE_MAX
