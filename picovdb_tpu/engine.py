@@ -234,6 +234,9 @@ class PicoVectorDB:
             compute_dtype = cd_env
 
         # ANN knobs (stored resolved, reference: picovdb/pico_vdb.py:146-151)
+        # hnsw_m / hnsw_ef_construction are live: they scale the IVF
+        # build's partition count and k-means effort (_ivf_build_params),
+        # the same knob-translation treatment ef_search got (-> nprobe).
         self._hnsw_m = int(hnsw_m) if hnsw_m is not None else HNSW_M
         self._hnsw_efc = (
             int(hnsw_ef_construction) if hnsw_ef_construction is not None else HNSW_EFC
@@ -280,6 +283,9 @@ class PicoVectorDB:
         self._host_f32_lossy: bool = False
         self._last_rescore: Optional[str] = None
         self._ivf_nlist = ivf_nlist
+        # Construction point of the last IVF build (set by
+        # _ivf_build_params; surfaced in last_query_debug()["ann"]).
+        self._ann_build_params: Optional[dict] = None
         self._ivf_nprobe = ivf_nprobe
         self._ivf = None  # built lazily by the ANN tier (ops/ivf.py)
 
@@ -1721,6 +1727,10 @@ class PicoVectorDB:
                         ),
                     }
                 ),
+                # Construction knobs the last build resolved to (None until
+                # a build ran): includes the hnsw_m / hnsw_ef_construction
+                # translation, so the knobs are observable end to end.
+                "ann_build_params": self._ann_build_params,
                 "rescore": self._last_rescore,
             }
 
@@ -2310,6 +2320,44 @@ class PicoVectorDB:
         return corpus_b + post_b <= _ivf_budget_bytes() + 2**30
 
     @timed("rebuild_ann")
+    def _ivf_build_params(self, n_active: int) -> tuple[Optional[int], int]:
+        """Resolve the IVF construction point (nlist, kmeans_iters).
+
+        Explicit `ivf_nlist` wins. Otherwise the reference's HNSW
+        construction knobs (picovdb/pico_vdb.py:171-176 drives
+        IndexHNSWFlat with them) map onto this tier's construction the
+        same way `hnsw_ef_search` maps onto nprobe (SURVEY §7.2):
+
+        - `hnsw_m` (graph degree, default 32) scales the partition count:
+          nlist = default_nlist(N) * m/32. Higher m in HNSW buys a denser
+          graph (better recall at equal ef); finer partitions buy the
+          same trade here — more, smaller clusters probed at the same
+          nprobe *fraction*.
+        - `hnsw_ef_construction` (build-time beam, default 40) scales
+          k-means effort: iters = round(8 * efc/40), clamped to [4, 32].
+
+        Both default-valued knobs leave the build at its tuned defaults,
+        so stores built before this mapping serve identically.
+        """
+        from .ops.ivf import default_nlist
+
+        nlist: Optional[int] = self._ivf_nlist
+        if nlist is None and self._hnsw_m != HNSW_M:
+            nlist = int(max(8, min(
+                4096,
+                round(default_nlist(n_active) * self._hnsw_m / HNSW_M),
+            )))
+        iters = 8
+        if self._hnsw_efc != HNSW_EFC:
+            iters = int(max(4, min(32, round(8 * self._hnsw_efc / HNSW_EFC))))
+        self._ann_build_params = {
+            "nlist_requested": nlist,
+            "kmeans_iters": iters,
+            "hnsw_m": self._hnsw_m,
+            "hnsw_ef_construction": self._hnsw_efc,
+        }
+        return nlist, iters
+
     def _rebuild_ann(self) -> None:
         """(Re)build the IVF ANN tier when enabled and worthwhile."""
         if self._dev.mesh is not None:
@@ -2377,12 +2425,14 @@ class PicoVectorDB:
                     )
                     self._ivf = None
                     self._ensure_host_vectors()
+                    bp_nlist, bp_iters = self._ivf_build_params(n_active)
                     self._ivf = ShardedIVF.build(
                         np.asarray(self._host_vectors[: len(self._ids)]),
                         self._active_mask,
                         self._dev.mesh,
                         shard_axis=self._dev.shard_axis,
-                        nlist=self._ivf_nlist,
+                        nlist=bp_nlist,
+                        iters=bp_iters,
                         dim=self.dim,
                         warm_centroids=warm,
                         storage_dtype=self._dev.storage_dtype,
@@ -2480,11 +2530,13 @@ class PicoVectorDB:
                 )
                 if dev_vectors is None:
                     self._ensure_host_vectors()
+                bp_nlist, bp_iters = self._ivf_build_params(n_active)
                 self._ivf = IVFIndex.build(
                     np.asarray(self._host_vectors[: len(self._ids)])
                     if dev_vectors is None else None,
                     self._active_mask,
-                    nlist=self._ivf_nlist,
+                    nlist=bp_nlist,
+                    iters=bp_iters,
                     dim=self.dim,
                     warm_centroids=warm,
                     dev_vectors=dev_vectors,

@@ -205,3 +205,50 @@ def test_ivf_engine_plain_cpu_no_interpret_ctx(db_path, rng):
     res = db.query(vecs[33], top_k=1, ef_search=64)
     assert res[0][K_ID] == "x33"
     assert db._last_topk_strategy.startswith("ivf")
+
+
+def test_hnsw_construction_knobs_drive_ivf_build(db_path, rng):
+    """hnsw_m scales nlist, hnsw_ef_construction scales k-means iters
+    (the reference builds its index with both, pico_vdb.py:171-176);
+    explicit ivf_nlist wins; the resolved point is observable in
+    last_query_debug()."""
+    from picovdb_tpu.ops.ivf import default_nlist
+
+    centers = rng.normal(size=(8, 16)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 8, 400)]
+            + 0.1 * rng.normal(size=(400, 16))).astype(np.float32)
+    items = [{K_ID: f"x{i}", K_VECTOR: vecs[i]} for i in range(400)]
+
+    # doubled hnsw_m -> doubled nlist vs the default rule
+    db = PicoVectorDB(
+        embedding_dim=16, storage_file=db_path, index="ivf",
+        hnsw_m=64, hnsw_ef_construction=80,
+    )
+    db.upsert(items)
+    db.query(vecs[0], top_k=1)
+    dbg = db.last_query_debug()
+    bp = dbg["ann_build_params"]
+    assert bp["hnsw_m"] == 64 and bp["hnsw_ef_construction"] == 80
+    assert bp["kmeans_iters"] == 16  # 8 * 80/40
+    expect_nlist = min(round(default_nlist(400) * 64 / 32), 400)
+    assert dbg["ann_operating_point"]["nlist"] == expect_nlist
+
+    # explicit ivf_nlist beats the hnsw_m scaling
+    db2 = PicoVectorDB(
+        embedding_dim=16, storage_file=db_path + "b", index="ivf",
+        hnsw_m=64, ivf_nlist=8,
+    )
+    db2.upsert(items)
+    db2.query(vecs[0], top_k=1)
+    dbg2 = db2.last_query_debug()
+    assert dbg2["ann_operating_point"]["nlist"] == 8
+    assert dbg2["ann_build_params"]["nlist_requested"] == 8
+
+    # default knobs -> default build (iters 8, default nlist rule)
+    db3 = PicoVectorDB(
+        embedding_dim=16, storage_file=db_path + "c", index="ivf",
+    )
+    db3.upsert(items)
+    db3.query(vecs[0], top_k=1)
+    bp3 = db3.last_query_debug()["ann_build_params"]
+    assert bp3["kmeans_iters"] == 8 and bp3["nlist_requested"] is None
