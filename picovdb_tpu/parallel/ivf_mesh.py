@@ -25,9 +25,18 @@ Design (classic distributed IVF, re-laid-out for a TPU mesh):
     sharded exact path (parallel/sharded_query.py): XLA lowers the final
     top-k to an allgather over ICI + on-device selection.
 
-Incremental maintenance is deliberately full-rebuild for now: `update()`
-returns False, steering the engine to `_rebuild_ann` (the single-device
-tier keeps its in-place overflow region). Sidecar persistence reuses the
+Incremental maintenance mirrors the single-device tier's overflow-region
+design (ops/ivf.py::IVFIndex.update), re-laid-out per shard: each shard's
+postings keep a slack region beyond its built rows (cluster id = nlist,
+probed by every query — the same `_probe_preamble` mechanics, which run
+per shard here), and `update()` deactivates old rows + appends changed
+rows into whichever shards have free overflow space, as tiny sharded
+device scatters. No host corpus materialization, no k-means: a mutation
+epoch costs O(changed). The engine's `faiss_incremental_threshold_ratio`
+knob governs incremental-vs-full exactly like the reference
+(picovdb/pico_vdb.py:884-921); the int8-only layout still rebuilds (its
+per-shard column scales are layout-global, same rationale as the
+single-device int8-only tier). Sidecar persistence reuses the
 single-device blob schema, so `index="ivf"` stores round-trip between mesh
 and single-device processes.
 """
@@ -67,6 +76,13 @@ from ..ops.ivf import (
 # failure sharded_query.py's cache bound fixed after a fuzz-soak OOM).
 _CACHE: dict = {}
 _CACHE_MAX = 64
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+def _mark_overflow_tiles_sharded(c2t, sh, tiles, cluster: int):
+    """Mark per-shard overflow tiles hot: c2t is (nshards, nlist_pad,
+    n_tiles); (sh, tiles) are parallel (shard id, local tile id) pairs."""
+    return c2t.at[sh, cluster, tiles].set(1.0)
 
 
 def _quantize_shards_i8(vectors, mesh, shard_axis: str):
@@ -121,6 +137,16 @@ class ShardedIVF:
         # corpus was re-padded (rows moved shards) and the tier is stale.
         self.corpus_cap = corpus_cap
         self._host_blob: Optional[dict] = None
+        # incremental-update bookkeeping (host-side; set by `build`):
+        # global engine slot -> stacked postings row, per-shard used-row
+        # counts, rows-at-build total, and a host mirror of each postings
+        # row's cluster id (sidecar refresh after updates). None (with
+        # _n_used None) disables in-place updates -> full-rebuild policy.
+        self._slot2row: Optional[np.ndarray] = None
+        self._n_used: Optional[np.ndarray] = None
+        self._n_build: int = 0
+        self._row_cluster_np: Optional[np.ndarray] = None
+        self._blob_stale = False
         # per-shard column-scaled int8 postings mirror — same
         # DMA-bound-probe rationale as the single-device tier
         # (ops/ivf._ivf_i8_enabled). In the int8-only layout
@@ -250,7 +276,11 @@ class ShardedIVF:
                 np.arange(s * per, min((s + 1) * per, n_active))
                 for s in range(nshards)
             ]
-        cap_shard = round_up(max(per, 1) + 1, IVF_BN)
+        # Per-shard slack beyond the built rows = the overflow region for
+        # incremental updates (cluster id = nlist, always probed) — the
+        # same sizing rule as the single-device tier (ops/ivf.py::build).
+        slack = max(IVF_BN, int(0.04 * max(per, 1)))
+        cap_shard = round_up(max(per, 1) + slack, IVF_BN)
         n_tiles = cap_shard // IVF_BN
         nlist_pad = round_up(nlist + 1, 8)
 
@@ -270,6 +300,11 @@ class ShardedIVF:
         act_np = np.zeros(nshards * cap_shard, dtype=bool)
         segs_np = np.zeros((nshards, nlist + 2), dtype=np.int32)
         c2t_np = np.zeros((nshards, nlist_pad, n_tiles), dtype=Float)
+        row_cluster_np = np.full(nshards * cap_shard, nlist, dtype=np.int32)
+        n_used = np.zeros(nshards, dtype=np.int64)
+        s2r = np.full(
+            int(act_rows.max()) + 1 if n_active else 1, -1, dtype=np.int64
+        )
 
         for s in range(nshards):
             sel_s = shard_sel[s]
@@ -304,6 +339,9 @@ class ShardedIVF:
                     np.int32
                 )
             act_np[base : base + n_local] = True
+            row_cluster_np[base : base + n_local] = sorted_clusters
+            n_used[s] = n_local
+            s2r[local_rows[order]] = base + np.arange(n_local)
             starts = np.searchsorted(sorted_clusters, np.arange(nlist + 1))
             segs_np[s] = np.concatenate([starts, [cap_shard]]).astype(
                 np.int32
@@ -350,26 +388,157 @@ class ShardedIVF:
             "assign_cluster": assign.astype(np.int32),
             "nlist": np.asarray(nlist),
         }
+        if not i8_only:
+            # incremental-update bookkeeping (classic layout only; the
+            # int8-only layout rebuilds — see `update`)
+            idx._slot2row = s2r
+            idx._n_used = n_used
+            idx._n_build = int(n_used.sum())
+            idx._row_cluster_np = row_cluster_np
         return idx
 
-    # -- maintenance (full-rebuild policy) ---------------------------------
+    # -- incremental maintenance -------------------------------------------
 
     @property
     def overflow_fraction(self) -> float:
-        """The mesh tier has no in-place overflow region; any mutation set
-        exceeds the (zero-width) incremental window, so the engine's
-        threshold check always routes to a full rebuild."""
-        return 1.0
+        """Fraction of rows appended to the per-shard always-probed
+        overflow regions since the last full build (dead holes count too —
+        both grow the per-query scan until the next rebuild); 1.0 when the
+        layout cannot update in place (int8-only)."""
+        if self.vectors is None or self._n_used is None:
+            return 1.0
+        used = max(1, int(self._n_used.sum()))
+        return float(int(self._n_used.sum()) - self._n_build) / used
 
     def update(self, changed_slots, rows, active_flags) -> bool:
-        """Mesh postings rebuild rather than appending in place (a shared
-        always-probed overflow region would need a cross-shard append
-        protocol for ~no serving win). False = caller rebuilds."""
-        return False
+        """Apply a small mutation set in place; False = caller must rebuild.
+
+        The sharded counterpart of IVFIndex.update: deletions/updates
+        deactivate the old postings row; new/updated vectors append into
+        per-shard overflow regions (cluster id = nlist, probed by every
+        query on that shard). Classic layout only — `slots` are global
+        engine ids, so an appended row may live on ANY shard; appends
+        fill the emptiest shards first to keep per-shard hot-tile counts
+        balanced. All device work is O(changed) scatters into the sharded
+        arrays (GSPMD keeps them shard-local); no host corpus
+        materialization, no k-means.
+        """
+        if self.vectors is None or self._n_used is None:
+            # int8-only layout: appended rows would need requantization
+            # against per-shard column scales derived from the build-time
+            # row->shard partition — full rebuild instead (same rationale
+            # as the single-device int8-only tier).
+            return False
+        changed_slots = np.asarray(changed_slots, dtype=np.int64)
+        active_flags = np.asarray(active_flags, dtype=bool)
+        n_new = int(active_flags.sum())
+        nshards = self.seg_starts.shape[0]
+        free = self.cap_shard - self._n_used  # (nshards,) overflow slack
+        if n_new > int(free.sum()):
+            return False
+
+        # grow the slot map if the engine's slot table grew
+        max_slot = int(changed_slots.max()) if changed_slots.size else 0
+        if max_slot >= self._slot2row.shape[0]:
+            grown = np.full(max_slot + 1, -1, dtype=np.int64)
+            grown[: self._slot2row.shape[0]] = self._slot2row
+            self._slot2row = grown
+
+        old_rows = self._slot2row[changed_slots]
+        old_rows = old_rows[old_rows >= 0]
+        new_slots = changed_slots[active_flags]
+
+        # emptiest-shard-first placement of the appended rows
+        new_rows = np.empty(n_new, dtype=np.int64)
+        new_shard = np.empty(n_new, dtype=np.int64)
+        if n_new:
+            take = np.zeros(nshards, dtype=np.int64)
+            remaining = n_new
+            while remaining:
+                order = np.argsort(-(free - take), kind="stable")
+                s = order[0]
+                grab = min(remaining, int(free[s] - take[s]))
+                take[s] += grab
+                remaining -= grab
+            pos = 0
+            for s in range(nshards):
+                if not take[s]:
+                    continue
+                start = s * self.cap_shard + int(self._n_used[s])
+                cnt = int(take[s])
+                new_rows[pos : pos + cnt] = np.arange(start, start + cnt)
+                new_shard[pos : pos + cnt] = s
+                pos += cnt
+            self._n_used += take
+        self._slot2row[changed_slots] = -1
+        self._slot2row[new_slots] = new_rows
+        self._blob_stale = True
+
+        from ..ops.ivf import _scatter_rows_ivf, _scatter_set
+
+        # scatter operands upload REPLICATED over the mesh (P()) — under
+        # multi-process jax.distributed every process holds the identical
+        # host mutation set, and a process-local (committed) array could
+        # not join a jit over the globally sharded postings
+        rep = NamedSharding(self.mesh, P())
+        if old_rows.size:
+            self.active = _scatter_set(
+                self.active, jax.device_put(old_rows.astype(np.int32), rep),
+                False,
+            )
+        if n_new:
+            idx32 = jax.device_put(new_rows.astype(np.int32), rep)
+            self.vectors = _scatter_rows_ivf(
+                self.vectors, idx32,
+                jax.device_put(
+                    np.ascontiguousarray(rows[active_flags], dtype=Float),
+                    rep,
+                ),
+            )
+            self.slots = _scatter_rows_ivf(
+                self.slots, idx32,
+                jax.device_put(new_slots.astype(np.int32), rep),
+            )
+            self.active = _scatter_set(self.active, idx32, True)
+            self._row_cluster_np[new_rows] = self.nlist
+            # mark the overflow tiles hot in each owning shard's table:
+            # cluster2tile is (nshards, nlist_pad, n_tiles) with tile ids
+            # local to the shard
+            local_tile = (new_rows - new_shard * self.cap_shard) // IVF_BN
+            pairs = np.unique(
+                np.stack([new_shard, local_tile], axis=1), axis=0
+            )
+            self.cluster2tile = _mark_overflow_tiles_sharded(
+                self.cluster2tile,
+                jax.device_put(pairs[:, 0].astype(np.int32), rep),
+                jax.device_put(pairs[:, 1].astype(np.int32), rep),
+                self.nlist,
+            )
+            if self.vectors_i8c is not None:
+                # re-derive the per-shard int8 postings mirror on device
+                # (column scales are shard-global; clip-scattering against
+                # stale scales would skew selection)
+                self.vectors_i8c, self.cscale = _quantize_shards_i8(
+                    self.vectors, self.mesh, self.shard_axis
+                )
+        return True
 
     def to_blob(self) -> Optional[dict]:
         """Same sidecar schema as the single-device tier — stores built on a
-        mesh reload into single-device processes and vice versa."""
+        mesh reload into single-device processes and vice versa. After
+        incremental updates the row/cluster lists refresh from the live
+        bookkeeping so a reload reuses the trained centroids."""
+        if self._host_blob is not None and self._blob_stale:
+            live_slots = np.nonzero(self._slot2row >= 0)[0].astype(np.int64)
+            self._host_blob = {
+                "centroids": self._host_blob["centroids"],
+                "assign_rows": live_slots,
+                "assign_cluster": self._row_cluster_np[
+                    self._slot2row[live_slots]
+                ].astype(np.int32),
+                "nlist": np.asarray(self.nlist),
+            }
+            self._blob_stale = False
         return self._host_blob
 
     @classmethod
@@ -444,15 +613,21 @@ class ShardedIVF:
         num_q = queries.shape[0]
         q_pad = max(8, next_pow2(num_q))
         if isinstance(queries, np.ndarray):
+            if queries.dtype != Float and queries.dtype.itemsize > 2:
+                queries = np.ascontiguousarray(queries, dtype=Float)
             if q_pad != num_q:
-                buf = np.empty((q_pad, self.dim), dtype=Float)
+                buf = np.empty((q_pad, self.dim), dtype=queries.dtype)
                 buf[:num_q] = queries
                 buf[num_q:] = queries[0]  # duplicate probes are free
                 queries = buf
             q_dev = jax.device_put(
-                np.ascontiguousarray(queries, Float),
+                np.ascontiguousarray(queries),
                 NamedSharding(self.mesh, P()),
             )
+            if q_dev.dtype != jnp.float32:
+                # compact query wire (engine._wire_encode): upload the
+                # narrow batch, widen on device before the probe
+                q_dev = q_dev.astype(jnp.float32)
         else:
             q_dev = queries.astype(jnp.float32)
             if q_pad != num_q:

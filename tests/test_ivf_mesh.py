@@ -102,11 +102,12 @@ def test_engine_mesh_ivf_end_to_end(db_path, rng):
     r2 = db_exact.query(vectors[77], top_k=k)
     assert [r[K_ID] for r in res] == [r[K_ID] for r in r2]
 
-    # deletes route through the full-rebuild policy and disappear
+    # a small delete epoch routes through the INCREMENTAL maintenance
+    # path (per-shard overflow regions, VERDICT r3 item 2) and disappears
     db.delete(["77"])
     res3 = db.query(vectors[77], top_k=k, ef_search=1000)
     assert db._last_topk_strategy.startswith("ivf")
-    assert db._last_ann_rebuild_mode == "full"
+    assert db._last_ann_rebuild_mode == "incremental"
     assert all(r[K_ID] != "77" for r in res3)
 
 
@@ -251,3 +252,178 @@ def test_engine_mesh_capacity_triggered_i8_only(db_path, rng, monkeypatch):
         storage_dtype="bfloat16", ivf_nlist=16,
     )
     assert db3._ivf is not None and db3._ivf.vectors is not None
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance (VERDICT r3 item 2): per-shard overflow regions
+# ---------------------------------------------------------------------------
+
+def test_sharded_ivf_update_in_place(rng):
+    """update() applies deletes/updates/inserts as O(changed) scatters and
+    the full-probe search matches the post-mutation oracle exactly."""
+    mesh = make_mesh()
+    n, dim, k = 4000, 32, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    ivf = ShardedIVF.build(vectors, mask, mesh, nlist=16, dim=dim)
+    assert ivf._n_used is not None
+    assert ivf.overflow_fraction == 0.0
+
+    # mutation set: delete 2 rows, update 3 in place, append 4 new
+    corpus = np.vstack([vectors, np.zeros((4, dim), np.float32)])
+    live = np.ones(n + 4, dtype=bool)
+    upd = normalize_batch(rng.normal(size=(7, dim)).astype(np.float32))
+    changed = np.array([5, 6, 100, 200, 300, n, n + 1, n + 2, n + 3])
+    flags = np.array([False, False, True, True, True, True, True, True,
+                      True])
+    rows = np.zeros((9, dim), np.float32)
+    rows[2:] = upd
+    corpus[changed[2:]] = upd
+    live[5] = live[6] = False
+    ok = ivf.update(changed, rows, flags)
+    assert ok
+    assert 0.0 < ivf.overflow_fraction < 0.01
+
+    queries = normalize_batch(
+        rng.normal(size=(12, dim)).astype(np.float32)
+    )
+    vals, slots = ivf.search(queries, k, ef=1000, dev=None)  # all lists
+    scores = np.where(live[None, :], queries @ corpus.T, -np.inf)
+    oidx = np.argsort(-scores, axis=1)[:, :k]
+    ovals = np.take_along_axis(scores, oidx, axis=1)
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+    for qi in range(12):
+        np.testing.assert_allclose(
+            scores[qi][slots[qi]], ovals[qi], rtol=1e-5, atol=1e-6
+        )
+
+    # updated vectors are findable at their new positions
+    v2, s2 = ivf.search(upd[3:4], 1, ef=1000, dev=None)
+    assert s2[0, 0] == changed[5]
+
+
+def test_sharded_ivf_update_with_i8_mirror(rng, monkeypatch):
+    """The per-shard int8 postings mirror re-derives after an update (stale
+    column scales would skew selection)."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    mesh = make_mesh()
+    n, dim, k = 3000, 32, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    ivf = ShardedIVF.build(
+        vectors, np.ones(n, dtype=bool), mesh, nlist=16, dim=dim
+    )
+    assert ivf.vectors_i8c is not None
+    new = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    ok = ivf.update(
+        np.array([n, n + 1]), new, np.array([True, True])
+    )
+    assert ok
+    v, s = ivf.search(new[:1], 1, ef=1000, dev=None)
+    assert s[0, 0] == n
+
+
+def test_sharded_ivf_update_overflow_exhaustion(rng):
+    """An append set larger than the total per-shard slack returns False
+    (caller rebuilds) without mutating anything."""
+    mesh = make_mesh()
+    n, dim = 2000, 16
+    vectors, _ = clustered_data(rng, n, dim)
+    ivf = ShardedIVF.build(
+        vectors, np.ones(n, dtype=bool), mesh, nlist=8, dim=dim
+    )
+    total_free = int(
+        mesh.shape["shard"] * ivf.cap_shard - ivf._n_used.sum()
+    )
+    m = total_free + 1
+    big = normalize_batch(rng.normal(size=(m, dim)).astype(np.float32))
+    before = int(ivf._n_used.sum())
+    ok = ivf.update(
+        np.arange(n, n + m), big, np.ones(m, dtype=bool)
+    )
+    assert not ok
+    assert int(ivf._n_used.sum()) == before
+
+
+def test_engine_mesh_ivf_incremental_epoch(db_path, rng):
+    """A small mutation epoch on a mesh IVF store re-serves at oracle
+    parity through the incremental path — no host re-materialization, no
+    k-means (VERDICT r3 item 2 'done' criteria, scaled to test size)."""
+    mesh = make_mesh()
+    dim, n, k = 24, 3000, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        ivf_nlist=32,
+    )
+    db.upsert([{K_ID: str(i), K_VECTOR: vectors[i]} for i in range(n)])
+    db.query(vectors[0], top_k=k)  # build epoch
+    assert db._last_ann_rebuild_mode == "full"
+
+    # mutation epoch: 3 new rows, 2 updates, 1 delete
+    new = normalize_batch(rng.normal(size=(5, dim)).astype(np.float32))
+    db.upsert(
+        [{K_ID: f"new{j}", K_VECTOR: new[j]} for j in range(3)]
+        + [{K_ID: "10", K_VECTOR: new[3]}, {K_ID: "11", K_VECTOR: new[4]}]
+    )
+    db.delete(["20"])
+    res = db.query(new[0], top_k=k, ef_search=1000)
+    assert db._last_ann_rebuild_mode == "incremental"
+    assert db._last_sync_mode == "incremental"
+    assert db._last_topk_strategy.startswith("ivf")
+    assert res[0][K_ID] == "new0"
+    r_upd = db.query(new[3], top_k=k, ef_search=1000)
+    assert r_upd[0][K_ID] == "10"
+    gone = db.query(vectors[20], top_k=k, ef_search=1000)
+    assert all(r[K_ID] != "20" for r in gone)
+
+    # full-probe parity with the exact scan over the mutated store
+    ids_col, _ = db.query_columnar(
+        normalize_batch(rng.normal(size=(16, dim)).astype(np.float32)),
+        top_k=k, ef_search=1000,
+    )
+    # exact twin store
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_x", mesh=mesh,
+        index="exact",
+    )
+    db2.upsert([{K_ID: str(i), K_VECTOR: vectors[i]} for i in range(n)])
+    db2.upsert(
+        [{K_ID: f"new{j}", K_VECTOR: new[j]} for j in range(3)]
+        + [{K_ID: "10", K_VECTOR: new[3]}, {K_ID: "11", K_VECTOR: new[4]}]
+    )
+    db2.delete(["20"])
+    qs = normalize_batch(rng.normal(size=(16, dim)).astype(np.float32))
+    i1, _ = db.query_columnar(qs, top_k=k, ef_search=1000)
+    i2, _ = db2.query_columnar(qs, top_k=k)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_engine_mesh_ivf_sidecar_after_incremental(db_path, rng):
+    """save() after incremental epochs persists a refreshed sidecar that
+    reloads warm (assign_rows matches the live active set)."""
+    mesh = make_mesh()
+    dim, n, k = 24, 2500, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        ivf_nlist=16,
+    )
+    db.upsert([{K_ID: str(i), K_VECTOR: vectors[i]} for i in range(n)])
+    db.query(vectors[0], top_k=k)
+    new = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    db.upsert([{K_ID: f"n{j}", K_VECTOR: new[j]} for j in range(2)])
+    db.delete(["7"])
+    db.query(new[0], top_k=k)
+    assert db._last_ann_rebuild_mode == "incremental"
+    db.save()
+
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        ivf_nlist=16,
+    )
+    assert db2._ivf is not None  # refreshed sidecar reused, no retrain
+    res = db2.query(new[1], top_k=k, ef_search=1000)
+    assert res[0][K_ID] == "n1"
+    assert all(r[K_ID] != "7" for r in db2.query(
+        vectors[7], top_k=k, ef_search=1000
+    ))
