@@ -63,3 +63,19 @@ ENV_RESCORE_MAX_Q = "PICOVDB_RESCORE_MAX_Q"
 # candidates to selection noise (tests/test_rescore.py).
 RESCORE_GUARD = 128
 RESCORE_MAX_Q = 128
+
+# Compact host->device query wire for the batch serving lanes: large host
+# numpy batches are encoded to a narrower dtype before upload (the upload
+# is bandwidth-bound — 128 MB of f32 queries per 32k-query batch dominates
+# the e2e wall on slow interconnects; measured 1.5-1.7x e2e QPS,
+# bench/results/wire_ab_r4.json). "auto" = int16 per-row fixed point for
+# batches of at least QUERY_WIRE_MIN_Q host queries; "float32" disables.
+# int16 over float16 at the same 2 B/component: all 15 magnitude bits go
+# to the row's used range (no scale column travels — the device-side L2
+# normalization divides the per-row scale back out), ~9x less rounding
+# noise, and measured recall@10 stays 1.0000 where f16 drops the odd
+# boundary tie (0.9984 at 100k x 1024). "int8" (opt-in) quarters the
+# wire for extreme links at ~0.98 recall.
+ENV_QUERY_WIRE = "PICOVDB_QUERY_WIRE"
+QUERY_WIRE = "auto"
+QUERY_WIRE_MIN_Q = 256

@@ -692,12 +692,18 @@ class IVFIndex:
         # normalize to e0 and would probe nprobe *extra* clusters, growing
         # the hot-tile union (~2x at Q=1). Duplicate probes are free.
         if isinstance(queries, np.ndarray):
+            if queries.dtype != Float and queries.dtype.itemsize > 2:
+                queries = np.ascontiguousarray(queries, dtype=Float)
             if q_pad != num_q:
-                buf = np.empty((q_pad, self.dim), dtype=Float)
+                buf = np.empty((q_pad, self.dim), dtype=queries.dtype)
                 buf[:num_q] = queries
                 buf[num_q:] = queries[0]
                 queries = buf
-            q_dev = jax.device_put(np.ascontiguousarray(queries, Float))
+            q_dev = jax.device_put(np.ascontiguousarray(queries))
+            if q_dev.dtype != jnp.float32:
+                # compact query wire (engine._wire_encode): upload the
+                # narrow batch, widen on device before the probe
+                q_dev = q_dev.astype(jnp.float32)
         else:
             q_dev = queries.astype(jnp.float32)
             if q_pad != num_q:

@@ -144,3 +144,54 @@ def next_pow2(n: int) -> int:
 
 def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def encode_query_wire(vecs: np.ndarray, wire: str) -> np.ndarray:
+    """Cast a (Q, dim) f32 query batch to a compact upload dtype.
+
+    The batch serving lanes ship queries host->device; on
+    bandwidth-limited links the f32 wire dominates the e2e wall
+    (BENCH_r03: a 128 MB query upload behind ~30 MB/s). Every consumer
+    normalizes queries on device, so any uniform per-row prescale is free
+    for the cosine ranking — which makes float16 safe for arbitrary
+    magnitudes: rows whose max |component| falls outside f16's comfortable
+    range are rescaled into it first (zero rows pass through as zeros).
+
+    `wire`:
+      * "int16" (2 B, the `auto` pick): per-row max-scaled fixed point,
+        [-32767, 32767]. At the same bytes as float16 its rounding noise
+        is ~9x lower (every row uses all 15 magnitude bits; f16 spends
+        5 on exponent), measured recall@10 = 1.0000 where f16 loses the
+        odd boundary tie (bench/results/wire_ab_r4.json). No scale
+        column travels — the device-side L2 normalization divides any
+        per-row scale back out.
+      * "float16" (2 B, ~2^-11 relative rounding; rescales rows whose
+        max |component| falls outside f16's safe band).
+      * "bfloat16" (2 B, ~2^-9; full f32 exponent range, never rescales).
+      * "int8" (1 B, opt-in for extreme links: per-row max-scaled to
+        [-127, 127]; ~0.98 recall@10 on random corpora).
+    The caller's array is never mutated.
+    """
+    if wire == "bfloat16":
+        import ml_dtypes  # ships with jax
+
+        return vecs.astype(ml_dtypes.bfloat16)
+    if wire in ("int8", "int16"):
+        bound, np_t = (
+            (127.0, np.int8) if wire == "int8" else (32767.0, np.int16)
+        )
+        row_max = np.abs(vecs).max(axis=1)
+        scale = np.where(row_max > 0.0, row_max, 1.0)[:, None]
+        return np.clip(
+            np.rint(vecs * (bound / scale)), -bound, bound
+        ).astype(np_t)
+    if wire != "float16":
+        raise ValueError(f"unknown query wire dtype: {wire!r}")
+    row_max = np.abs(vecs).max(axis=1)
+    lo = float(row_max.min()) if row_max.size else 1.0
+    hi = float(row_max.max()) if row_max.size else 1.0
+    if 1e-3 <= lo and hi <= 6e4:
+        # every row sits in f16's safe band: one straight cast
+        return vecs.astype(np.float16)
+    scale = np.where(row_max > 0.0, row_max, 1.0)[:, None]
+    return (vecs / scale).astype(np.float16)
