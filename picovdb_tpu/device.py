@@ -59,6 +59,15 @@ def _cast_bf16(vectors):
     return vectors.astype(jnp.bfloat16)
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gather_view(src, slots, n_f: int):
+    """Compacted filtered view: gather surviving rows dense + its active
+    mask (padding rows gather slot 0 and mask off)."""
+    view = jnp.take(src, slots, axis=0)
+    act = jnp.arange(slots.shape[0], dtype=jnp.int32) < n_f
+    return view, act
+
+
 @functools.lru_cache(maxsize=64)
 def _make_serial_loop(inner):
     """Jitted M-serial-Q=1 runner over a (cached) query kernel. Keyed on
@@ -259,6 +268,16 @@ class DeviceIndex:
         # mirror mutation. Bounded FIFO.
         self._mask_cache: dict = {}
         self.MASK_CACHE_MAX = 32
+        # Compacted filtered-corpus views (surviving rows gathered dense):
+        # lets BIG filtered batches ride the segmax tier — per-segment
+        # truncation is unsafe under a clustered filter on the full
+        # corpus, but compaction spreads survivors uniformly, restoring
+        # exactly the unfiltered statistical contract over n_f rows
+        # (VERDICT r3 #8). Keyed like _mask_cache (filter spec + mutation
+        # epoch); big (n_f x dim bf16), so the FIFO bound is small and
+        # the cache clears with the mask cache.
+        self._fview_cache: dict = {}
+        self.FVIEW_CACHE_MAX = 2
 
     @property
     def last_strategy(self) -> Optional[str]:
@@ -308,6 +327,47 @@ class DeviceIndex:
             nshards = self.mesh.shape[self.shard_axis]
             cap = round_up(cap, ROW_PAD * nshards)
         return cap
+
+    def _filter_view(self, mask_key, filter_mask):
+        """Get-or-build the compacted corpus view for a filter mask.
+
+        Returns (slots (capf,) int32, scan_view (capf, dim) bf16,
+        active (capf,) bool), all device-resident, or None when the
+        survivor set is too small for segmax to pay (< SEGMAX_MIN_CAP) or
+        the view would blow the HBM budget (PICOVDB_FVIEW_BUDGET_GB,
+        default 4). The gather runs on device from the bf16 mirror — no
+        host traffic beyond the (n_f,) slot list. Cached per mask_key
+        (filter spec + mutation epoch) beside _mask_cache; cleared with it
+        on any mirror mutation.
+        """
+        v = self._fview_cache.get(mask_key)
+        if v is not None:
+            return v
+        n_f = int(filter_mask.sum())
+        if n_f < self.SEGMAX_MIN_CAP:
+            return None
+        try:
+            budget_gb = float(
+                _os.getenv("PICOVDB_FVIEW_BUDGET_GB", "4") or 4
+            )
+        except ValueError:
+            budget_gb = 4.0
+        if n_f * self.dim * 2.0 > budget_gb * 2**30:
+            return None
+        rows = np.nonzero(filter_mask)[0].astype(np.int32)
+        capf = round_up(n_f, ROW_PAD)
+        slots_dev = jax.device_put(_pad_rows(rows, capf), self._device)
+        view, act = _gather_view(self.vectors_lp, slots_dev, n_f)
+        out = (slots_dev, view, act)
+        while len(self._fview_cache) >= self.FVIEW_CACHE_MAX:
+            # same concurrent-eviction caveat as _mask_cache
+            try:
+                self._fview_cache.pop(next(iter(self._fview_cache)), None)
+            except (StopIteration, RuntimeError):
+                break
+        if mask_key is not None:
+            self._fview_cache[mask_key] = out
+        return out
 
     # -- synchronization -------------------------------------------------------
 
@@ -374,6 +434,7 @@ class DeviceIndex:
             self.cap = cap
             self._refresh_lp_mirror()
             self._mask_cache.clear()
+            self._fview_cache.clear()
             self.last_sync_mode = "full"
             return
         if self.storage_dtype in ("int8", "int4"):
@@ -412,6 +473,7 @@ class DeviceIndex:
             self.cap = cap
             self._refresh_lp_mirror()
             self._mask_cache.clear()
+            self._fview_cache.clear()
             self.last_sync_mode = "full"
             return
         sdt = self._storage_np_dtype()
@@ -441,10 +503,11 @@ class DeviceIndex:
         self.cap = cap
         self._refresh_lp_mirror()
         self._mask_cache.clear()
+        self._fview_cache.clear()
         self.last_sync_mode = "full"
 
     def adopt(self, vectors_dev, n: int, normalize: bool = False,
-              scales=None) -> None:
+              scales=None, want_shadow: bool = False):
         """Adopt a device-resident (n, dim) array as the full corpus.
 
         Device-born ingestion: embeddings produced on the TPU (e.g. by the
@@ -453,7 +516,34 @@ class DeviceIndex:
         round trip. One jitted program normalizes (optional), casts to the
         storage dtype, and pads to the aligned capacity; the input buffer is
         donated so peak HBM is input + padded output.
+
+        `want_shadow=True` additionally fetches the normalized f32 rows to
+        host BEFORE the storage-dtype cast and returns them (engine
+        `host_shadow`: the exact-recall tier for device-born lossy stores).
+        Costs one device->host corpus transfer and host RAM for the f32
+        matrix; not available for pre-quantized input (`scales`), whose
+        f32 form never existed. Returns None otherwise.
         """
+        shadow = None
+        if want_shadow and scales is None:
+            @functools.partial(
+                jax.jit, static_argnums=(1,), donate_argnums=(0,)
+            )
+            def _norm32(x, do_norm):
+                x = x.astype(jnp.float32)
+                if do_norm:
+                    nrm = jnp.linalg.norm(x, axis=1, keepdims=True)
+                    e0 = jnp.zeros_like(x).at[:, 0].set(1.0)
+                    x = jnp.where(
+                        nrm > 0.0, x / jnp.where(nrm > 0, nrm, 1), e0
+                    )
+                return x
+
+            vectors_dev = _norm32(vectors_dev, bool(normalize))
+            shadow = np.asarray(vectors_dev)  # blocks: safe to donate after
+            if not shadow.flags.writeable:  # engine mutates host rows
+                shadow = shadow.copy()
+            normalize = False
         cap = max(self.cap, self._padded_cap(n))
         if self.storage_dtype in ("int8", "int4") and scales is not None:
             # pre-quantized device-born input (built chunk-wise when the
@@ -488,8 +578,9 @@ class DeviceIndex:
             self.cap = cap
             self._refresh_lp_mirror()
             self._mask_cache.clear()
+            self._fview_cache.clear()
             self.last_sync_mode = "full"
-            return
+            return shadow
         if self.storage_dtype in ("int8", "int4"):
             from .ops.pallas_scan import quantize_rows_i4, quantize_rows_i8
 
@@ -522,8 +613,9 @@ class DeviceIndex:
             self.cap = cap
             self._refresh_lp_mirror()
             self._mask_cache.clear()
+            self._fview_cache.clear()
             self.last_sync_mode = "full"
-            return
+            return shadow
         sdt = jnp.dtype(self._storage_np_dtype())
 
         @functools.partial(
@@ -557,7 +649,9 @@ class DeviceIndex:
         self.cap = cap
         self._refresh_lp_mirror()
         self._mask_cache.clear()
+        self._fview_cache.clear()
         self.last_sync_mode = "full"
+        return shadow
 
     # f32 corpus + bf16 mirror = 6 bytes/row/dim; above this the mirror is
     # skipped so big corpora keep their headroom (v5e has 16 GB HBM).
@@ -704,6 +798,7 @@ class DeviceIndex:
         dev_act = jax.device_put(pad_act.astype(bool), self._replicated())
         self.active = _scatter_mask(self.active, dev_idx, dev_act)
         self._mask_cache.clear()
+        self._fview_cache.clear()
         self.last_sync_mode = "scatter"
 
     # -- query -----------------------------------------------------------------
@@ -909,6 +1004,28 @@ class DeviceIndex:
             # scan_mode="mixed" forces segmax regardless for testing
             and (num_q > self.SMALL_Q_XLA or self.scan_mode == "mixed")
         )
+        # Filtered big batches: gather the surviving rows into a dense
+        # compacted view (cached per filter spec) and ride the segmax tier
+        # over it. Compaction is what makes this SOUND where full-corpus
+        # segmax under a filter is not: a clustered filter can pack many
+        # true winners into one 128-row segment of the full corpus, but the
+        # compacted survivors land uniformly across the view's segments, so
+        # the per-segment top-2 bound is exactly the unfiltered one at n_f
+        # rows (VERDICT r3 #8; the reference skips FAISS under filters
+        # entirely, pico_vdb.py:667-668). tie_scale=0 like the filtered
+        # ladder: the engine's snapshot retry is unfiltered-only.
+        fview = None
+        if (
+            filter_mask is not None
+            and mask_key is not None
+            and not force_exact
+            and self.mesh is None
+            and self.vectors_lp is not None
+            and self.scan_mode in ("auto", "mixed")
+            and min(k, self.cap) <= self.SEGMAX_MAX_K
+            and num_q > self.SMALL_Q_XLA
+        ):
+            fview = self._filter_view(mask_key, filter_mask)
         # Small unfiltered batches are pure HBM-bandwidth-bound, so the
         # narrowest mirror wins. Preference order: int8 (1 B/elem, the
         # latency tier) > bf16 (2 B/elem) > XLA f32. Selection noise is
@@ -959,7 +1076,7 @@ class DeviceIndex:
                           and num_q <= self.SMALL_Q_XLA))
             else max(MIN_QUERY_PAD, next_pow2(num_q))
         )
-        if (use_segmax or i8s_segmax) and q_pad % 128:
+        if (use_segmax or i8s_segmax or fview is not None) and q_pad % 128:
             # Q a multiple of 128 keeps the slab top-k in the Pallas
             # kernel (topk_packed_keys); the lax.top_k fallback sorts the
             # whole (Q, C) candidate slab — at the capacity ceiling its
@@ -967,13 +1084,21 @@ class DeviceIndex:
             # costs 8-9 ms at serving sizes anyway.
             q_pad = max(128, q_pad)
         if isinstance(qnorm, np.ndarray):
+            if qnorm.dtype != Float and qnorm.dtype.itemsize > 2:
+                qnorm = np.ascontiguousarray(qnorm, dtype=Float)
             if q_pad != num_q:
-                padq = np.zeros((q_pad, self.dim), dtype=Float)
+                padq = np.zeros((q_pad, self.dim), dtype=qnorm.dtype)
                 padq[:num_q] = qnorm
                 qnorm = padq
             q_dev = jax.device_put(
-                np.ascontiguousarray(qnorm, dtype=Float), self._replicated()
+                np.ascontiguousarray(qnorm), self._replicated()
             )
+            if q_dev.dtype != jnp.float32:
+                # compact query wire (engine._wire_encode): half the
+                # upload bytes, one cached widening op on device —
+                # ranking is unchanged because queries L2-normalize on
+                # device after the cast
+                q_dev = q_dev.astype(jnp.float32)
         else:
             q_dev = qnorm
             if q_dev.dtype != jnp.float32:
@@ -985,6 +1110,10 @@ class DeviceIndex:
 
         if filter_mask is None:
             mask_dev = self.active
+        elif fview is not None:
+            # the compacted view carries its own dense active mask; the
+            # full-corpus filter mask never ships
+            mask_dev = None
         elif mask_key is not None and mask_key in self._mask_cache:
             mask_dev = self._mask_cache[mask_key]
         else:
@@ -1119,6 +1248,26 @@ class DeviceIndex:
             vs = self.vstore_scale
             fn = lambda q, v, m: x4_fn(q, v, vs, m)  # noqa: E731
             self.last_strategy = "i4stor_xla"
+        elif fview is not None:
+            from .ops.pallas_scan import make_segmax_topk
+
+            slots_v, scan_v, act_v = fview
+            stream = (q_pad > 256 if self.segmax_stream is None
+                      else self.segmax_stream)
+            # tie_scale=0: see mixed_fused_batch_filtered — the engine's
+            # snapshot retry re-serves UNFILTERED, so filtered results
+            # must never carry a retry mark. slot_map translates view
+            # candidates to global slots before the exact f32 rescore
+            # against the full corpus (no f32 view copy in HBM).
+            segv_fn = make_segmax_topk(k_pad, None, interpret=interpret,
+                                       stream=stream, tie_scale=0.0,
+                                       slot_map=True)
+            f32 = self.vectors
+            fn = (lambda q, v, m:
+                  segv_fn(q, scan_v, f32, act_v, slots_v))  # noqa: E731
+            self.last_strategy = (
+                "fview_segmax_stream" if stream else "fview_segmax"
+            )
         elif use_segmax and self.segmax_i8c and self.ensure_i8c_mirror():
             from .ops.pallas_scan import make_segmax_topk_i8c
 

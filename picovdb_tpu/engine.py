@@ -55,6 +55,9 @@ from .constants import (
     Float,
     RESCORE_GUARD,
     RESCORE_MAX_Q,
+    ENV_QUERY_WIRE,
+    QUERY_WIRE,
+    QUERY_WIRE_MIN_Q,
     HNSW_EFC,
     HNSW_EFS,
     HNSW_M,
@@ -159,6 +162,9 @@ class PicoVectorDB:
         ivf_nprobe: Optional[int] = None,
         writer_priority: Optional[bool] = None,
         rescore: Optional[Literal["auto", "host", "device"]] = None,
+        query_wire: Optional[
+            Literal["auto", "float32", "float16", "bfloat16"]
+        ] = None,
     ) -> None:
         _maybe_enable_compile_cache()
         # Writer priority is opt-in; the default reproduces the reference's
@@ -263,6 +269,24 @@ class PicoVectorDB:
                 f"rescore must be 'auto', 'host' or 'device'; got {rescore!r}"
             )
         self._rescore_mode: str = rescore
+
+        # Compact query wire for the batch serving lanes (constants.py
+        # rationale). kwarg -> env -> "auto"; aliases accepted.
+        if query_wire is None:
+            query_wire = os.getenv(ENV_QUERY_WIRE) or QUERY_WIRE
+        query_wire = {
+            "f32": "float32", "off": "float32", "f16": "float16",
+            "bf16": "bfloat16", "i8": "int8", "i16": "int16",
+        }.get(query_wire, query_wire)
+        if query_wire not in (
+            "auto", "float32", "int16", "float16", "bfloat16", "int8"
+        ):
+            raise ValueError(
+                "query_wire must be 'auto', 'float32', 'int16', "
+                f"'float16', 'bfloat16' or 'int8'; got {query_wire!r}"
+            )
+        self._query_wire: str = query_wire
+
         rg_env = os.getenv(ENV_RESCORE_GUARD)
         if rg_env:
             self._rescore_guard: int = int(rg_env)
@@ -790,6 +814,7 @@ class PicoVectorDB:
         metadata: Optional[list[Optional[dict]]] = None,
         normalize: bool = True,
         scales=None,
+        host_shadow: bool = False,
     ) -> dict[str, list[str]]:
         """Bulk-load a device-resident embedding matrix into a fresh store.
 
@@ -815,6 +840,17 @@ class PicoVectorDB:
         normalization/cast/pad program (keeping peak HBM to input + padded
         output), so `vectors` must not be used after this call — reading it
         raises jax's deleted-buffer error. Pass a copy if you still need it.
+
+        `host_shadow=True` (lossy storage dtypes) streams the normalized
+        f32 rows to host BEFORE the storage-dtype cast and keeps them as
+        the authentic host matrix, so the host-f64 rescore tier serves
+        exact ranking for device-born int8/int4/bf16 stores — the same
+        always-exact contract the reference keeps by ranking full f32
+        (picovdb/pico_vdb.py:683-689). Costs one device->host corpus
+        transfer at ingest plus host RAM for the f32 matrix; incompatible
+        with pre-quantized input (`scales=`), whose f32 form never
+        existed. Without it, lossy device-born stores rank at storage
+        precision (the host copy is marked lossy and rescore stands down).
         """
         import jax as _jax
 
@@ -861,6 +897,12 @@ class PicoVectorDB:
                     f"scales must be a ({n},) array (one per row); got "
                     f"shape {tuple(getattr(scales, 'shape', ()))}"
                 )
+        if host_shadow and scales is not None:
+            raise ValueError(
+                "host_shadow=True needs the f32 rows, which pre-quantized "
+                "ingest (scales=...) never materializes; quantize on "
+                "device without scales= or keep host_shadow=False"
+            )
         if n == 0:
             return {"update": [], "insert": []}
         if ids is None or len(ids) != n:
@@ -887,9 +929,19 @@ class PicoVectorDB:
             # `scales`: pre-quantized int8 device input (built chunk-wise
             # when an f32 intermediate could never fit HBM); rows must be
             # pre-normalized-then-quantized, one f32 scale per row.
-            self._dev.adopt(vectors, n, normalize=normalize, scales=scales)
-            self._host_vectors = None
-            self._host_lazy = True
+            shadow = self._dev.adopt(
+                vectors, n, normalize=normalize, scales=scales,
+                want_shadow=host_shadow,
+            )
+            if shadow is not None:
+                # authentic pre-cast f32 rows: the host-f64 rescore tier
+                # serves exact ranking for this lossy device-born store
+                self._host_vectors = shadow
+                self._host_lazy = False
+                self._host_f32_lossy = False
+            else:
+                self._host_vectors = None
+                self._host_lazy = True
             self._ids = list(ids)
             if metadata is None:
                 self._docs = [{K_ID: _id} for _id in ids]
@@ -1322,6 +1374,10 @@ class PicoVectorDB:
                 where=where, ids=ids, ef_search=ef_search,
                 hnsw_ef_search=hnsw_ef_search,
             )
+        # Compact upload wire (engine kwarg `query_wire`): large host
+        # batches ship half the bytes; consumers widen on device and
+        # normalize fused, so the ranking contract is unchanged.
+        vecs = self._wire_encode(vecs, num_q)
 
         with self._synced_read():
             if not self._active_indices.size:
@@ -1499,8 +1555,11 @@ class PicoVectorDB:
                 pack = _pack_fetch_enabled()
                 ann_ok = filter_mask is None and self._ann_admits_k(k_eff)
                 ef = self._resolve_ef(ef_search, hnsw_ef_search)
+                # compact upload wire — the host-rescore lane above keeps
+                # the caller's f32 batch (its host re-ranking reads it)
+                wvecs = self._wire_encode(vecs, num_q)
                 for start in range(0, num_q, batch_size):
-                    chunk = vecs[start : start + batch_size]
+                    chunk = wvecs[start : start + batch_size]
                     chunks.append(chunk)
                     # per-chunk ANN routing, see query_batched
                     if ann_ok and self._ann_routes_batch(chunk.shape[0], ef):
@@ -1845,6 +1904,27 @@ class PicoVectorDB:
             return frozen
         except TypeError:
             return None
+
+    def _wire_encode(self, vecs, num_q: int):
+        """Compact upload dtype for a host query batch (constants.py
+        rationale: the f32 wire dominates the batch e2e wall on
+        bandwidth-limited host links). Device arrays and non-f32 inputs
+        pass through; "auto" engages the int16 fixed-point wire from
+        QUERY_WIRE_MIN_Q host queries. The host-f64 rescore lanes never
+        see wire-encoded queries (their exact re-ranking reads the
+        caller's f32 batch)."""
+        if not isinstance(vecs, np.ndarray) or vecs.dtype != Float:
+            return vecs
+        mode = self._query_wire
+        if mode == "float32":
+            return vecs
+        if mode == "auto":
+            if num_q < QUERY_WIRE_MIN_Q:
+                return vecs
+            mode = "int16"
+        from .utils import encode_query_wire
+
+        return encode_query_wire(vecs, mode)
 
     _IDS_MASK_CACHE_MAX = 4
     _IDS_MASK_CACHE_MIN_LEN = 64  # tiny lists translate faster than lookup

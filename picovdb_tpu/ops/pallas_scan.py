@@ -560,18 +560,20 @@ def topk_packed_keys(keys_t, k_sel: int, interpret: bool = False):
 
 def make_segmax_topk(k: int, compute_dtype_name: str | None = None,
                      interpret: bool = False, guard: int = 6,
-                     normalize: bool = True, stream: bool = False, tie_scale=None):
+                     normalize: bool = True, stream: bool = False,
+                     tie_scale=None, slot_map: bool = False):
     """Env-resolving wrapper: see `_make_segmax_topk_cached`."""
     if tie_scale is None:
         tie_scale = _tie_scale_env()
-    return _make_segmax_topk_cached(k, compute_dtype_name, interpret, guard, normalize, stream, tie_scale)
+    return _make_segmax_topk_cached(k, compute_dtype_name, interpret, guard,
+                                    normalize, stream, tie_scale, slot_map)
 
 
 @functools.lru_cache(maxsize=256)
 def _make_segmax_topk_cached(k: int, compute_dtype_name: str | None = None,
                      interpret: bool = False, guard: int = 6,
                      normalize: bool = True, stream: bool = False,
-                             tie_scale: float = 1.0):
+                             tie_scale: float = 1.0, slot_map: bool = False):
     """Jitted mixed-precision top-k: segmax candidates -> global top-k ->
     exact f32 rescore.
 
@@ -584,10 +586,17 @@ def _make_segmax_topk_cached(k: int, compute_dtype_name: str | None = None,
     normalized queries to the scan mirror's dtype, so the whole batch costs
     one corpus read plus bf16 query re-reads (see `segmax_scan`). The
     rescore still uses the float32 queries.
+
+    `slot_map=True` serves a COMPACTED corpus view (the filtered-batch
+    segmax route, DeviceIndex._filter_view): the fn takes a fifth argument
+    `slots (cap_view,) int32` mapping view rows to global corpus slots;
+    candidate ids translate through it BEFORE the exact rescore, so
+    `rescore_vectors` stays the full-capacity corpus (no f32 view copy in
+    HBM) and returned ids are global.
     """
     compute_dtype = jnp.dtype(compute_dtype_name) if compute_dtype_name else None
 
-    def impl(queries, scan_vectors, rescore_vectors, mask):
+    def impl(queries, scan_vectors, rescore_vectors, mask, slots=None):
         if normalize:
             from .exact import normalize_on_device
 
@@ -606,8 +615,24 @@ def _make_segmax_topk_cached(k: int, compute_dtype_name: str | None = None,
         except ValueError:  # geometry unservable (huge dim) -> exact scan
             from .exact import exact_topk
 
-            return exact_topk(queries, rescore_vectors, mask,
-                              min(k, rescore_vectors.shape[0]), compute_dtype)
+            if slots is None:
+                return exact_topk(queries, rescore_vectors, mask,
+                                  min(k, rescore_vectors.shape[0]),
+                                  compute_dtype)
+            # compacted-view mode: exact-select over the view, translate
+            # to global slots, rescore exactly against the full corpus
+            kv = min(k, scan_vectors.shape[0])
+            _, idx_v = exact_topk(queries, scan_vectors, mask, kv,
+                                  compute_dtype)
+            gidx_v = jnp.take(slots, idx_v)
+            gath = jnp.take(rescore_vectors, gidx_v, axis=0)
+            ex = jnp.einsum("qd,qkd->qk", queries,
+                            gath.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+            orderv = jnp.argsort(-ex, axis=1)
+            return (jnp.take_along_axis(ex, orderv, axis=1),
+                    jnp.take_along_axis(gidx_v, orderv,
+                                        axis=1).astype(jnp.int32))
         # top_k on the packed int32 keys (monotonic in score), decode only
         # the winners: column -> segment base is pure arithmetic, the lane
         # sits in the key's low bits. Avoids materializing the decoded
@@ -628,6 +653,11 @@ def _make_segmax_topk_cached(k: int, compute_dtype_name: str | None = None,
         gidx = (tile * ns + s) * SEG + (tk & jnp.int32(SEG - 1))
         empty = tk == jnp.int32(KEY_MIN)
         gidx = jnp.where(empty, 0, gidx)
+        if slots is not None:
+            # compacted-view mode: view row -> global corpus slot, so
+            # the rescore reads the full-capacity corpus and ids come
+            # back global (filtered-batch segmax, _filter_view)
+            gidx = jnp.take(slots, gidx)
         gathered = jnp.take(rescore_vectors, gidx, axis=0)
         exact = jnp.einsum("qd,qkd->qk", queries,
                            gathered.astype(jnp.float32),

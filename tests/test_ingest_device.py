@@ -181,3 +181,70 @@ def test_ingest_prenormalized_no_normalize(db_path):
     assert top[K_METRICS] == pytest.approx(1.0, abs=1e-5)
     rec = db.get("p9", include_vector=True)
     np.testing.assert_allclose(rec[K_VECTOR], data[9], atol=1e-6)
+
+
+def test_ingest_host_shadow_keeps_authentic_f32(db_path):
+    """host_shadow=True (VERDICT r3 item 3): the pre-cast normalized f32
+    rows become the host matrix at ingest time — no lossy round trip, no
+    lazy fetch — and they persist, so a reload serves exact ranking too."""
+    n, dim = 48, 32
+    data = _mk(n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype="int8",
+    )
+    db.ingest_device(
+        jnp.asarray(data), ids=[f"s{i}" for i in range(n)],
+        host_shadow=True,
+    )
+    assert not db._host_lazy and not db._host_f32_lossy
+    expect = data / np.linalg.norm(data, axis=1, keepdims=True)
+    np.testing.assert_allclose(db._host_vectors, expect, atol=1e-6)
+    rec = db.get("s7", include_vector=True)
+    np.testing.assert_allclose(rec[K_VECTOR], expect[7], atol=1e-6)
+
+    db.save()
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype="int8",
+    )
+    assert not db2._host_f32_lossy  # persisted rows are authentic f32
+    np.testing.assert_allclose(db2._host_vectors[:n], expect, atol=1e-6)
+
+
+def test_ingest_host_shadow_store_mutates_like_host_born(db_path):
+    """After a shadowed ingest, deletes/upserts hit the in-RAM f32 matrix
+    directly (no device fetch) and rescore keeps applying."""
+    n, dim = 40, 16
+    data = _mk(n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype="bfloat16",
+        rescore="host",
+    )
+    db.ingest_device(
+        jnp.asarray(data), ids=[f"m{i}" for i in range(n)],
+        host_shadow=True,
+    )
+    db.delete(["m0"])
+    db.upsert([{K_ID: "extra", K_VECTOR: np.ones(dim, dtype=np.float32)}])
+    res = db.query(np.ones(dim, dtype=np.float32), top_k=1)[0]
+    assert res[K_ID] == "extra"
+    assert db.last_query_debug()["rescore"] == "host"
+    assert all(r[K_ID] != "m0" for r in db.query(data[0], top_k=5))
+
+
+def test_ingest_host_shadow_rejects_prequantized(db_path):
+    """Pre-quantized ingest never materializes f32 rows, so asking for a
+    shadow is a contract error, not a silent downgrade."""
+    from picovdb_tpu.ops.pallas_scan import quantize_rows_i8
+
+    n, dim = 16, 16
+    data = _mk(n, dim)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    v8, scales = quantize_rows_i8(jnp.asarray(data))
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype="int8",
+    )
+    with pytest.raises(ValueError, match="host_shadow"):
+        db.ingest_device(
+            v8, ids=[str(i) for i in range(n)], normalize=False,
+            scales=scales, host_shadow=True,
+        )
