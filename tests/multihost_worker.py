@@ -5,7 +5,17 @@ collectives): loads its own shard of a store saved with `save(shards=N)`,
 joins the global row-sharded corpus array, and answers a sharded top-k
 query whose merge crosses process boundaries.
 
+Modes (argv[6], default "exact") — VERDICT r3 item 5 extended the original
+exact-f32 merge to the remaining mesh lanes:
+  * exact — f32 corpus, `make_sharded_topk` cross-process merge
+  * i4    — packed-nibble int4 STORAGE lane (`storage_i4=True`): per-shard
+            dequantizing exact select + the same ICI merge
+  * ivf   — `ShardedIVF` build + full-probe search across processes, then
+            one INCREMENTAL `update()` epoch (per-shard overflow regions)
+            re-served at oracle parity
+
 Usage: python multihost_worker.py <pid> <nprocs> <port> <store_base> <dim>
+       [mode]
 """
 
 import sys
@@ -17,16 +27,117 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 
 
+def _oracle_topk(qn, rows, k, live=None):
+    s = qn @ rows.T
+    if live is not None:
+        s = np.where(live[None, :], s, -np.inf)
+    want = np.argsort(-s, axis=1)[:, :k]
+    return s, want
+
+
+def run_exact(mesh, vectors, mask, full, qn, q_rep):
+    from picovdb_tpu.parallel.sharded_query import make_sharded_topk
+
+    fn = make_sharded_topk(mesh, "shard", 5)
+    vals, idx = fn(q_rep, vectors, mask)
+    got = np.asarray(jax.device_get(idx))
+    assert got.shape == (qn.shape[0], 5), got.shape
+    _, want = _oracle_topk(qn, full, 5)
+    np.testing.assert_array_equal(got, want)
+    vals_np = np.asarray(jax.device_get(vals))
+    np.testing.assert_allclose(
+        vals_np, np.take_along_axis(qn @ full.T, want, axis=1), atol=1e-5
+    )
+
+
+def run_i4(mesh, full, qn, q_rep):
+    """Packed int4 storage lane: every process quantizes the identical
+    corpus, shards the packed planes + per-row scales, and the dequantizing
+    per-shard select merges across processes (sharded_query local_quant)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from picovdb_tpu.ops.pallas_scan import quantize_rows_i4, unpack_i4
+    from picovdb_tpu.parallel.sharded_query import make_sharded_topk
+
+    v4, scales = quantize_rows_i4(jnp.asarray(full))
+    v4_np, sc_np = np.asarray(v4), np.asarray(scales)
+    # exactly what the kernel scores: dequantized nibbles * per-row scale
+    deq = np.asarray(unpack_i4(v4)).astype(np.float32) * sc_np[:, None]
+
+    row_sh = NamedSharding(mesh, P("shard", None))
+    vec_sh = NamedSharding(mesh, P("shard"))
+    v4_g = jax.device_put(v4_np, row_sh)
+    sc_g = jax.device_put(sc_np, vec_sh)
+    mask_g = jax.device_put(np.ones(full.shape[0], dtype=bool), vec_sh)
+
+    fn = make_sharded_topk(mesh, "shard", 5, storage_i4=True)
+    vals, idx = fn(q_rep, v4_g, sc_g, mask_g)
+    vals = np.asarray(jax.device_get(vals))
+    idx = np.asarray(jax.device_get(idx))
+    s, want = _oracle_topk(qn, deq, 5)
+    ovals = np.take_along_axis(s, want, axis=1)
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+    for qi in range(qn.shape[0]):  # tie-robust id check via scores
+        np.testing.assert_allclose(
+            s[qi][idx[qi]], ovals[qi], rtol=1e-5, atol=1e-6
+        )
+
+
+def run_ivf(mesh, full, qn):
+    """ShardedIVF across processes: build, full-probe search, then one
+    incremental update() epoch (append 2, delete 1) re-served exactly."""
+    from picovdb_tpu.parallel.ivf_mesh import ShardedIVF
+
+    n, dim = full.shape
+    k = 5
+    ivf = ShardedIVF.build(
+        full, np.ones(n, dtype=bool), mesh, nlist=8, dim=dim
+    )
+    vals, slots = ivf.search(qn, k, ef=10**6, dev=None)  # full probe
+    s, want = _oracle_topk(qn, full, k)
+    ovals = np.take_along_axis(s, want, axis=1)
+    np.testing.assert_allclose(vals, ovals, rtol=1e-5, atol=1e-6)
+    for qi in range(qn.shape[0]):
+        np.testing.assert_allclose(
+            s[qi][slots[qi]], ovals[qi], rtol=1e-5, atol=1e-6
+        )
+
+    # incremental epoch: same deterministic mutation set in every process
+    rng = np.random.default_rng(11)
+    new = rng.standard_normal((2, dim)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    changed = np.array([0, n, n + 1])
+    rows = np.vstack([np.zeros((1, dim), np.float32), new])
+    ok = ivf.update(changed, rows, np.array([False, True, True]))
+    assert ok, "incremental update refused on the 2-process mesh"
+
+    corpus = np.vstack([full, new])
+    live = np.ones(n + 2, dtype=bool)
+    live[0] = False
+    vals2, slots2 = ivf.search(qn, k, ef=10**6, dev=None)
+    s2, want2 = _oracle_topk(qn, corpus, k, live=live)
+    ovals2 = np.take_along_axis(s2, want2, axis=1)
+    np.testing.assert_allclose(vals2, ovals2, rtol=1e-5, atol=1e-6)
+    for qi in range(qn.shape[0]):
+        np.testing.assert_allclose(
+            s2[qi][slots2[qi]], ovals2[qi], rtol=1e-5, atol=1e-6
+        )
+    # the new rows are findable point queries
+    v3, s3 = ivf.search(new[:1], 1, ef=10**6, dev=None)
+    assert s3[0, 0] == n, s3
+
+
 def main() -> int:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     base, dim = sys.argv[4], int(sys.argv[5])
+    mode = sys.argv[6] if len(sys.argv) > 6 else "exact"
 
     from picovdb_tpu.parallel.multihost import (
         init_distributed,
         load_host_shard,
         pod_mesh,
     )
-    from picovdb_tpu.parallel.sharded_query import make_sharded_topk
     from picovdb_tpu import persistence
 
     init_distributed(f"127.0.0.1:{port}", num_processes=nprocs,
@@ -51,21 +162,19 @@ def main() -> int:
     rng = np.random.default_rng(7)
     q = rng.standard_normal((3, dim)).astype(np.float32)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    want = np.argsort(-(qn @ full.T), axis=1)[:, :5]
-
     q_rep = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P()), q
     )
-    fn = make_sharded_topk(mesh, "shard", 5)
-    vals, idx = fn(q_rep, vectors, mask)
-    got = np.asarray(jax.device_get(idx))
-    assert got.shape == (3, 5), got.shape
-    np.testing.assert_array_equal(got, want)
-    vals_np = np.asarray(jax.device_get(vals))
-    np.testing.assert_allclose(
-        vals_np, np.take_along_axis(qn @ full.T, want, axis=1), atol=1e-5
-    )
-    print(f"MH OK pid={pid}", flush=True)
+
+    if mode == "exact":
+        run_exact(mesh, vectors, mask, full, qn, q_rep)
+    elif mode == "i4":
+        run_i4(mesh, full, qn, q_rep)
+    elif mode == "ivf":
+        run_ivf(mesh, full, qn)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+    print(f"MH OK pid={pid} mode={mode}", flush=True)
     return 0
 
 

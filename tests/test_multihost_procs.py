@@ -31,7 +31,11 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_sharded_query(tmp_path):
+@pytest.mark.parametrize("mode", ["exact", "i4", "ivf"])
+def test_two_process_sharded_query(tmp_path, mode):
+    """exact: the f32 merge. i4: the packed-nibble int4 STORAGE lane.
+    ivf: ShardedIVF build + search + an INCREMENTAL update() epoch —
+    all across 2 real OS processes (VERDICT r3 item 5)."""
     base = str(tmp_path / "mhstore")
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((N, DIM)).astype(np.float32)
@@ -52,7 +56,7 @@ def test_two_process_sharded_query(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(pid), str(NPROCS), str(port),
-             base, str(DIM)],
+             base, str(DIM), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
@@ -64,4 +68,4 @@ def test_two_process_sharded_query(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert f"MH OK pid={pid}" in out, out
+        assert f"MH OK pid={pid} mode={mode}" in out, out
