@@ -175,6 +175,56 @@ def main() -> int:
               f"{dev_batch_s*1000:.1f} ms -> {device_qps:.0f} QPS",
               file=sys.stderr)
 
+        # ---- MFU: raw bf16 key-sweep dot slope vs the chip's peak ---------
+        # The selection matmul is the only MXU-bound stage of the scan; its
+        # achieved FLOP/s over the bf16 peak tracks toolchain shifts round
+        # to round (VERDICT r3 #9; cf. the s8 extraction tax, NOTES_r4 #2).
+        # Measured as a dispatch-chain slope like device_qps above, on the
+        # engine's resident bf16 mirror (no extra upload).
+        import jax.numpy as jnp
+
+        mfu = None
+        dot_tflops = None
+        vb = db._dev.vectors_lp
+        if vb is None and db._dev.vectors is not None and \
+                str(db._dev.vectors.dtype) == "bfloat16":
+            vb = db._dev.vectors
+        if vb is not None:
+            qb = jax.device_put(
+                queries[: args.batch_size].astype(np.float32)
+            ).astype(jnp.bfloat16)
+
+            @jax.jit
+            def _dot(q, v):
+                return jax.lax.dot_general(
+                    q, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def dot_chain(m):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(m):
+                    last = _dot(qb, vb)
+                np.asarray(last[:1, :1])
+                return time.perf_counter() - t0
+
+            dot_chain(1)  # warm
+            d_lo = min(dot_chain(1) for _ in range(5))
+            d_hi = min(dot_chain(9) for _ in range(5))
+            dot_s = max((d_hi - d_lo) / 8, 1e-9)
+            flops = 2.0 * args.batch_size * vb.shape[0] * args.dim
+            dot_tflops = flops / dot_s / 1e12
+            # v5e MXU peak: 197 TFLOP/s bf16 (public spec). Only claim MFU
+            # on real TPU hardware; elsewhere report achieved TFLOP/s only.
+            if jax.devices()[0].platform == "tpu":
+                mfu = dot_tflops / 197.0
+            print(f"# bf16 dot slope: {dot_s*1000:.2f} ms / "
+                  f"{args.batch_size}x{vb.shape[0]}x{args.dim} -> "
+                  f"{dot_tflops:.1f} TFLOP/s"
+                  + (f" = {mfu*100:.0f}% of v5e bf16 peak" if mfu else ""),
+                  file=sys.stderr)
+
         # ---- reference contract: host queries -> dict-per-hit results ----
         t0 = time.perf_counter()
         results = db.query_batched(
@@ -318,6 +368,10 @@ def main() -> int:
                 "dict_contract_device_qps": round(dict_dev_qps, 0),
                 "single_query_device_ms": round(device_ms, 3),
                 "single_query_launch_amortized_ms": round(amortized_ms, 3),
+                "dot_tflops_bf16": (
+                    round(dot_tflops, 1) if dot_tflops else None
+                ),
+                "mfu_vs_v5e_bf16_peak": round(mfu, 3) if mfu else None,
                 # committed measurements from the scale suite
                 # (bench/ivf_scale.py, bench/query_profiler.py) — see
                 # BENCHMARKS.md for methodology
