@@ -277,9 +277,16 @@ class ShardedIVF:
                 for s in range(nshards)
             ]
         # Per-shard slack beyond the built rows = the overflow region for
-        # incremental updates (cluster id = nlist, always probed) — the
-        # same sizing rule as the single-device tier (ops/ivf.py::build).
-        slack = max(IVF_BN, int(0.04 * max(per, 1)))
+        # incremental updates (cluster id = nlist, probed when occupied) —
+        # 4% like the single-device tier (ops/ivf.py::build), but floored
+        # at 64 rows, NOT a full IVF_BN tile: the tile rounding below
+        # already yields up to IVF_BN-1 rows of usable slack, and forcing
+        # an extra tile would grow every shard's probe grid — which the
+        # mosaic TPU interpreter cannot take (its core-emulation barriers
+        # deadlock when 8 shard_map bodies step multi-tile pallas grids
+        # concurrently on the CPU mesh — see tests/test_ivf_mesh.py note;
+        # real-TPU and XLA-fallback paths don't care).
+        slack = max(64, int(0.04 * max(per, 1)))
         cap_shard = round_up(max(per, 1) + slack, IVF_BN)
         n_tiles = cap_shard // IVF_BN
         nlist_pad = round_up(nlist + 1, 8)
