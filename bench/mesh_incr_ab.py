@@ -62,17 +62,18 @@ def _build(path, vectors, mesh, nlist, ratio):
 
 
 def _mutate_and_serve(db, new, upd_ids, del_ids, q, k):
-    """One mutation epoch + the query that pays for it; returns (wall_s,
-    rebuild_mode, ids_matrix)."""
+    """One mutation epoch + the single query that pays for it (default
+    probe width — the serving case); returns (wall_s, rebuild_mode).
+    The caller verifies parity separately with an untimed full probe."""
     db.upsert(
         [{K_ID: f"new{j}", K_VECTOR: new[j]} for j in range(len(new))]
         + [{K_ID: i, K_VECTOR: r} for i, r in upd_ids]
     )
     db.delete(del_ids)
     t0 = time.perf_counter()
-    ids, _ = db.query_columnar(q, top_k=k, ef_search=10**6)  # full-probe
+    db.query(q[0], top_k=k)
     wall = time.perf_counter() - t0
-    return wall, db._last_ann_rebuild_mode, ids
+    return wall, db._last_ann_rebuild_mode
 
 
 def main() -> int:
@@ -115,13 +116,20 @@ def main() -> int:
         db, build_s = _build(
             f"/tmp/mesh_incr_{arm}", vectors, mesh, nlist, ratio
         )
-        wall, mode, ids = _mutate_and_serve(
-            db, new, upd_pairs, del_ids, q, k
+        # WARM epoch (8 rows): compiles the maintenance programs (scatter
+        # chain / rebuild pipeline) so the timed epoch measures the
+        # steady-state policy cost, not first-touch XLA compiles.
+        warm = normalize_batch(
+            rng.normal(size=(8, dim)).astype(np.float32)
         )
-        # steady-state query wall on the now-clean store (isolates the
-        # maintenance cost inside `wall`)
+        _mutate_and_serve(
+            db, warm, [], [str(9000 + j) for j in range(4)], q, k
+        )
+        wall, mode = _mutate_and_serve(db, new, upd_pairs, del_ids, q, k)
+        # steady-state single-query wall on the now-clean store (isolates
+        # the maintenance cost inside `wall`)
         t0 = time.perf_counter()
-        db.query_columnar(q, top_k=k, ef_search=10**6)
+        db.query(q[0], top_k=k)
         clean = time.perf_counter() - t0
         expect = "incremental" if ratio else "full"
         assert mode == expect, (arm, mode)
@@ -132,7 +140,10 @@ def main() -> int:
             "clean_query_wall_s": round(clean, 3),
             "rebuild_mode": mode,
         }
-        ids_by_arm[arm] = ids
+        # untimed parity evidence: full probe over the mutated store
+        ids_by_arm[arm], _ = db.query_columnar(
+            q, top_k=k, ef_search=10**6
+        )
         print(f"  {arm}: dirty-epoch {wall:.3f}s (clean {clean:.3f}s, "
               f"build was {build_s:.1f}s)", flush=True)
 
