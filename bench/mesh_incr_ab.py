@@ -156,9 +156,14 @@ def main() -> int:
         out["arms"]["full"]["dirty_epoch_wall_s"]
         / max(1e-9, out["arms"]["incremental"]["dirty_epoch_wall_s"]), 2
     )
-    out["speedup_maintenance"] = round(
-        out["arms"]["full"]["maintenance_s"]
-        / max(1e-9, out["arms"]["incremental"]["maintenance_s"]), 1
+    # The maintenance ratio is only meaningful when the incremental arm's
+    # maintenance is resolvable above query-wall noise; at large N on the
+    # virtual CPU mesh it rounds to ~0 and the ratio degenerates. Report
+    # null then — the full arm's maintenance_s IS the rebuild wall.
+    inc_maint = out["arms"]["incremental"]["maintenance_s"]
+    out["speedup_maintenance"] = (
+        round(out["arms"]["full"]["maintenance_s"] / inc_maint, 1)
+        if inc_maint >= 0.05 else None
     )
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
