@@ -1784,6 +1784,17 @@ class PicoVectorDB:
                                 )
                             )
                         ),
+                        # fraction of rows living in the always-probed
+                        # overflow regions since the last full build, and
+                        # (int8-only layout) the component clip rate of
+                        # the last requantize-on-append — the guard that
+                        # steers drifted appends back to a full rebuild
+                        "overflow_fraction": float(
+                            self._ivf.overflow_fraction
+                        ),
+                        "last_update_clip_fraction": getattr(
+                            self._ivf, "last_update_clip_fraction", None
+                        ),
                     }
                 ),
                 # Construction knobs the last build resolved to (None until

@@ -194,6 +194,20 @@ def default_nlist(n_active: int) -> int:
     return int(max(8, min(4096, 2 * math.sqrt(max(1, n_active)))))
 
 
+def _i8_clip_max() -> float:
+    """Max fraction of components the int8-only requantize-on-append may
+    clip before `update` refuses and the engine falls back to a full
+    rebuild (fresh scales). Default 0.05 — in-distribution appends clip
+    ~0 (new rows share the build corpus' dynamic range); a higher rate
+    means the data drifted and selection scores for the appended rows
+    would bias low. Shared by the single-device and mesh i8-only tiers;
+    override with PICOVDB_IVF_I8_CLIP_MAX."""
+    try:
+        return float(os.getenv("PICOVDB_IVF_I8_CLIP_MAX", "0.05"))
+    except ValueError:
+        return 0.05
+
+
 def ef_to_nprobe(ef: int, nlist: int) -> int:
     """Map the reference's efSearch-style knob onto nprobe.
 
@@ -274,6 +288,10 @@ class IVFIndex:
         # corpus mirror by slot id instead (see `search_async`).
         self.vectors_i8c = None
         self.cscale = None
+        # int8-only layout: frozen build-time column scales (host mirror)
+        # for requantize-on-append, + clip-guard observability
+        self._cscale_np: Optional[np.ndarray] = None
+        self.last_update_clip_fraction: Optional[float] = None
         if vectors is not None and _ivf_i8_mirror(dim):
             self.refresh_i8_mirror()
 
@@ -430,9 +448,8 @@ class IVFIndex:
             for s0 in range(0, n_active, chunk):
                 rows = fetch(s0, s0 + chunk)
                 cmax = np.maximum(cmax, np.asarray(colmax_abs(rows)))
-            i8_scales = jax.device_put(
-                (np.maximum(cmax, 1e-30) / 127.0).astype(np.float32)
-            )
+            cs_np = (np.maximum(cmax, 1e-30) / 127.0).astype(np.float32)
+            i8_scales = jax.device_put(cs_np)
             i8_buf = jnp.zeros((cap_ivf, dim), jnp.int8)
             for s0 in range(0, n_active, chunk):
                 rows = fetch(s0, s0 + chunk)
@@ -489,6 +506,7 @@ class IVFIndex:
         if i8_only:
             idx.vectors_i8c = i8_buf
             idx.cscale = i8_scales
+            idx._cscale_np = cs_np
         idx._host_blob = {
             "centroids": cent_np[:nlist],
             "assign_rows": act_rows.astype(np.int64),
@@ -521,16 +539,30 @@ class IVFIndex:
         the overflow region is exhausted — the analog of the reference's
         incremental-vs-full rebuild threshold (picovdb/pico_vdb.py:884-921),
         where the engine falls back to a full (re)build.
+
+        int8-only layout: appended rows requantize against the FROZEN
+        build-time corpus-global column scales (selection-only data — the
+        exact rescore re-reads the engine corpus by slot); a clip-fraction
+        guard (`PICOVDB_IVF_I8_CLIP_MAX`, default 5% of components)
+        refuses the in-place path when new rows fall outside the
+        build-time dynamic range, since clip bias could push a true
+        winner out of the k_sel guard band.
         """
-        if self.vectors is None:
-            # int8-only layout: overflow rows would need requantization
-            # against corpus-global column scales — full rebuild instead
-            # (cheap relative to the scale this layout exists for).
-            return False
+        i8_only = self.vectors is None
+        store = self.vectors_i8c if i8_only else self.vectors
         changed_slots = np.asarray(changed_slots, dtype=np.int64)
         n_new = int(active_flags.sum())
-        if self._n_used + n_new > self.vectors.shape[0]:
+        if self._n_used + n_new > store.shape[0]:
             return False
+        q8_new = None
+        if i8_only and n_new:
+            rows_f = np.asarray(rows[active_flags], dtype=np.float32)
+            scaled = np.rint(rows_f / self._cscale_np)
+            clipped = float((np.abs(scaled) > 127).mean())
+            self.last_update_clip_fraction = clipped
+            if clipped > _i8_clip_max():
+                return False
+            q8_new = np.clip(scaled, -127, 127).astype(np.int8)
 
         # grow the slot map if the engine's slot table grew
         max_slot = int(changed_slots.max()) if changed_slots.size else 0
@@ -557,12 +589,18 @@ class IVFIndex:
             )
         if n_new:
             idx32 = jax.device_put(new_rows.astype(np.int32))
-            self.vectors = _scatter_rows_ivf(
-                self.vectors, idx32,
-                jax.device_put(
-                    np.ascontiguousarray(rows[active_flags], dtype=Float)
-                ),
-            )
+            if i8_only:
+                self.vectors_i8c = _scatter_rows_ivf(
+                    self.vectors_i8c, idx32,
+                    jax.device_put(np.ascontiguousarray(q8_new)),
+                )
+            else:
+                self.vectors = _scatter_rows_ivf(
+                    self.vectors, idx32,
+                    jax.device_put(
+                        np.ascontiguousarray(rows[active_flags], dtype=Float)
+                    ),
+                )
             self.slots = _scatter_rows_ivf(
                 self.slots, idx32,
                 jax.device_put(new_slots.astype(np.int32)),

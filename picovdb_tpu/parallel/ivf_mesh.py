@@ -34,9 +34,15 @@ rows into whichever shards have free overflow space, as tiny sharded
 device scatters. No host corpus materialization, no k-means: a mutation
 epoch costs O(changed). The engine's `faiss_incremental_threshold_ratio`
 knob governs incremental-vs-full exactly like the reference
-(picovdb/pico_vdb.py:884-921); the int8-only layout still rebuilds (its
-per-shard column scales are layout-global, same rationale as the
-single-device int8-only tier). Sidecar persistence reuses the
+(picovdb/pico_vdb.py:884-921). The int8-only layout updates in place too:
+appended rows requantize against the FROZEN build-time per-shard column
+scales (clipping at the int8 rails) and must land on their OWNING corpus
+shard (the rescore-locality invariant); a measured clip-fraction guard
+(`PICOVDB_IVF_I8_CLIP_MAX`) falls back to a full rebuild when new rows
+drift too far outside the build-time dynamic range, since clip bias only
+lowers SELECTION scores (the exact rescore re-reads the engine corpus)
+but could drop a true winner out of the guard band if extreme.
+Sidecar persistence reuses the
 single-device blob schema, so `index="ivf"` stores round-trip between mesh
 and single-device processes.
 """
@@ -61,6 +67,7 @@ from ..utils import next_pow2, round_up
 from ..ops.ivf import (
     IVF_BN,
     _assign,
+    _i8_clip_max,
     _ivf_guard,
     _ivf_i8_enabled,
     _ivf_i8_mirror,
@@ -147,6 +154,13 @@ class ShardedIVF:
         self._n_build: int = 0
         self._row_cluster_np: Optional[np.ndarray] = None
         self._blob_stale = False
+        # int8-only layout: frozen build-time per-shard column scales
+        # (host mirror) + the corpus-shard row count the owner partition
+        # was computed from; observability for the requantize-on-append
+        # clip guard (fraction of components clipped by the last update)
+        self._cscale_np: Optional[np.ndarray] = None
+        self._shard_rows_corpus: int = 0
+        self.last_update_clip_fraction: Optional[float] = None
         # per-shard column-scaled int8 postings mirror — same
         # DMA-bound-probe rationale as the single-device tier
         # (ops/ivf._ivf_i8_enabled). In the int8-only layout
@@ -258,8 +272,8 @@ class ShardedIVF:
         # their OWNING corpus shard so the slot rescore is local; active
         # slots are ~uniform over the slot space, so balance is similar.
         # All shards share cap_shard so the stacked arrays are uniform;
-        # slack is the tile padding only — the mesh tier rebuilds rather
-        # than appending in place.
+        # the slack beyond each shard's built rows is its overflow region
+        # for incremental appends (see `update`).
         if i8_only:
             if not corpus_cap or corpus_cap % nshards:
                 raise ValueError(
@@ -395,13 +409,16 @@ class ShardedIVF:
             "assign_cluster": assign.astype(np.int32),
             "nlist": np.asarray(nlist),
         }
-        if not i8_only:
-            # incremental-update bookkeeping (classic layout only; the
-            # int8-only layout rebuilds — see `update`)
-            idx._slot2row = s2r
-            idx._n_used = n_used
-            idx._n_build = int(n_used.sum())
-            idx._row_cluster_np = row_cluster_np
+        # incremental-update bookkeeping (both layouts; see `update`)
+        idx._slot2row = s2r
+        idx._n_used = n_used
+        idx._n_build = int(n_used.sum())
+        idx._row_cluster_np = row_cluster_np
+        if i8_only:
+            # frozen build-time scales for requantize-on-append, and the
+            # owner partition the slot->local-row mapping was built on
+            idx._cscale_np = cs_np
+            idx._shard_rows_corpus = shard_rows_corpus
         return idx
 
     # -- incremental maintenance -------------------------------------------
@@ -411,8 +428,8 @@ class ShardedIVF:
         """Fraction of rows appended to the per-shard always-probed
         overflow regions since the last full build (dead holes count too —
         both grow the per-query scan until the next rebuild); 1.0 when the
-        layout cannot update in place (int8-only)."""
-        if self.vectors is None or self._n_used is None:
+        bookkeeping is absent (update disabled -> full-rebuild policy)."""
+        if self._n_used is None:
             return 1.0
         used = max(1, int(self._n_used.sum()))
         return float(int(self._n_used.sum()) - self._n_build) / used
@@ -423,43 +440,73 @@ class ShardedIVF:
         The sharded counterpart of IVFIndex.update: deletions/updates
         deactivate the old postings row; new/updated vectors append into
         per-shard overflow regions (cluster id = nlist, probed by every
-        query on that shard). Classic layout only — `slots` are global
-        engine ids, so an appended row may live on ANY shard; appends
-        fill the emptiest shards first to keep per-shard hot-tile counts
-        balanced. All device work is O(changed) scatters into the sharded
-        arrays (GSPMD keeps them shard-local); no host corpus
-        materialization, no k-means.
+        query on that shard). Classic layout: `slots` are global engine
+        ids, so an appended row may live on ANY shard — appends fill the
+        emptiest shards first to keep per-shard hot-tile counts balanced.
+        int8-only layout: each row must land on its OWNING corpus shard
+        (slot // per-shard corpus capacity — the rescore-locality
+        invariant) and is requantized against the FROZEN build-time
+        per-shard column scales; a clip-fraction guard (default 5% of
+        components, `PICOVDB_IVF_I8_CLIP_MAX`) refuses the in-place path
+        when new rows fall too far outside the build-time dynamic range —
+        clip bias only lowers selection scores (the exact rescore re-reads
+        the engine corpus), but extreme clipping could push a true winner
+        out of the k_sel guard band. All device work is O(changed)
+        scatters into the sharded arrays (GSPMD keeps them shard-local);
+        no host corpus materialization, no k-means.
         """
-        if self.vectors is None or self._n_used is None:
-            # int8-only layout: appended rows would need requantization
-            # against per-shard column scales derived from the build-time
-            # row->shard partition — full rebuild instead (same rationale
-            # as the single-device int8-only tier).
+        if self._n_used is None:
             return False
+        i8_only = self.vectors is None
         changed_slots = np.asarray(changed_slots, dtype=np.int64)
         active_flags = np.asarray(active_flags, dtype=bool)
         n_new = int(active_flags.sum())
         nshards = self.seg_starts.shape[0]
         free = self.cap_shard - self._n_used  # (nshards,) overflow slack
-        if n_new > int(free.sum()):
-            return False
-
-        # grow the slot map if the engine's slot table grew
-        max_slot = int(changed_slots.max()) if changed_slots.size else 0
-        if max_slot >= self._slot2row.shape[0]:
-            grown = np.full(max_slot + 1, -1, dtype=np.int64)
-            grown[: self._slot2row.shape[0]] = self._slot2row
-            self._slot2row = grown
-
-        old_rows = self._slot2row[changed_slots]
-        old_rows = old_rows[old_rows >= 0]
         new_slots = changed_slots[active_flags]
 
-        # emptiest-shard-first placement of the appended rows
+        # --- placement (feasibility checked before any mutation) ----------
         new_rows = np.empty(n_new, dtype=np.int64)
         new_shard = np.empty(n_new, dtype=np.int64)
-        if n_new:
-            take = np.zeros(nshards, dtype=np.int64)
+        take = np.zeros(nshards, dtype=np.int64)
+        q8_new = None
+        if i8_only:
+            if n_new:
+                # owner-constrained placement: local row ids gather from
+                # the owning shard's corpus slice at rescore time
+                new_shard[:] = new_slots // self._shard_rows_corpus
+                if (new_shard >= nshards).any():
+                    # slot beyond the built corpus capacity: the corpus
+                    # was re-padded since the build (rows moved shards) —
+                    # the whole layout is stale, rebuild
+                    return False
+                counts = np.bincount(new_shard, minlength=nshards)
+                if (counts > free).any():
+                    return False  # an owner shard's overflow is full
+                # requantize against the frozen build-time scales
+                rows_f = np.asarray(
+                    rows[active_flags], dtype=np.float32
+                )
+                scaled = np.rint(
+                    rows_f / self._cscale_np[new_shard]
+                )
+                clipped = float(
+                    (np.abs(scaled) > 127).mean()
+                ) if scaled.size else 0.0
+                self.last_update_clip_fraction = clipped
+                if clipped > _i8_clip_max():
+                    return False
+                q8_new = np.clip(scaled, -127, 127).astype(np.int8)
+                fill = self._n_used.copy()
+                for j in range(n_new):
+                    s = int(new_shard[j])
+                    new_rows[j] = s * self.cap_shard + int(fill[s])
+                    fill[s] += 1
+                take = counts.astype(np.int64)
+        elif n_new:
+            # emptiest-shard-first placement of the appended rows
+            if n_new > int(free.sum()):
+                return False
             remaining = n_new
             while remaining:
                 order = np.argsort(-(free - take), kind="stable")
@@ -476,7 +523,17 @@ class ShardedIVF:
                 new_rows[pos : pos + cnt] = np.arange(start, start + cnt)
                 new_shard[pos : pos + cnt] = s
                 pos += cnt
-            self._n_used += take
+        self._n_used += take
+
+        # grow the slot map if the engine's slot table grew
+        max_slot = int(changed_slots.max()) if changed_slots.size else 0
+        if max_slot >= self._slot2row.shape[0]:
+            grown = np.full(max_slot + 1, -1, dtype=np.int64)
+            grown[: self._slot2row.shape[0]] = self._slot2row
+            self._slot2row = grown
+
+        old_rows = self._slot2row[changed_slots]
+        old_rows = old_rows[old_rows >= 0]
         self._slot2row[changed_slots] = -1
         self._slot2row[new_slots] = new_rows
         self._blob_stale = True
@@ -495,16 +552,27 @@ class ShardedIVF:
             )
         if n_new:
             idx32 = jax.device_put(new_rows.astype(np.int32), rep)
-            self.vectors = _scatter_rows_ivf(
-                self.vectors, idx32,
-                jax.device_put(
-                    np.ascontiguousarray(rows[active_flags], dtype=Float),
-                    rep,
-                ),
-            )
+            if i8_only:
+                self.vectors_i8c = _scatter_rows_ivf(
+                    self.vectors_i8c, idx32,
+                    jax.device_put(np.ascontiguousarray(q8_new), rep),
+                )
+                slot_vals = (
+                    new_slots - new_shard * self._shard_rows_corpus
+                ).astype(np.int32)
+            else:
+                self.vectors = _scatter_rows_ivf(
+                    self.vectors, idx32,
+                    jax.device_put(
+                        np.ascontiguousarray(
+                            rows[active_flags], dtype=Float
+                        ),
+                        rep,
+                    ),
+                )
+                slot_vals = new_slots.astype(np.int32)
             self.slots = _scatter_rows_ivf(
-                self.slots, idx32,
-                jax.device_put(new_slots.astype(np.int32), rep),
+                self.slots, idx32, jax.device_put(slot_vals, rep)
             )
             self.active = _scatter_set(self.active, idx32, True)
             self._row_cluster_np[new_rows] = self.nlist
@@ -521,10 +589,13 @@ class ShardedIVF:
                 jax.device_put(pairs[:, 1].astype(np.int32), rep),
                 self.nlist,
             )
-            if self.vectors_i8c is not None:
+            if not i8_only and self.vectors_i8c is not None:
                 # re-derive the per-shard int8 postings mirror on device
                 # (column scales are shard-global; clip-scattering against
-                # stale scales would skew selection)
+                # stale scales would skew selection). The int8-only layout
+                # instead clip-scatters against its FROZEN scales above —
+                # there the mirror is selection-only and guarded by the
+                # clip-fraction check.
                 self.vectors_i8c, self.cscale = _quantize_shards_i8(
                     self.vectors, self.mesh, self.shard_axis
                 )

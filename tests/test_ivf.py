@@ -470,8 +470,13 @@ def test_ivf_i8only_layout_parity(rng, monkeypatch):
         np.testing.assert_allclose(
             v8[i], scores[i][s8[i]], rtol=1e-5, atol=1e-6
         )
-    # mutations steer to full rebuild (no in-place overflow path)
-    assert not ivf8.update(np.array([0]), queries[:1], np.array([True]))
+    # in-place overflow update: the replaced row requantizes against the
+    # frozen build-time scales and lands in the overflow region
+    assert ivf8.update(np.array([0]), queries[:1], np.array([True]))
+    assert ivf8.last_update_clip_fraction <= 0.05
+    assert ivf8.overflow_fraction > 0.0
+    v_u, s_u = ivf8.search(queries[:1], 1, ef=10**6, dev=dev)
+    assert s_u[0, 0] == 0  # found at its (unchanged) corpus slot
 
 
 def test_ivf_i8only_device_build_path(rng, monkeypatch):
@@ -516,10 +521,27 @@ def test_engine_i8only_policy_forced(db_path, rng, monkeypatch):
     assert res[0][K_ID] == "x33"
     assert db._ivf is not None and db._ivf.vectors is None
     assert db._last_topk_strategy == "ivf_i8"
-    # mutation -> full rebuild (update() refuses in-place on i8-only)
+    # a small mutation epoch updates the i8-only layout IN PLACE:
+    # appends requantize against the frozen build-time column scales
+    new = (centers[0] + 0.05 * rng.normal(size=32)).astype(np.float32)
+    db.upsert([{K_ID: "fresh", K_VECTOR: new}])
     db.delete(["x33"])
     res2 = db.query(vecs[33], top_k=1, ef_search=64)
+    assert db._last_ann_rebuild_mode == "incremental"
+    assert db._ivf.last_update_clip_fraction <= 0.05
     assert res2[0][K_ID] != "x33"
+    r_new = db.query(new, top_k=1, ef_search=64)
+    assert r_new[0][K_ID] == "fresh"
+
+    # clip guard: a row far outside the build-time dynamic range forces
+    # the full-rebuild path instead (fresh scales, recall never traded)
+    monkeypatch.setenv("PICOVDB_IVF_I8_CLIP_MAX", "0")
+    onehot = np.zeros(32, np.float32)
+    onehot[0] = 1.0
+    db.upsert([{K_ID: "hot", K_VECTOR: onehot}])
+    r_hot = db.query(onehot, top_k=1, ef_search=64)
+    assert db._last_ann_rebuild_mode == "full"
+    assert r_hot[0][K_ID] == "hot"
 
 
 def test_ivf_int8_wide_guard_at_high_dim(rng, monkeypatch):

@@ -164,10 +164,20 @@ def test_engine_mesh_int8_only_ivf(db_path, rng, monkeypatch):
     exact = db.query(vectors[77], top_k=k, ef_search=1000, where=lambda d: True)
     assert {r[K_ID] for r in res} == {r[K_ID] for r in exact}
 
-    # deletes route through the full-rebuild policy and disappear
+    # a small mutation epoch routes through the INCREMENTAL path:
+    # appended rows requantize against the frozen build-time per-shard
+    # scales and land on their owning corpus shard
+    new = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    db.upsert([{K_ID: f"n{j}", K_VECTOR: new[j]} for j in range(2)])
     db.delete(["77"])
     res3 = db.query(vectors[77], top_k=k, ef_search=1000)
+    assert db._last_ann_rebuild_mode == "incremental"
+    # in-distribution appends clip ~nothing against the frozen scales
+    assert db._ivf.last_update_clip_fraction <= 0.02
     assert all(r[K_ID] != "77" for r in res3)
+    r_new = db.query(new[0], top_k=k, ef_search=1000)
+    assert db._last_topk_strategy.startswith("ivf")
+    assert r_new[0][K_ID] == "n0"
 
     # sidecar roundtrip rebuilds the i8-only layout warm
     db.save()
@@ -427,3 +437,85 @@ def test_engine_mesh_ivf_sidecar_after_incremental(db_path, rng):
     assert all(r[K_ID] != "7" for r in db2.query(
         vectors[7], top_k=k, ef_search=1000
     ))
+
+
+def test_sharded_ivf_i8only_update_owner_placement(rng, monkeypatch):
+    """int8-only in-place updates: appended rows requantize against the
+    FROZEN build-time per-shard scales and land on their OWNING corpus
+    shard (rescore-locality); out-of-range appends trip the clip guard
+    and refuse without mutating any bookkeeping."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    mesh = make_mesh()
+    nshards = mesh.shape["shard"]
+    n, dim = 4096, 32
+    cap = n  # corpus capacity == n, multiple of nshards
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    mask[n - 16:] = False  # leave free corpus slots for the appends
+    ivf = ShardedIVF.build(
+        vectors, mask, mesh, nlist=16, dim=dim, i8_only=True,
+        corpus_cap=cap,
+    )
+    assert ivf.vectors is None and ivf._n_used is not None
+    assert ivf.overflow_fraction == 0.0
+    shard_rows = cap // nshards
+
+    # append two rows into known corpus slots -> owner shards are fixed
+    slots = np.array([n - 16, n - 1], dtype=np.int64)
+    new = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    used_before = ivf._n_used.copy()
+    ok = ivf.update(slots, new, np.array([True, True]))
+    assert ok
+    assert ivf.last_update_clip_fraction <= 0.02
+    for j, slot in enumerate(slots):
+        owner = slot // shard_rows
+        row = int(ivf._slot2row[slot])
+        assert row // ivf.cap_shard == owner  # owner-shard placement
+        # stored local id resolves back to the global slot
+        local = int(np.asarray(ivf.slots)[row])
+        assert owner * shard_rows + local == slot
+    assert int(ivf._n_used.sum()) == int(used_before.sum()) + 2
+
+    # delete-only epoch stays in place too
+    ok2 = ivf.update(np.array([5]), np.zeros((1, dim), np.float32),
+                     np.array([False]))
+    assert ok2
+    assert not bool(np.asarray(ivf.active)[int(ivf._slot2row[5])] if
+                    ivf._slot2row[5] >= 0 else False)
+
+    # clip guard: a row far outside the build-time dynamic range refuses
+    wild = np.zeros((1, dim), np.float32)
+    wild[0, :8] = 1.0  # 8/32 components at 0.35 >> clustered col maxima
+    state = (ivf._n_used.copy(), int(ivf._slot2row[n - 8]))
+    ok3 = ivf.update(np.array([n - 8]), wild, np.array([True]))
+    assert not ok3
+    assert ivf.last_update_clip_fraction > 0.0
+    assert np.array_equal(ivf._n_used, state[0])  # nothing mutated
+    assert int(ivf._slot2row[n - 8]) == state[1]
+
+
+def test_engine_mesh_i8only_clip_guard_falls_back_to_rebuild(
+    db_path, rng, monkeypatch
+):
+    """When an append clips too hard against the frozen scales the engine
+    falls back to a full rebuild (fresh scales) — recall is never traded
+    for the in-place fast path."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    monkeypatch.setenv("PICOVDB_IVF_I8_CLIP_MAX", "0")
+    mesh = make_mesh()
+    dim, n, k = 32, 4096, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="int8", ivf_nlist=16,
+    )
+    db.upsert_columnar(vectors.copy(), ids=[str(i) for i in range(n)])
+    db.rebuild_index()
+    assert db._ivf is not None and db._ivf.vectors is None
+
+    onehot = np.zeros(dim, np.float32)
+    onehot[0] = 1.0  # normalizes to e0: clips against clustered scales
+    db.upsert([{K_ID: "hot", K_VECTOR: onehot}])
+    res = db.query(onehot, top_k=k, ef_search=1000)
+    assert db._last_ann_rebuild_mode == "full"  # guard refused in-place
+    assert res[0][K_ID] == "hot"
