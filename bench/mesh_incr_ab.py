@@ -45,11 +45,12 @@ from picovdb_tpu.parallel.mesh import make_mesh  # noqa: E402
 from picovdb_tpu.utils import normalize_batch  # noqa: E402
 
 
-def _build(path, vectors, mesh, nlist, ratio):
+def _build(path, vectors, mesh, nlist, ratio, storage=None):
     db = PicoVectorDB(
         embedding_dim=vectors.shape[1], storage_file=path, mesh=mesh,
         index="ivf", ivf_nlist=nlist,
         faiss_incremental_threshold_ratio=ratio,
+        storage_dtype=storage,
     )
     db.upsert_columnar(
         vectors.copy(), ids=[str(i) for i in range(len(vectors))]
@@ -84,8 +85,15 @@ def main() -> int:
     p.add_argument("--nlist", type=int, default=0)
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--queries", type=int, default=16)
+    p.add_argument("--storage", default=None,
+                   help="storage_dtype (int8 exercises the int8-only "
+                        "layout's frozen-scale in-place updates)")
     p.add_argument("--out", default="bench/results/mesh_incr_ab_r4.json")
     args = p.parse_args()
+    if args.storage == "int8":
+        # the int8-only postings layout is the only layout for int8
+        # storage; enable it below IVF_I8_MIN_DIM at bench dims
+        os.environ.setdefault("PICOVDB_IVF_I8", "1")
 
     rng = np.random.default_rng(7)
     n, dim, k = args.rows, args.dim, args.topk
@@ -110,11 +118,13 @@ def main() -> int:
         rng.normal(size=(args.queries, dim)).astype(np.float32)
     )
 
-    out = {"shape": f"{n}x{dim}", "changed": m, "nlist": nlist, "arms": {}}
+    out = {"shape": f"{n}x{dim}", "changed": m, "nlist": nlist,
+           "storage": args.storage or "float32", "arms": {}}
     ids_by_arm = {}
     for arm, ratio in (("incremental", 0.2), ("full", 0.0)):
         db, build_s = _build(
-            f"/tmp/mesh_incr_{arm}", vectors, mesh, nlist, ratio
+            f"/tmp/mesh_incr_{arm}", vectors, mesh, nlist, ratio,
+            storage=args.storage,
         )
         # WARM epoch (8 rows): compiles the maintenance programs (scatter
         # chain / rebuild pipeline) so the timed epoch measures the

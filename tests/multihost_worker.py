@@ -13,6 +13,9 @@ exact-f32 merge to the remaining mesh lanes:
   * ivf   — `ShardedIVF` build + full-probe search across processes, then
             one INCREMENTAL `update()` epoch (per-shard overflow regions)
             re-served at oracle parity
+  * ivf8  — int8-only `ShardedIVF` layout (per-shard int8 postings +
+            LOCAL-slot exact rescore from the sharded corpus), then one
+            in-place frozen-scale requantize `update()` epoch
 
 Usage: python multihost_worker.py <pid> <nprocs> <port> <store_base> <dim>
        [mode]
@@ -128,6 +131,72 @@ def run_ivf(mesh, full, qn):
     assert s3[0, 0] == n, s3
 
 
+def run_ivf8(mesh, vectors, full, qn):
+    """int8-only ShardedIVF across processes: per-shard int8 postings
+    select, the exact rescore gathers each process's slice of the sharded
+    f32 corpus by LOCAL slot id, then one in-place update() epoch
+    (frozen-scale requantize) re-serves exactly."""
+    import types
+
+    from picovdb_tpu.parallel.ivf_mesh import ShardedIVF
+
+    n, dim = full.shape
+    k = 5
+    ivf = ShardedIVF.build(
+        full, np.ones(n, dtype=bool), mesh, nlist=8, dim=dim,
+        i8_only=True, corpus_cap=n,
+    )
+    assert ivf.vectors is None and ivf.vectors_i8c is not None
+    dev = types.SimpleNamespace(cap=n, vectors=vectors, vstore_scale=None)
+    vals, slots = ivf.search(qn, k, ef=10**6, dev=dev)  # full probe
+    s, want = _oracle_topk(qn, full, k)
+    ovals = np.take_along_axis(s, want, axis=1)
+    # int8 selection + exact rescore: returned scores must be the true
+    # corpus cosines of the returned ids (tie/selection-noise robust)
+    for qi in range(qn.shape[0]):
+        np.testing.assert_allclose(
+            s[qi][slots[qi]], vals[qi], rtol=1e-5, atol=1e-6
+        )
+        assert slots[qi][0] == want[qi][0], (slots[qi], want[qi])
+
+    # in-place epoch: delete row 0, replace row 1 (same corpus slot) —
+    # the frozen-scale requantize path, identical in every process
+    rng = np.random.default_rng(11)
+    new = rng.standard_normal((1, dim)).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    new *= 0.8  # stay inside the build-time dynamic range
+    ok = ivf.update(
+        np.array([0, 1]),
+        np.vstack([np.zeros((1, dim), np.float32), new]),
+        np.array([False, True]),
+    )
+    assert ok, "i8-only incremental update refused on the 2-process mesh"
+    assert ivf.last_update_clip_fraction <= 0.05
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    full2 = full.copy()
+    full2[1] = new[0]
+    local_rows = n // jax.process_count()
+    start = jax.process_index() * local_rows
+    vectors2 = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("shard", None)),
+        full2[start : start + local_rows],
+    )
+    dev2 = types.SimpleNamespace(cap=n, vectors=vectors2, vstore_scale=None)
+    live = np.ones(n, dtype=bool)
+    live[0] = False
+    vals2, slots2 = ivf.search(qn, k, ef=10**6, dev=dev2)
+    s2, want2 = _oracle_topk(qn, full2, k, live=live)
+    for qi in range(qn.shape[0]):
+        np.testing.assert_allclose(
+            s2[qi][slots2[qi]], vals2[qi], rtol=1e-5, atol=1e-6
+        )
+        assert 0 not in slots2[qi]
+    v3, s3 = ivf.search(full2[1:2], 1, ef=10**6, dev=dev2)
+    assert s3[0, 0] == 1, s3
+
+
 def main() -> int:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     base, dim = sys.argv[4], int(sys.argv[5])
@@ -172,6 +241,8 @@ def main() -> int:
         run_i4(mesh, full, qn, q_rep)
     elif mode == "ivf":
         run_ivf(mesh, full, qn)
+    elif mode == "ivf8":
+        run_ivf8(mesh, vectors, full, qn)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
     print(f"MH OK pid={pid} mode={mode}", flush=True)

@@ -253,3 +253,17 @@ def test_fuzz_mesh_int4(tmp_path, rng):
     test_fuzz_engine_matches_numpy_model(
         tmp_path, 0, rng, "int4", 1.2e-2, {"mesh": make_mesh()}
     )
+
+
+def test_fuzz_i8only_ivf(tmp_path, rng, monkeypatch):
+    """One fuzz seed with the forced int8-only IVF layout (int8 storage,
+    index='ivf' at full probe): soaks the frozen-scale requantize-on-append
+    update path, its clip-guard fallback to full rebuilds, and the
+    slot-rescore serving lane under arbitrary mutation sequences. Served
+    scores are storage-precision (host-f64 rescore over int8-born rows),
+    same tolerance as the plain int8 cells."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # enable below IVF_I8_MIN_DIM
+    test_fuzz_engine_matches_numpy_model(
+        tmp_path, 0, rng, "int8", 1.2e-2,
+        {"index": "ivf", "ivf_nlist": 8, "ivf_nprobe": 8},
+    )
