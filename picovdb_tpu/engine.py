@@ -2361,12 +2361,12 @@ class PicoVectorDB:
 
         from .ops.ivf import _ivf_i8_enabled
 
-        if self._dev.storage_dtype == "int8":
-            # the classic layout's raw-int8 reordered mirror cannot be
-            # scored (per-row scales) — int8-only is the only layout.
-            # (Below IVF_I8_MIN_DIM the postings' column quantization
-            # stacks on the storage quantization; _rebuild_ann skips the
-            # build there and serves exact.)
+        if self._dev.storage_dtype in ("int8", "int4"):
+            # the classic layout's raw reordered mirror cannot be scored
+            # (int8: per-row scales; int4: packed nibbles) — int8-only is
+            # the only layout. (Below IVF_I8_MIN_DIM the postings' column
+            # quantization stacks on the storage quantization;
+            # _rebuild_ann skips the build there and serves exact.)
             return True
         env = _os.getenv("PICOVDB_IVF_I8ONLY", "auto").strip().lower()
         # explicit opt-out / opt-in only — 'off'/'no'/typos must not
@@ -2458,43 +2458,34 @@ class PicoVectorDB:
             if self._index_kind == "exact":
                 self._ivf = None
                 return
-            if self._dev.storage_dtype == "int4":
-                # Same gate as the single-device branch below: no int4
-                # postings layout exists, so IVF would stack a second
-                # quantization on the 4-bit storage. The sharded exact
-                # scan serves (per-shard sweeps stay short at int4's
-                # bytes/row).
-                if self._index_kind == "ivf":
-                    logger.warning(
-                        "index='ivf' is not supported with int4 storage; "
-                        "serving the sharded exact scan"
-                    )
-                self._ivf = None
-                return
             try:
                 from .ops.ivf import should_build
                 from .parallel.ivf_mesh import ShardedIVF
 
                 n_active = int(self._active_indices.size)
-                # int8-only layout: mandatory for int8 storage (raw rows
-                # cannot be scored without per-row scales) and chosen
-                # automatically when the classic per-shard mirror would
-                # overflow the per-chip HBM budget (same rule as the
-                # single-device branch; _ivf_i8_only is mesh-aware).
+                # int8-only layout: mandatory for int8/int4 storage (raw
+                # rows cannot be scored without per-row scales / nibble
+                # unpacking) and chosen automatically when the classic
+                # per-shard mirror would overflow the per-chip HBM budget
+                # (same rule as the single-device branch; _ivf_i8_only is
+                # mesh-aware). For int4 the slot rescore unpacks the
+                # packed corpus rows in place (ops/ivf._rescore_by_slot).
                 i8o = self._ivf_i8_only()
-                if n_active and self._dev.storage_dtype == "int8":
+                if n_active and self._dev.storage_dtype in ("int8", "int4"):
                     from .ops.ivf import IVF_I8_MIN_DIM, _ivf_i8_enabled
 
                     if not _ivf_i8_enabled(self.dim):
                         # same gate as the single-device branch below:
-                        # int8 storage has no non-int8 postings layout,
-                        # and below IVF_I8_MIN_DIM the postings' column
-                        # quantization stacks on the storage quantization
+                        # quantized storage has no non-int8 postings
+                        # layout, and below IVF_I8_MIN_DIM the postings'
+                        # column quantization stacks on the storage
+                        # quantization
                         if self._index_kind == "ivf":
                             logger.warning(
-                                "index='ivf' with int8 storage needs dim "
+                                "index='ivf' with %s storage needs dim "
                                 ">= %d (or PICOVDB_IVF_I8=1); serving "
-                                "exact", IVF_I8_MIN_DIM,
+                                "exact", self._dev.storage_dtype,
+                                IVF_I8_MIN_DIM,
                             )
                         self._ivf = None
                         return
@@ -2542,35 +2533,23 @@ class PicoVectorDB:
         if self._index_kind == "exact":
             self._ivf = None
             return
-        if self._dev.storage_dtype == "int4":
-            # No int4 postings layout: probing would re-quantize 4-bit
-            # data into int8 postings, stacking two quantizations, and at
-            # the capacities this tier exists for (>12M rows) the postings
-            # don't fit beside the corpus anyway. Exact scan serves.
-            if self._index_kind == "ivf":
-                logger.warning(
-                    "index='ivf' is not supported with int4 storage; "
-                    "serving the exact scan"
-                )
-            self._ivf = None
-            return
         try:
             from .ops.ivf import IVFIndex, should_build
 
             n_active = int(self._active_indices.size)
-            if n_active and self._dev.storage_dtype == "int8":
+            if n_active and self._dev.storage_dtype in ("int8", "int4"):
                 from .ops.ivf import IVF_I8_MIN_DIM, _ivf_i8_enabled
 
                 if not _ivf_i8_enabled(self.dim):
-                    # int8 storage has no non-int8 postings layout, and
-                    # below IVF_I8_MIN_DIM the column quantization stacks
-                    # on the storage quantization (measured exact-probe
-                    # misses at low dim) — serve exact instead
+                    # quantized storage has no non-int8 postings layout,
+                    # and below IVF_I8_MIN_DIM the column quantization
+                    # stacks on the storage quantization (measured
+                    # exact-probe misses at low dim) — serve exact instead
                     if self._index_kind == "ivf":
                         logger.warning(
-                            "index='ivf' with int8 storage needs dim >= "
+                            "index='ivf' with %s storage needs dim >= "
                             "%d (or PICOVDB_IVF_I8=1); serving exact",
-                            IVF_I8_MIN_DIM,
+                            self._dev.storage_dtype, IVF_I8_MIN_DIM,
                         )
                     self._ivf = None
                     return

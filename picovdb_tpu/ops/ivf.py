@@ -160,6 +160,19 @@ def _gather_rows_dequant(arr, scale, idx):
     return rows * jnp.take(scale, idx)[:, None]
 
 
+@jax.jit
+def _gather_rows_dequant_i4(arr, scale, idx):
+    """`_gather_rows_dequant` for packed int4 STORAGE: gather the packed
+    (cap, dim//2) byte rows, unpack both nibble planes (element j in the
+    LOW nibble of byte j, j+dim/2 in the HIGH — quantize_rows_i4's
+    layout), and reconstruct as nibble * vscale[row]."""
+    rows = jnp.take(arr, idx, axis=0).astype(jnp.int32) & 255
+    lo = (rows & 15) - 8
+    hi = ((rows >> 4) & 15) - 8
+    full = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    return full * jnp.take(scale, idx)[:, None]
+
+
 @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
 def _reorder_pad(vecs, order, cap_ivf: int):
     """Cluster-contiguous reorder + tile padding, entirely on device.
@@ -347,6 +360,18 @@ class IVFIndex:
         nlist = int(nlist) if nlist else default_nlist(n_active)
         nlist = min(nlist, n_active)
 
+        if storage_dtype == "int4" and not i8_only:
+            # raw nibbles cannot be scored and a packed mirror cannot be
+            # reordered row-wise — int4 corpora always use the int8-only
+            # postings layout (the engine enforces this routing)
+            raise ValueError(
+                "int4 corpora require the int8-only postings layout"
+            )
+        # packed int4 corpora hand over the (cap, dim//2) byte matrix —
+        # every gather below dequantizes via the nibble-unpacking variant
+        packed_i4 = storage_dtype == "int4" and dev_vectors is not None
+        gather_dq = _gather_rows_dequant_i4 if packed_i4 \
+            else _gather_rows_dequant
         if dev_vectors is not None:
             # Gather straight from the engine's HBM mirror through act_rows
             # everywhere: a contiguous active-row copy would double the
@@ -354,7 +379,11 @@ class IVFIndex:
             # on a 16 GB chip.
             src, sel = dev_vectors, act_rows
         else:
-            if storage_dtype in (None, "float32"):
+            if storage_dtype in (None, "float32") or i8_only:
+                # i8_only: `src` is a temporary f32 staging buffer feeding
+                # k-means/assignment/column-quantization only (the tier
+                # keeps no storage-dtype mirror) — int8/int4 storage names
+                # must not cast true-scale rows here
                 np_dtype = np.dtype(Float)
             else:
                 import ml_dtypes  # ships with jax
@@ -371,7 +400,7 @@ class IVFIndex:
                 np.ascontiguousarray(sel[local_idx], dtype=np.int32)
             )
             if dequant_scale is not None:
-                return _gather_rows_dequant(src, dequant_scale, gidx)
+                return gather_dq(src, dequant_scale, gidx)
             return _gather_rows(src, gidx)
 
         rng = np.random.default_rng(seed)
@@ -441,7 +470,7 @@ class IVFIndex:
             def fetch(lo, hi):
                 gidx = jax.device_put(gsel[lo:hi])
                 if dequant_scale is not None:
-                    return _gather_rows_dequant(src, dequant_scale, gidx)
+                    return gather_dq(src, dequant_scale, gidx)
                 return _gather_rows(src, gidx)
 
             cmax = np.zeros(dim, np.float32)
@@ -826,6 +855,7 @@ class IVFIndex:
             rescore_v = dev.vectors
             rescore_scale = getattr(dev, "vstore_scale", None)
             compute_dtype_name = None  # only the int8 kernel scans
+            packed_i4 = getattr(dev, "storage_dtype", None) == "int4"
         else:
             rescore_v = self.vectors
             rescore_scale = None
@@ -833,6 +863,7 @@ class IVFIndex:
                 None if self.vectors.dtype == jnp.float32
                 else str(self.vectors.dtype)
             )
+            packed_i4 = False
         fn = _make_ivf_search(
             k, nprobe, self.n_tiles, self.nlist,
             compute_dtype_name,
@@ -843,6 +874,7 @@ class IVFIndex:
             self.vectors_i8c is not None,
             slot_rescore,
             k_sel,
+            packed_i4,
         )
         vals, slot_ids = fn(
             q_dev,
@@ -995,7 +1027,8 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
                      nlist: int, g_tiles: Optional[int],
                      interpret: bool, compute_dtype,
                      vectors_i8=None, cscale=None,
-                     rescore_by_slot: bool = False, rescore_scale=None):
+                     rescore_by_slot: bool = False, rescore_scale=None,
+                     rescore_packed_i4: bool = False):
     """Probe clusters -> hot-tile list -> block-skipping scan -> exact
     rescore -> slot translation, over ONE device's local IVF arrays.
 
@@ -1076,7 +1109,8 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
     if rescore_by_slot:
         return _rescore_by_slot(q, vectors, slots, vals, idxs, k,
-                                corpus_scale=rescore_scale)
+                                corpus_scale=rescore_scale,
+                                packed_i4=rescore_packed_i4)
     vals, idxs = rescore_exact(q, vectors, vals, idxs)
     vals, idxs = vals[:, :k], idxs[:, :k]
     # translate IVF rows -> engine slot ids (pad rows carry slot -1)
@@ -1085,14 +1119,22 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
     return vals, slot_ids
 
 
-def _rescore_by_slot(q, corpus, slots, vals, idxs, k, corpus_scale=None):
+def _rescore_by_slot(q, corpus, slots, vals, idxs, k, corpus_scale=None,
+                     packed_i4: bool = False):
     """Exact rescore for the int8-only layout: translate winner IVF rows
     to engine slot ids, gather the slot-indexed corpus rows, re-rank by
     exact f32 scores. -inf/pad candidates stay -inf with slot -1.
-    `corpus_scale` dequantizes an int8 STORAGE corpus (per-row scales)."""
+    `corpus_scale` dequantizes an int8 STORAGE corpus (per-row scales);
+    `packed_i4` additionally unpacks a packed-nibble int4 STORAGE corpus
+    (quantize_rows_i4's (cap, dim//2) layout) before the dot."""
     sl = jnp.take(slots, idxs, axis=0)  # (Q, k_run)
     safe = jnp.maximum(sl, 0)
     gathered = jnp.take(corpus, safe, axis=0)
+    if packed_i4:
+        p = gathered.astype(jnp.int32) & 255
+        lo = (p & 15) - 8
+        hi = ((p >> 4) & 15) - 8
+        gathered = jnp.concatenate([lo, hi], axis=-1)
     exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
     if corpus_scale is not None:
@@ -1256,7 +1298,8 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
                       nlist: int, g_tiles: Optional[int],
                       interpret: bool, compute_dtype, per_seg: int = 4,
                       vectors_i8=None, cscale=None,
-                      rescore_by_slot: bool = False, rescore_scale=None):
+                      rescore_by_slot: bool = False, rescore_scale=None,
+                     rescore_packed_i4: bool = False):
     """Probed IVF top-k via per-segment extraction (see
     `_ivf_segmax_kernel`): probe -> hot tiles -> segmax sweep -> global
     top-k over the candidate slab -> exact rescore -> slot translation.
@@ -1333,7 +1376,8 @@ def probe_scan_segmax(q, centroids, vectors, slots, seg_starts, active,
     if rescore_by_slot:
         marker = jnp.where(empty, -jnp.inf, 0.0)  # only -inf-ness matters
         return _rescore_by_slot(q, vectors, slots, marker, gidx, k,
-                                corpus_scale=rescore_scale)
+                                corpus_scale=rescore_scale,
+                                packed_i4=rescore_packed_i4)
     gathered = jnp.take(vectors, gidx, axis=0)
     exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
@@ -1355,7 +1399,8 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
                      per_seg: int = 4,
                      use_i8: bool = False,
                      slot_rescore: bool = False,
-                     k_sel: Optional[int] = None):
+                     k_sel: Optional[int] = None,
+                     packed_i4: bool = False):
     """Jitted single-device probed search (see `probe_scan_local` /
     `probe_scan_segmax`).
 
@@ -1384,6 +1429,7 @@ def _make_ivf_search(k: int, nprobe: int, n_tiles: int, nlist: int,
             interpret=interpret, compute_dtype=compute_dtype,
             vectors_i8=vectors_i8, cscale=cscale,
             rescore_by_slot=slot_rescore, rescore_scale=rescore_scale,
+            rescore_packed_i4=packed_i4,
         )
 
     return jax.jit(fn)

@@ -730,11 +730,13 @@ class ShardedIVF:
         i8_only = self.vectors is None
         if i8_only:
             corpus_scaled = dev.vstore_scale is not None
+            corpus_i4 = getattr(dev, "storage_dtype", None) == "int4"
             fn = _make_sharded_ivf_search(
                 id(self.mesh), self.mesh, self.shard_axis, k, nprobe,
                 self.nlist, None, interpret, g_tiles, True,
                 i8_only=True, corpus_scaled=corpus_scaled,
                 k_sel=k + _ivf_guard(True, self.dim),
+                corpus_i4=corpus_i4,
             )
             args = (
                 q_dev, self.centroids, self.slots, self.seg_starts,
@@ -772,15 +774,17 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
                              interpret: bool, g_tiles: int,
                              use_i8: bool = False, i8_only: bool = False,
                              corpus_scaled: bool = False,
-                             k_sel: Optional[int] = None):
+                             k_sel: Optional[int] = None,
+                             corpus_i4: bool = False):
     key = (mesh_key, mesh.shape_tuple, shard_axis, k, nprobe, nlist,
            compute_dtype_name, interpret, g_tiles, use_i8, i8_only,
-           corpus_scaled, k_sel)
+           corpus_scaled, k_sel, corpus_i4)
     fn = _CACHE.get(key)
     if fn is None:
         fn = _build_sharded_ivf_search(
             mesh, shard_axis, k, nprobe, nlist, compute_dtype_name,
             interpret, g_tiles, use_i8, i8_only, corpus_scaled, k_sel,
+            corpus_i4,
         )
         while len(_CACHE) >= _CACHE_MAX:
             _CACHE.pop(next(iter(_CACHE)), None)
@@ -791,7 +795,8 @@ def _make_sharded_ivf_search(mesh_key, mesh, shard_axis: str, k: int,
 def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
                               compute_dtype_name, interpret, g_tiles,
                               use_i8=False, i8_only=False,
-                              corpus_scaled=False, k_sel=None):
+                              corpus_scaled=False, k_sel=None,
+                              corpus_i4=False):
     # selection band incl. the guard — resolved by the CALLER via
     # _ivf_guard (env/dim policy before the cache; see ops/ivf.py)
     if k_sel is None:
@@ -814,8 +819,9 @@ def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
                      *maybe_scale):
         # int8-only layout: `slots` hold LOCAL corpus-shard row ids and the
         # exact rescore gathers from this shard's slice of the engine
-        # corpus (dequantized via its per-row scales when int8 STORAGE) —
-        # everything stays shard-local until the final merge.
+        # corpus (dequantized via its per-row scales when int8 STORAGE,
+        # nibble-unpacked too when packed int4 STORAGE) — everything stays
+        # shard-local until the final merge.
         vals, local_ids = probe_scan_local(
             q, cent, corpus, slots, segs[0], act, c2t[0],
             k=k, k_sel=k_sel, nprobe=nprobe, nlist=nlist, g_tiles=g_tiles,
@@ -823,6 +829,7 @@ def _build_sharded_ivf_search(mesh, shard_axis, k, nprobe, nlist,
             vectors_i8=v8, cscale=cs[0],
             rescore_by_slot=True,
             rescore_scale=maybe_scale[0] if corpus_scaled else None,
+            rescore_packed_i4=corpus_i4,
         )
         base = (
             jax.lax.axis_index(shard_axis) * corpus.shape[0]

@@ -267,3 +267,16 @@ def test_fuzz_i8only_ivf(tmp_path, rng, monkeypatch):
         tmp_path, 0, rng, "int8", 1.2e-2,
         {"index": "ivf", "ivf_nlist": 8, "ivf_nprobe": 8},
     )
+
+
+def test_fuzz_int4_ivf(tmp_path, rng, monkeypatch):
+    """One fuzz seed with int4 storage + forced IVF: the int8-only
+    postings select, the slot rescore unpacks the packed int4 corpus, and
+    the host-f64 rescore makes served scores exact on host-born rows —
+    soaking the int4 ANN routing (build/incremental/clip-guard) under
+    random mutation sequences."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # enable below IVF_I8_MIN_DIM
+    test_fuzz_engine_matches_numpy_model(
+        tmp_path, 0, rng, "int4", 1.2e-2,
+        {"index": "ivf", "ivf_nlist": 8, "ivf_nprobe": 8},
+    )

@@ -239,7 +239,10 @@ def test_int4_storage_mesh(db_path, rng, scan_mode):
     assert db2.count() == n
 
 
-def test_int4_mesh_ivf_request_serves_exact(db_path, rng):
+def test_int4_mesh_ivf_request_serves_exact_below_min_dim(db_path, rng):
+    """Below IVF_I8_MIN_DIM (no PICOVDB_IVF_I8 opt-in) int4+ivf falls back
+    to the sharded exact scan — the int8-only postings' column
+    quantization would stack on the 4-bit storage quantization."""
     from picovdb_tpu.parallel import make_mesh
 
     V = _corpus(rng, n=2048)
@@ -251,7 +254,7 @@ def test_int4_mesh_ivf_request_serves_exact(db_path, rng):
     assert db._ivf is None  # warned + stayed on the sharded exact scan
 
 
-def test_int4_ivf_request_serves_exact(db_path, rng):
+def test_int4_ivf_request_serves_exact_below_min_dim(db_path, rng):
     V = _corpus(rng, n=2048)
     db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
                       storage_dtype="int4", index="ivf")
@@ -259,6 +262,69 @@ def test_int4_ivf_request_serves_exact(db_path, rng):
     hits = db.query(V[9], top_k=3)
     assert hits[0][K_ID] == "9"
     assert db._ivf is None  # warned + stayed exact
+
+
+def test_int4_ivf_serves_probed(db_path, rng, monkeypatch):
+    """int4 + index='ivf' (postings enabled): the int8-only layout's
+    selection probes int8 postings and the exact rescore unpacks the
+    PACKED int4 corpus rows by slot — full-probe results match the int4
+    exact scan, mutations route through the in-place frozen-scale path,
+    and the sidecar reloads warm."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # enable below IVF_I8_MIN_DIM
+    V = _corpus(rng, n=2048)
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
+                      storage_dtype="int4", index="ivf", ivf_nlist=16)
+    db.upsert([{K_ID: str(i), K_VECTOR: V[i]} for i in range(len(V))])
+    db.rebuild_index()
+    assert db._ivf is not None and db._ivf.vectors is None  # i8-only
+    hits = db.query(V[9], top_k=3, ef_search=1000)
+    assert db._last_topk_strategy == "ivf_i8"
+    assert hits[0][K_ID] == "9"
+    exact = db.query(V[9], top_k=3, ef_search=1000, where=lambda d: True)
+    assert {h[K_ID] for h in hits} == {h[K_ID] for h in exact}
+
+    new = _corpus(rng, n=2)
+    db.upsert([{K_ID: f"n{j}", K_VECTOR: new[j]} for j in range(2)])
+    db.delete(["9"])
+    gone = db.query(V[9], top_k=3, ef_search=1000)
+    assert db._last_ann_rebuild_mode == "incremental"
+    assert all(h[K_ID] != "9" for h in gone)
+    assert db.query(new[0], top_k=1, ef_search=1000)[0][K_ID] == "n0"
+
+    db.save()
+    db2 = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
+                       storage_dtype="int4", index="ivf", ivf_nlist=16)
+    assert db2._ivf is not None and db2._ivf.vectors is None
+    assert db2.query(new[1], top_k=1, ef_search=1000)[0][K_ID] == "n1"
+
+
+def test_int4_mesh_ivf_serves_probed(db_path, rng, monkeypatch):
+    """int4 + ivf over the 8-device mesh: per-shard int8 postings select,
+    the shard-local rescore unpacks each shard's slice of the PACKED int4
+    corpus, and the ICI merge returns global slots."""
+    from picovdb_tpu.parallel import make_mesh
+
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    V = _corpus(rng, n=2048)
+    db = PicoVectorDB(embedding_dim=DIM, storage_file=db_path,
+                      mesh=make_mesh(), storage_dtype="int4", index="ivf",
+                      ivf_nlist=16)
+    db.upsert([{K_ID: str(i), K_VECTOR: V[i]} for i in range(len(V))])
+    db.rebuild_index()
+    assert db._ivf is not None and db._ivf.vectors is None
+    hits = db.query(V[9], top_k=3, ef_search=1000)
+    assert db._last_topk_strategy == "ivf_i8"
+    assert hits[0][K_ID] == "9"
+    exact = db.query(V[9], top_k=3, ef_search=1000, where=lambda d: True)
+    assert {h[K_ID] for h in hits} == {h[K_ID] for h in exact}
+
+    new = _corpus(rng, n=2)
+    db.upsert([{K_ID: f"n{j}", K_VECTOR: new[j]} for j in range(2)])
+    db.delete(["9"])
+    gone = db.query(V[9], top_k=3, ef_search=1000)
+    assert db._last_ann_rebuild_mode == "incremental"
+    assert all(h[K_ID] != "9" for h in gone)
+    assert db.query(new[0], top_k=1, ef_search=1000)[0][K_ID] == "n0"
 
 
 def test_int4_memmap_capacity_mode(db_path, rng):
