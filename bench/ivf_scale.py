@@ -164,6 +164,47 @@ def make_mixture_device_i8(n, dim, centers_dev, key, noise=0.35,
     return buf, sbuf
 
 
+def make_mixture_device_i4(n, dim, centers_dev, key, noise=0.35,
+                           chunk=262_144):
+    """int4 variant of `make_mixture_device_i8`: each chunk is normalized
+    then per-row int4-quantized into a PACKED (n, dim//2) byte buffer +
+    (n,) scale column (quantize_rows_i4's layout) — 0.5 B/element, the
+    capacity-ceiling corpus. Feeds
+    `ingest_device(..., normalize=False, scales=...)`."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from picovdb_tpu.ops.pallas_scan import quantize_rows_i4
+
+    sigma = noise / float(dim) ** 0.5  # see make_mixture
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnums=(5,))
+    def fill(buf, sbuf, centers, key, start, m):
+        k1, k2 = jax.random.split(key)
+        c = jax.random.randint(k1, (m,), 0, centers.shape[0])
+        rows = centers[c] + sigma * jax.random.normal(
+            k2, (m, dim), dtype=jnp.float32
+        )
+        rows = rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+        q4, qs = quantize_rows_i4(rows)
+        buf = jax.lax.dynamic_update_slice(buf, q4, (start, 0))
+        sbuf = jax.lax.dynamic_update_slice(sbuf, qs, (start,))
+        return buf, sbuf
+
+    buf = jnp.zeros((n, dim // 2), dtype=jnp.int8)
+    sbuf = jnp.zeros((n,), dtype=jnp.float32)
+    s = 0
+    while s < n:
+        m = min(chunk, n - s)
+        key, sub = jax.random.split(key)
+        buf, sbuf = fill(buf, sbuf, centers_dev, sub, s, m)
+        s += m
+    return buf, sbuf
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=2_000_000)
@@ -235,6 +276,10 @@ def main() -> int:
         corpus_scales = None
         if args.storage_dtype == "int8":
             corpus_dev, corpus_scales = make_mixture_device_i8(
+                args.n, args.dim, centers_dev, kd
+            )
+        elif args.storage_dtype == "int4":
+            corpus_dev, corpus_scales = make_mixture_device_i4(
                 args.n, args.dim, centers_dev, kd
             )
         else:
