@@ -226,6 +226,11 @@ def main() -> int:
                   file=sys.stderr)
 
         # ---- reference contract: host queries -> dict-per-hit results ----
+        # Report the ACTUAL wire (the int16 fixed-point query wire engages
+        # from 256 host queries under query_wire="auto"): probe the encode
+        # decision on 2 rows, scale bytes to the full batch.
+        _wp = db._wire_encode(queries[:2], args.queries)
+        wire_mb = _wp.nbytes / 2 * args.queries / 1e6
         t0 = time.perf_counter()
         results = db.query_batched(
             queries, top_k=args.topk, batch_size=min(args.batch_size, 2048)
@@ -233,8 +238,8 @@ def main() -> int:
         e2e = time.perf_counter() - t0
         print(f"# e2e host->dicts: {args.queries} queries in {e2e*1000:.1f} ms "
               f"-> {args.queries/e2e:.0f} QPS "
-              f"(relay-bound in this harness: the 128 MB query upload "
-              f"dominates)", file=sys.stderr)
+              f"(relay-bound in this harness: the {wire_mb:.0f} MB {_wp.dtype} "
+              f"query upload dominates)", file=sys.stderr)
 
         # same dict-per-hit contract, device-resident queries (the query
         # upload removed — isolates device compute + result fetch + native
