@@ -370,6 +370,8 @@ def main() -> int:
                 "vs_baseline": round(serving_qps / baseline_qps, 2),
                 "insert_vec_per_s": round(insert_vec_s, 0),
                 "batch_device_qps": round(device_qps, 0),
+                "e2e_host_dicts_qps": round(args.queries / e2e, 0),
+                "query_wire": str(_wp.dtype),
                 "dict_contract_device_qps": round(dict_dev_qps, 0),
                 "single_query_device_ms": round(device_ms, 3),
                 "single_query_launch_amortized_ms": round(amortized_ms, 3),
