@@ -231,12 +231,15 @@ def main() -> int:
         # decision on 2 rows, scale bytes to the full batch.
         _wp = db._wire_encode(queries[:2], args.queries)
         wire_mb = _wp.nbytes / 2 * args.queries / 1e6
-        t0 = time.perf_counter()
-        results = db.query_batched(
-            queries, top_k=args.topk, batch_size=min(args.batch_size, 2048)
-        )
-        e2e = time.perf_counter() - t0
-        print(f"# e2e host->dicts: {args.queries} queries in {e2e*1000:.1f} ms "
+        e2e = float("inf")
+        for _ in range(3):  # best-of: the relay link's health fluctuates 3x
+            t0 = time.perf_counter()
+            results = db.query_batched(
+                queries, top_k=args.topk, batch_size=min(args.batch_size, 2048)
+            )
+            e2e = min(e2e, time.perf_counter() - t0)
+        print(f"# e2e host->dicts (best of 3): "
+              f"{args.queries} queries in {e2e*1000:.1f} ms "
               f"-> {args.queries/e2e:.0f} QPS "
               f"(relay-bound in this harness: the {wire_mb:.0f} MB {_wp.dtype} "
               f"query upload dominates)", file=sys.stderr)
