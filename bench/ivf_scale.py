@@ -231,6 +231,10 @@ def main() -> int:
                         "(the 4M x 1024 bf16 config, where corpus + IVF "
                         "mirror can't both fit 16 GB HBM)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--incr-epoch", type=int, default=0,
+                   help="after the sweep, append N mixture rows through "
+                        "upsert and measure the in-place maintenance the "
+                        "next query pays (0 = skip)")
     p.add_argument("--data-cache", default="",
                    help="npz path to save/load the generated corpus "
                         "(datagen at 2M x 1024 costs ~1h of balloon page "
@@ -250,7 +254,7 @@ def main() -> int:
     except Exception:
         pass
 
-    from picovdb_tpu import PicoVectorDB
+    from picovdb_tpu import PicoVectorDB, K_ID
 
     rng = np.random.default_rng(args.seed)
     qmax = max(max(qs), args.recall_queries)
@@ -292,6 +296,8 @@ def main() -> int:
         q_dev = make_mixture_device(qmax, args.dim, centers_dev, kq)
         queries = np.array(q_dev)  # writable host copy (asarray is RO)
         queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        if args.incr_epoch > 0:  # epoch rows draw from the true mixture
+            centers_host = np.array(centers_dev)
         del q_dev, centers_dev
         data = None
         print(f"# datagen (device): {time.perf_counter()-t0:.1f} s",
@@ -300,6 +306,13 @@ def main() -> int:
         blob = np.load(args.data_cache)
         data, queries = blob["data"], blob["queries"]
         assert data.shape == (args.n, args.dim), data.shape
+        if args.incr_epoch > 0:  # same construction as the else branch
+            centers_host = rng.standard_normal(
+                size=(args.centers, args.dim), dtype=np.float32
+            )
+            centers_host /= np.linalg.norm(
+                centers_host, axis=1, keepdims=True
+            )
         print(f"# data cache hit: {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
     else:
@@ -309,6 +322,7 @@ def main() -> int:
             size=(args.centers, args.dim), dtype=np.float32
         )
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        centers_host = centers
         data = make_mixture(args.n, args.dim, centers, rng)
         queries = make_mixture(qmax, args.dim, centers, rng)
         print(f"# datagen: {time.perf_counter()-t0:.1f} s", file=sys.stderr)
@@ -504,7 +518,68 @@ def main() -> int:
                   f" | recall@{k}(batch,{m_b}q) {r_b:.4f}", file=sys.stderr)
 
         best = max(rows, key=lambda r: r[2] / r[1])
-        print(json.dumps({
+
+        # ---- optional in-place maintenance epoch (--incr-epoch N) ---------
+        # Appends N fresh mixture rows through the public upsert lane and
+        # times the dirty-epoch maintenance the NEXT query pays — the
+        # real-hardware counterpart of bench/mesh_incr_ab.py's CPU-mesh
+        # A/B. The comparator is this same run's warm full rebuild
+        # (build_warm_s): the pre-round-4 policy re-entered it every
+        # dirty epoch. Parity evidence: each appended row must be its own
+        # top-1 through the served (engine) lane, and the pre-mutation
+        # operating-point recall must hold on the old oracle queries.
+        epoch = None
+        if args.incr_epoch > 0:
+            n_new = args.incr_epoch
+            new_rows = make_mixture(n_new, args.dim, centers_host,
+                                    np.random.default_rng(args.seed + 1))
+            # clean-query wall at the same shape, pre-mutation
+            db.query(queries[0], top_k=k)
+            t0 = time.perf_counter()
+            db.query(queries[1], top_k=k)
+            t_clean = time.perf_counter() - t0
+            new_ids = [f"new{i}" for i in range(n_new)]
+            db.upsert_columnar(new_rows.copy(), ids=new_ids)
+            t0 = time.perf_counter()
+            db.query(queries[2], top_k=k)
+            t_dirty = time.perf_counter() - t0
+            mode = db._last_ann_rebuild_mode
+            dbg = db.last_query_debug().get("ann_operating_point") or {}
+            # appended rows must be served (exact rescore re-reads the
+            # corpus, so a hit proves postings routing, not luck)
+            hits = sum(
+                1 for i in range(min(32, n_new))
+                if db.query(new_rows[i], top_k=1)[0][K_ID] == new_ids[i]
+            )
+            # operating-point recall post-epoch vs a FRESH exact oracle
+            # (the appended rows can legitimately enter true top-k sets,
+            # so the pre-epoch oracle would report displacement as loss)
+            ev2, ei2 = dev.query(qr, k, None, force_exact=True)
+            pend = [ivf.search_async(qr[i:i + 1], k, 0, dev, nprobe=nprobe)
+                    for i in range(m)]
+            recall_post = np.mean([
+                len(set(np.asarray(ii)[0, :k].tolist())
+                    & set(ei2[i].tolist())) / k
+                for i, (iv, ii, nq) in enumerate(pend)
+            ])
+            epoch = {
+                "changed": n_new,
+                "maintenance_s": round(max(t_dirty - t_clean, 0.0), 3),
+                "dirty_query_s": round(t_dirty, 3),
+                "clean_query_s": round(t_clean, 3),
+                "rebuild_mode": mode,
+                "vs_full_rebuild_s": round(t_build_warm, 1),
+                "self_top1_hits": f"{hits}/{min(32, n_new)}",
+                "recall_post_epoch": round(float(recall_post), 4),
+                "overflow_fraction": dbg.get("overflow_fraction"),
+                "clip_fraction": dbg.get("last_update_clip_fraction"),
+            }
+            print(f"# incr epoch ({n_new} rows): maintenance "
+                  f"{epoch['maintenance_s']} s ({mode}) vs warm rebuild "
+                  f"{t_build_warm:.1f} s; self-top1 {epoch['self_top1_hits']},"
+                  f" recall(fresh oracle) {recall_post:.4f}", file=sys.stderr)
+
+        out = {
             "metric": f"ivf_speedup_vs_exact_{args.n}x{args.dim}d_Q{best[0]}"
                       f"_recall{recall:.3f}",
             "value": round(best[2] / best[1], 2),
@@ -518,7 +593,10 @@ def main() -> int:
             "ivf_ms_q1": round(rows[0][1] * 1000, 3) if qs[0] == 1 else None,
             "exact_ms_q1": round(rows[0][2] * 1000, 3) if qs[0] == 1 else None,
             "batched_recalls": batched_recalls,
-        }))
+        }
+        if epoch is not None:
+            out["incr_epoch"] = epoch
+        print(json.dumps(out))
     return 0
 
 
