@@ -592,3 +592,47 @@ def test_should_build_is_bytes_aware():
     assert should_build(2_000_000, 1024, 2.0)        # 4 GiB bf16
     assert not should_build(500_000, 1024, 1.0)      # 0.5 GiB int8
     assert should_build(2_000_000) and not should_build(1_999_999)
+
+
+def test_ivf_partial_probe_recall_across_incremental_epoch(db_path, rng):
+    """The suite's fuzz cells probe at FULL width (nprobe == nlist), which
+    can mask probe-routing regressions in the overflow path: this cell
+    pins aggregate recall at an explicitly PARTIAL probe width before and
+    after an in-place maintenance epoch (mode asserted incremental), each
+    against a fresh exact oracle over the live corpus, so appended rows
+    entering true top-k sets are not misread as loss."""
+    dim, k, m = 32, 5, 24
+    vectors, _ = clustered_data(rng, 1200, dim)
+    queries, _ = clustered_data(rng, m, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path,
+        index="ivf", ivf_nlist=8, ivf_nprobe=3,  # partial: 3 of 8 lists
+    )
+    db.upsert([{K_ID: f"id{i}", K_VECTOR: vectors[i]} for i in range(1200)])
+
+    def oracle_recall(corpus, ids_all):
+        s = normalize_batch(queries.copy()) @ corpus.T
+        top = np.argsort(-s, axis=1)[:, :k]
+        tot = 0.0
+        for i in range(m):
+            got = {h[K_ID] for h in db.query(queries[i], top_k=k)}
+            tot += len(got & {ids_all[j] for j in top[i]}) / k
+        return tot / m
+
+    ids0 = [f"id{i}" for i in range(1200)]
+    r_pre = oracle_recall(vectors, ids0)
+    assert db._last_ann_rebuild_mode == "full"
+
+    new_rows, _ = clustered_data(rng, 12, dim)  # ~1%: stays incremental
+    db.upsert([{K_ID: f"new{j}", K_VECTOR: new_rows[j]} for j in range(12)])
+    r_post = oracle_recall(
+        np.vstack([vectors, new_rows]), ids0 + [f"new{j}" for j in range(12)]
+    )
+    assert db._last_ann_rebuild_mode == "incremental"
+    # appended rows are served from the always-probed overflow region
+    for j in range(12):
+        assert db.query(new_rows[j], top_k=1)[0][K_ID] == f"new{j}"
+    # partial-probe quality must not degrade across the epoch (small
+    # slack: clustered geometry makes probe sets deterministic, but the
+    # k-boundary can shift by one tie)
+    assert r_post >= r_pre - 1.0 / k, (r_pre, r_post)
