@@ -976,23 +976,36 @@ class PicoVectorDB:
         if not self._host_lazy:
             return
         n = len(self._ids)
+        # Fetch the EXISTING device buffer and slice host-side: a device
+        # `[:n]` slice would allocate a second corpus-sized buffer on-chip
+        # before the transfer, which OOMs capacity-tier stores (measured:
+        # 8M x 1024 int4 at 12.9 GB resident). The pad rows add <0.1% wire.
         if n == 0:
             self._host_vectors = np.empty((0, self.dim), dtype=Float)
-        elif self._dev.storage_dtype == "int4":  # unpack + dequantize
-            from .ops.pallas_scan import unpack_i4
-
-            rows = np.asarray(
-                unpack_i4(self._dev.vectors[:n])
-            ).astype(Float)
-            rows *= np.asarray(self._dev.vstore_scale[:n])[:, None]
-            self._host_vectors = to_c_f32(rows)
+        elif self._dev.storage_dtype == "int4":
+            # Host-side nibble unpack (layout: quantize_rows_i4 — low
+            # nibble = first dim half, high nibble = second half). The
+            # device unpack_i4 would materialize the (cap, dim) int8
+            # intermediate (2x the packed corpus) next to the resident
+            # store; unpacking on host is chunked to bound transients.
+            packed = np.asarray(self._dev.vectors)[:n]
+            scale = np.asarray(self._dev.vstore_scale)[:n]
+            half = packed.shape[1]
+            out = np.empty((n, self.dim), dtype=Float)
+            step = 1 << 20
+            for s in range(0, n, step):
+                p = packed[s:s + step].astype(np.int16) & 255
+                out[s:s + step, :half] = (p & 15) - 8
+                out[s:s + step, half:] = ((p >> 4) & 15) - 8
+                out[s:s + step] *= scale[s:s + step, None]
+            self._host_vectors = out
         elif self._dev.vstore_scale is not None:  # int8 storage: dequantize
-            rows = np.asarray(self._dev.vectors[:n]).astype(Float)
-            rows *= np.asarray(self._dev.vstore_scale[:n])[:, None]
+            rows = np.asarray(self._dev.vectors)[:n].astype(Float)
+            rows *= np.asarray(self._dev.vstore_scale)[:n, None]
             self._host_vectors = to_c_f32(rows)
         else:
             self._host_vectors = to_c_f32(
-                np.asarray(self._dev.vectors[:n]).astype(Float)
+                np.asarray(self._dev.vectors)[:n].astype(Float)
             )
         if n and self._dev.storage_dtype != "float32":
             # Rows round-tripped through a lossy mirror; the host copy is
