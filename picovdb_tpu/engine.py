@@ -183,9 +183,15 @@ class PicoVectorDB:
         # host-authoritative parallel state ----------------------------------
         self._host_vectors: np.ndarray = np.empty((0, self.dim), dtype=Float)
         # Device-born ingestion (`ingest_device`) leaves the host matrix
-        # unmaterialized; any path that reads or writes host rows calls
+        # unmaterialized; any path that reads the FULL matrix calls
         # `_ensure_host_vectors()` first, which pulls the corpus down once.
+        # Row mutations on a lazy store do NOT materialize: they land in
+        # `_host_overlay` (slot -> exact f32 row; zeros for deletions),
+        # which the device sync scatters from and `_ensure_host_vectors`
+        # merges — O(changed) host memory instead of an O(corpus)
+        # device->host fetch per mutation epoch at the capacity tier.
         self._host_lazy: bool = False
+        self._host_overlay: dict[int, np.ndarray] = {}
         self._ids: list[Optional[str]] = []
         self._docs: list[Optional[dict]] = []
         self._free: list[int] = []
@@ -573,7 +579,8 @@ class PicoVectorDB:
             report: dict[str, list[str]] = {"update": [], "insert": []}
             if not items:
                 return report
-            self._ensure_host_vectors()
+            # Lazy (device-born) stores mutate through the overlay — no
+            # corpus materialization (`_write_host_row`).
             # Pass 1: validate into one preallocated (n, dim) buffer, then
             # normalize as a single vectorized batch. (The reference
             # normalizes per item in Python, picovdb/pico_vdb.py:412-422;
@@ -683,7 +690,7 @@ class PicoVectorDB:
                 self._dirty = True
                 return report
             # ---- general lane: the shared state machine ------------------
-            self._ensure_host_vectors()
+            # (lazy stores mutate through the overlay, no materialization)
             if metadata is None:
                 metas = [{K_ID: i} for i in ids]
             else:
@@ -736,7 +743,7 @@ class PicoVectorDB:
                     new_rows[pos] = j
                     new_docs[pos] = meta
                 else:
-                    self._host_vectors[idx] = norm[j]
+                    self._write_host_row(idx, norm[j])
                     self._docs[idx] = meta
                     self._pending_add.add(idx)
                     touched_idx.append(idx)
@@ -745,7 +752,7 @@ class PicoVectorDB:
             else:
                 if self._free:
                     idx = self._free.pop()
-                    self._host_vectors[idx] = norm[j]
+                    self._write_host_row(idx, norm[j])
                     self._ids[idx] = item_id
                     self._docs[idx] = meta
                     new_active.append(idx)
@@ -766,7 +773,14 @@ class PicoVectorDB:
         # bulk append ------------------------------------------------------
         if new_rows:
             stacked = norm[new_rows] if len(new_rows) != n else norm
-            if not n_slots:
+            if self._host_lazy:
+                # appended rows live in the overlay until a full
+                # materialization; the device sync scatters them from it
+                for t in range(len(new_rows)):
+                    self._host_overlay[n_slots + t] = np.array(
+                        stacked[t], dtype=Float
+                    )
+            elif not n_slots:
                 self._host_vectors = to_c_f32(stacked)
             else:
                 if self._use_memmap and isinstance(
@@ -966,6 +980,15 @@ class PicoVectorDB:
             self._dirty = self._index_kind == "ivf"
             return {"update": [], "insert": list(ids)}
 
+    def _write_host_row(self, idx: int, row: np.ndarray) -> None:
+        """Record one mutated host row. Lazy (device-born) stores keep the
+        exact f32 row in the overlay — O(changed) memory — instead of
+        materializing the whole corpus just to hold it."""
+        if self._host_lazy:
+            self._host_overlay[idx] = np.array(row, dtype=Float)
+        else:
+            self._host_vectors[idx] = row
+
     def _ensure_host_vectors(self) -> None:
         """Materialize the host matrix from the device mirror if lazy.
 
@@ -980,6 +1003,8 @@ class PicoVectorDB:
         # `[:n]` slice would allocate a second corpus-sized buffer on-chip
         # before the transfer, which OOMs capacity-tier stores (measured:
         # 8M x 1024 int4 at 12.9 GB resident). The pad rows add <0.1% wire.
+        # Slots at/above the device row count (appends not yet synced) and
+        # every overlay slot are filled from `_host_overlay` below.
         if n == 0:
             self._host_vectors = np.empty((0, self.dim), dtype=Float)
         elif self._dev.storage_dtype == "int4":
@@ -988,25 +1013,37 @@ class PicoVectorDB:
             # device unpack_i4 would materialize the (cap, dim) int8
             # intermediate (2x the packed corpus) next to the resident
             # store; unpacking on host is chunked to bound transients.
-            packed = np.asarray(self._dev.vectors)[:n]
-            scale = np.asarray(self._dev.vstore_scale)[:n]
+            packed = np.asarray(self._dev.vectors)
+            scale = np.asarray(self._dev.vstore_scale)
+            avail = min(n, packed.shape[0])
             half = packed.shape[1]
-            out = np.empty((n, self.dim), dtype=Float)
+            out = np.zeros((n, self.dim), dtype=Float)
             step = 1 << 20
-            for s in range(0, n, step):
-                p = packed[s:s + step].astype(np.int16) & 255
-                out[s:s + step, :half] = (p & 15) - 8
-                out[s:s + step, half:] = ((p >> 4) & 15) - 8
-                out[s:s + step] *= scale[s:s + step, None]
+            for s in range(0, avail, step):
+                e = min(s + step, avail)
+                p = packed[s:e].astype(np.int16) & 255
+                out[s:e, :half] = (p & 15) - 8
+                out[s:e, half:] = ((p >> 4) & 15) - 8
+                out[s:e] *= scale[s:e, None]
             self._host_vectors = out
         elif self._dev.vstore_scale is not None:  # int8 storage: dequantize
-            rows = np.asarray(self._dev.vectors)[:n].astype(Float)
-            rows *= np.asarray(self._dev.vstore_scale)[:n, None]
-            self._host_vectors = to_c_f32(rows)
+            raw = np.asarray(self._dev.vectors)
+            avail = min(n, raw.shape[0])
+            rows = np.zeros((n, self.dim), dtype=Float)
+            rows[:avail] = raw[:avail]
+            rows[:avail] *= np.asarray(self._dev.vstore_scale)[:avail, None]
+            self._host_vectors = rows
         else:
-            self._host_vectors = to_c_f32(
-                np.asarray(self._dev.vectors)[:n].astype(Float)
-            )
+            raw = np.asarray(self._dev.vectors)
+            avail = min(n, raw.shape[0])
+            rows = np.zeros((n, self.dim), dtype=Float)
+            rows[:avail] = raw[:avail]
+            self._host_vectors = rows
+        if self._host_overlay:
+            # mutations made while lazy: exact f32 rows (zeros = deleted)
+            for idx, row in self._host_overlay.items():
+                self._host_vectors[idx] = row
+            self._host_overlay.clear()
         if n and self._dev.storage_dtype != "float32":
             # Rows round-tripped through a lossy mirror; the host copy is
             # not authentic f32, so the host rescore tier stands down.
@@ -1016,14 +1053,17 @@ class PicoVectorDB:
     def delete(self, ids: list[str]) -> list[str]:
         """Soft-delete vectors by ID; returns the IDs actually deleted."""
         with self._rwlock.write_lock():
-            self._ensure_host_vectors()
             removed: list[str] = []
             removed_idxs: list[int] = []
+            zero = np.zeros(self.dim, dtype=Float)
             for _id in ids:
                 idx = self._id2idx.pop(_id, None)
                 if idx is not None:
                     self._docs[idx] = None
-                    self._host_vectors[idx].fill(0)
+                    if self._host_lazy:
+                        self._host_overlay[idx] = zero.copy()
+                    else:
+                        self._host_vectors[idx].fill(0)
                     self._free.append(idx)
                     removed_idxs.append(idx)
                     removed.append(_id)
@@ -1682,6 +1722,12 @@ class PicoVectorDB:
         host matrix is lazy (device-born ingestion), without materializing
         the whole corpus under a read lock."""
         if self._host_lazy:
+            cached = self._host_overlay.get(idx)
+            if cached is not None:
+                # mutated while lazy: the overlay holds the exact f32 row
+                # (fresher than the device mirror until the next sync, and
+                # exact where the storage dtype is lossy)
+                return np.array(cached, dtype=Float)
             if self._dev.storage_dtype == "int4":
                 from .ops.pallas_scan import unpack_i4
 
@@ -2296,9 +2342,9 @@ class PicoVectorDB:
             changed = []
             ann_rows = None
         else:
-            # Every row-mutating path materializes a lazy host matrix before
-            # marking dirty, so this is a no-op on the device-born path.
-            self._ensure_host_vectors()
+            # Lazy (device-born) stores carry their mutations in the
+            # overlay — the incremental scatter below reads rows from it,
+            # so no materialization happens on the O(changed) path.
             changed = sorted(self._pending_add | self._pending_remove)
         dev_rows = self._dev.cap
         need_full = not mirror_current and (
@@ -2314,15 +2360,26 @@ class PicoVectorDB:
         if mirror_current:
             pass
         elif need_full:
+            # past the incremental threshold (or device growth): the one
+            # remaining path that materializes a lazy store's host matrix
+            self._ensure_host_vectors()
             self._dev.full_upload(
                 np.asarray(self._host_vectors[:size]), self._active_mask
             )
             self._last_sync_mode = "full"
         else:
             idxs = np.asarray(changed, dtype=np.int64)
-            rows = np.ascontiguousarray(
-                np.asarray(self._host_vectors)[idxs], dtype=Float
-            )
+            if self._host_lazy:
+                # adds are in the overlay by construction; removed slots
+                # may not be (mask False -> row content is irrelevant)
+                zero = np.zeros(self.dim, dtype=Float)
+                rows = np.ascontiguousarray(np.stack(
+                    [self._host_overlay.get(i, zero) for i in changed]
+                ), dtype=Float)
+            else:
+                rows = np.ascontiguousarray(
+                    np.asarray(self._host_vectors)[idxs], dtype=Float
+                )
             self._dev.scatter(idxs, rows, self._active_mask[idxs])
             self._last_sync_mode = "incremental"
             ann_rows = (idxs, rows)

@@ -109,6 +109,13 @@ STORAGE_CASES = [
     # fuzzes the ANN tier's lazy rebuild / incremental maintenance /
     # serving-lane routing under arbitrary mutation sequences
     (None, 1e-4, {"index": "ivf", "ivf_nlist": 8, "ivf_nprobe": 8}),
+    # device-born start (`ingest_device`): mutations ride the lazy host
+    # overlay (no corpus materialization) — random upsert/delete/save/
+    # vacuum interleavings soak the overlay + sync-scatter + merge paths.
+    # f32 keeps exact oracle scores; int8 adds the lossy device-ranked arm
+    # (host-f64 rescore stands down on device-born lossy stores).
+    (None, 1e-4, {"device_born": True}),
+    ("int8", 1.2e-2, {"device_born": True}),
 ]
 
 
@@ -118,10 +125,33 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
                                          extra):
     r = np.random.default_rng(1000 + seed)
     path = str(tmp_path / f"fuzz{seed}")
+    device_born = bool(extra.get("device_born", False))
+    ctor = {k: v for k, v in extra.items() if k != "device_born"}
     db = PicoVectorDB(embedding_dim=DIM, storage_file=path,
-                      storage_dtype=sdt, **extra)
+                      storage_dtype=sdt, **ctor)
     model = Model()
     next_id = 0
+    if device_born:
+        # Start from a device-born corpus (`ingest_device`): every later
+        # mutation rides the lazy host overlay — random interleavings of
+        # upsert/delete/save/vacuum against the oracle soak that path.
+        import jax.numpy as jnp
+
+        n0 = 40
+        rows0 = normalize_batch(
+            r.normal(size=(n0, DIM)).astype(np.float32)
+        )
+        ids0 = [f"id{i}" for i in range(n0)]
+        db.ingest_device(jnp.asarray(rows0), ids=ids0,
+                         metadata=[{"group": int(i % 4),
+                                    "rank": int(i % 100)} for i in range(n0)])
+        model.upsert([
+            (ids0[i], rows0[i],
+             {"group": int(i % 4), "rank": int(i % 100), K_ID: ids0[i]})
+            for i in range(n0)
+        ])
+        next_id = n0
+        assert db._host_lazy
 
     def rand_vec():
         if r.random() < 0.03:
@@ -163,7 +193,7 @@ def test_fuzz_engine_matches_numpy_model(tmp_path, seed, rng, sdt, tol,
         elif op < 0.6:  # persistence round-trip
             db.save()
             db = PicoVectorDB(embedding_dim=DIM, storage_file=path,
-                              storage_dtype=sdt, **extra)
+                              storage_dtype=sdt, **ctor)
         elif op < 0.63:
             db.vacuum()
         elif op < 0.64:

@@ -77,15 +77,33 @@ def test_ingest_save_reload_roundtrip(db_path):
 
 
 def test_ingest_then_mutate(db_path):
+    """Mutations on a device-born store must NOT materialize the host
+    matrix (an O(corpus) device->host fetch — measured OOM at the 8M int4
+    capacity tier): they ride the O(changed) host overlay instead, and
+    the store stays lazy until a full-matrix consumer (save/vacuum/full
+    re-upload) pays the one-time materialization."""
     db, data, _ = _ingested_db(db_path)
     db.delete(["r0", "r1"])
-    assert not db._host_lazy
+    assert db._host_lazy  # delete rides the overlay, no materialization
     assert db.count() == 62
     db.upsert([{K_ID: "extra", K_VECTOR: np.ones(32, dtype=np.float32)}])
+    assert db._host_lazy
     res = db.query(np.ones(32, dtype=np.float32), top_k=1)[0]
     assert res[K_ID] == "extra"
     ids = {r[K_ID] for r in db.get_all()}
     assert "r0" not in ids and "extra" in ids
+    # the overlaid row reads back exactly (point read prefers the overlay)
+    got = db.get(["extra"], include_vector=True)[0]
+    ones = np.ones(32, dtype=np.float32)
+    np.testing.assert_allclose(
+        got[K_VECTOR], ones / np.linalg.norm(ones), rtol=1e-6
+    )
+    # a full-matrix consumer (save) materializes and merges the overlay
+    db.save()
+    assert not db._host_lazy and not db._host_overlay
+    db2 = PicoVectorDB(embedding_dim=32, storage_file=db_path)
+    ids2 = {r[K_ID] for r in db2.get_all()}
+    assert "r0" not in ids2 and "extra" in ids2
 
 
 def test_ingest_filters_and_where(db_path):
