@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .constants import Float, MIN_QUERY_PAD, ROW_PAD
-from .utils import next_pow2, round_up
+from .utils import next_pow2, round_up, scatter_bucket
 from .ops.exact import make_exact_topk
 
 
@@ -57,6 +57,28 @@ def _pack_vi(vals, idxs):
 @jax.jit
 def _cast_bf16(vectors):
     return vectors.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _fetch_rows_f32(arr, idx):
+    return jnp.take(arr, idx, axis=0).astype(jnp.float32)
+
+
+@jax.jit
+def _fetch_rows_dequant(arr, scale, idx):
+    rows = jnp.take(arr, idx, axis=0).astype(jnp.float32)
+    return rows * jnp.take(scale, idx)[:, None]
+
+
+@jax.jit
+def _fetch_rows_dequant_i4(arr, scale, idx):
+    """Gather + unpack packed-int4 rows (quantize_rows_i4's layout: element
+    j in the LOW nibble of byte j, j+dim/2 in the HIGH nibble)."""
+    rows = jnp.take(arr, idx, axis=0).astype(jnp.int32) & 255
+    lo = (rows & 15) - 8
+    hi = ((rows >> 4) & 15) - 8
+    full = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    return full * jnp.take(scale, idx)[:, None]
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -738,7 +760,10 @@ class DeviceIndex:
         n = idxs.shape[0]
         if n == 0:
             return
-        pad_n = next_pow2(n)
+        # pow2 bucket with a 1024 floor on capacity stores: one executable
+        # set per layout covers every small epoch, pre-compiled by
+        # warm_scatter_path (utils.scatter_bucket documents the tradeoff)
+        pad_n = scatter_bucket(n, self.cap)
         if pad_n != n:
             pad_idx = np.concatenate([idxs, np.repeat(idxs[-1:], pad_n - n)])
             pad_act = np.concatenate(
@@ -801,6 +826,63 @@ class DeviceIndex:
         self._fview_cache.clear()
         self.last_sync_mode = "scatter"
 
+    def warm_scatter_path(self, bucket: int = 1024) -> None:
+        """Pre-compile `scatter()`'s executables at this layout's shapes
+        with IDENTITY writes on the live buffers (write back what is
+        already stored), so the first real mutation pays execution cost
+        only. `scatter` pads operands to `utils.scatter_bucket` sizes; on
+        capacity stores that floors at 1024 rows, so ONE warm at the
+        default bucket covers every epoch of up to 1024 changed rows.
+        Called by the engine after capacity-tier (re)builds
+        (PICOVDB_WARM_UPDATES gates it; see engine._maybe_warm_mutation_path).
+        """
+        if self.vectors is None:
+            return
+        rep = self._replicated()
+        idx = jax.device_put(np.zeros(bucket, dtype=np.int32), rep)
+        if self.storage_dtype in ("int8", "int4"):
+            from .ops.pallas_scan import quantize_rows_i4, quantize_rows_i8
+
+            quant = (quantize_rows_i4 if self.storage_dtype == "int4"
+                     else quantize_rows_i8)
+            # warm the on-device quantizer at the bucket shape; its output
+            # is NOT scattered (quantizing zeros is not an identity write)
+            q8, _ = quant(jax.device_put(
+                np.zeros((bucket, self.dim), dtype=np.float32), rep
+            ))
+            q8.block_until_ready()
+            del q8
+            row0 = np.repeat(np.asarray(self.vectors[0:1]), bucket, axis=0)
+            self.vectors = _scatter_rows(
+                self.vectors, idx,
+                jax.device_put(np.ascontiguousarray(row0), rep),
+            )
+            sc0 = np.repeat(np.asarray(self.vstore_scale[0:1]), bucket)
+            self.vstore_scale = _scatter_1d(
+                self.vstore_scale, idx, jax.device_put(sc0, rep)
+            )
+        else:
+            row0 = np.repeat(np.asarray(self.vectors[0:1]), bucket, axis=0)
+            dev_rows = jax.device_put(np.ascontiguousarray(row0), rep)
+            self.vectors = _scatter_rows(self.vectors, idx, dev_rows)
+            if self.vectors_lp is not None:
+                self.vectors_lp = _scatter_rows(
+                    self.vectors_lp, idx, _cast_bf16(dev_rows)
+                )
+            if self.vectors_i8 is not None:
+                from .ops.pallas_scan import quantize_rows_i8
+
+                # per-row quantization is deterministic, so requantizing
+                # the stored row IS the stored mirror row — identity
+                q_rows, q_scale = quantize_rows_i8(dev_rows)
+                self.vectors_i8 = _scatter_rows(self.vectors_i8, idx, q_rows)
+                self.vscale = _scatter_1d(self.vscale, idx, q_scale)
+        act0 = np.repeat(np.asarray(self.active[0:1]), bucket).astype(bool)
+        self.active = _scatter_mask(
+            self.active, idx, jax.device_put(act0, rep)
+        )
+        jax.block_until_ready(self.active)
+
     # -- query -----------------------------------------------------------------
 
     @staticmethod
@@ -814,6 +896,45 @@ class DeviceIndex:
         in the first k columns; `engine._unpack_fetch` restores them.
         """
         return _pack_vi(vals, idxs)
+
+    # Rows per device gather in fetch_rows: bounds the (chunk, dim) f32
+    # transient next to a capacity-tier resident corpus.
+    FETCH_CHUNK_ROWS = 262_144
+
+    def fetch_rows(self, idxs: np.ndarray) -> np.ndarray:
+        """Batched dequantized float32 host rows by slot id.
+
+        One device gather + one transfer per chunk instead of a per-row
+        relay round trip — restores the reference getter's O(1)-per-row
+        host cost (picovdb/pico_vdb.py:945) for device-born stores.
+        Indices are padded to power-of-two buckets so repeated calls at
+        varying sizes reuse a handful of gather specializations.
+        """
+        if self.vectors is None:
+            raise RuntimeError("fetch_rows before any upload")
+        idxs = np.asarray(idxs)
+        m = idxs.shape[0]
+        out = np.empty((m, self.dim), dtype=np.float32)
+        step = self.FETCH_CHUNK_ROWS
+        for s in range(0, m, step):
+            e = min(m, s + step)
+            chunk = np.ascontiguousarray(idxs[s:e], dtype=np.int32)
+            pad = next_pow2(max(8, chunk.shape[0]))
+            if pad != chunk.shape[0]:
+                chunk = np.pad(chunk, (0, pad - chunk.shape[0]))
+            ci = jax.device_put(chunk, self._replicated())
+            if self.storage_dtype == "int4":
+                rows = _fetch_rows_dequant_i4(
+                    self.vectors, self.vstore_scale, ci
+                )
+            elif self.vstore_scale is not None:
+                rows = _fetch_rows_dequant(
+                    self.vectors, self.vstore_scale, ci
+                )
+            else:
+                rows = _fetch_rows_f32(self.vectors, ci)
+            out[s:e] = np.asarray(rows)[: e - s]
+        return out
 
     def snapshot(self):
         """Immutable handles to the current corpus arrays.

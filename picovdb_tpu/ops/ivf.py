@@ -192,14 +192,44 @@ def _reorder_pad_shared(vecs, order, cap_ivf: int):
     return out.at[: order.shape[0]].set(jnp.take(vecs, order, axis=0))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def _pad_pow2(arr: np.ndarray, min_bucket: int = 8) -> np.ndarray:
+    """Pad a host scatter operand to a power-of-two bucket along axis 0 by
+    repeating the LAST entry (duplicate scatter indices carry identical
+    values — idempotent), so every epoch size inside a bucket reuses one
+    compiled executable instead of keying its own 0.5-5 s XLA compile."""
+    n = arr.shape[0]
+    bucket = max(min_bucket, next_pow2(n))
+    if bucket == n:
+        return arr
+    reps = np.repeat(arr[-1:], bucket - n, axis=0)
+    return np.concatenate([arr, reps], axis=0)
+
+
+def _np_scalar(value, dtype):
+    """Scalar normalized to a non-weak numpy scalar so every call site
+    (True/False deactivate/activate, cluster ids, warm identity writes)
+    shares one jit executable per array shape — Python ints/bools trace
+    as weakly-typed and would key separate compilations."""
+    return np.asarray(value, dtype=dtype)[()]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_set(arr, idx, value):
-    return arr.at[idx].set(value)
+    # `value` is a traced scalar (not static): True/False writes and the
+    # row_cluster overflow id all share ONE executable per (arr, idx)
+    # shape, so the first dirty epoch compiles each scatter exactly once
+    # and the build-time warm pass (warm_update_path) covers them all.
+    return arr.at[idx].set(jnp.asarray(value, dtype=arr.dtype))
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
-def _mark_overflow_tiles(c2t, tiles, overflow_cluster: int):
-    return c2t.at[overflow_cluster, tiles].set(1.0)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_tile_cells(c2t, tiles, cluster, value):
+    """Write `value` into c2t[cluster, tiles] (all operands traced: the
+    mutation path's hot-mark 1.0 and the warm pass's identity write share
+    one executable)."""
+    return c2t.at[jnp.asarray(cluster, jnp.int32), tiles].set(
+        jnp.asarray(value, c2t.dtype)
+    )
 
 
 def default_nlist(n_active: int) -> int:
@@ -610,44 +640,109 @@ class IVFIndex:
         self._n_used = start + n_new
         self._blob_stale = True
 
-        # device scatters (tiny arrays; donated in-place updates)
+        # Device scatters (tiny arrays; donated in-place updates). Sizes
+        # pad to power-of-two buckets — with a 1024-row floor on capacity
+        # stores (utils.scatter_bucket) — by REPEATING the last entry
+        # (duplicate indices carry identical values: idempotent), so every
+        # small epoch reuses the ONE executable set warm_update_path
+        # pre-compiles at build time (the r4 8M chip epoch measured 35.7 s
+        # because each jit first-compiled at its own shape; see
+        # bench/incr_probe.py).
+        mb = 1024 if store.shape[0] >= 65536 else 8
         if old_rows.size:
             self.active = _scatter_set(
-                self.active, jax.device_put(old_rows.astype(np.int32)),
-                False,
+                self.active,
+                jax.device_put(_pad_pow2(old_rows.astype(np.int32), mb)),
+                _np_scalar(False, bool),
             )
         if n_new:
-            idx32 = jax.device_put(new_rows.astype(np.int32))
+            idx32 = jax.device_put(_pad_pow2(new_rows.astype(np.int32), mb))
             if i8_only:
                 self.vectors_i8c = _scatter_rows_ivf(
                     self.vectors_i8c, idx32,
-                    jax.device_put(np.ascontiguousarray(q8_new)),
+                    jax.device_put(
+                        _pad_pow2(np.ascontiguousarray(q8_new), mb)
+                    ),
                 )
             else:
                 self.vectors = _scatter_rows_ivf(
                     self.vectors, idx32,
-                    jax.device_put(
-                        np.ascontiguousarray(rows[active_flags], dtype=Float)
-                    ),
+                    jax.device_put(_pad_pow2(np.ascontiguousarray(
+                        rows[active_flags], dtype=Float
+                    ), mb)),
                 )
             self.slots = _scatter_rows_ivf(
                 self.slots, idx32,
-                jax.device_put(new_slots.astype(np.int32)),
+                jax.device_put(_pad_pow2(new_slots.astype(np.int32), mb)),
             )
             self.row_cluster = _scatter_set(
-                self.row_cluster, idx32, self.nlist
+                self.row_cluster, idx32, _np_scalar(self.nlist, np.int32)
             )
-            self.active = _scatter_set(self.active, idx32, True)
+            self.active = _scatter_set(
+                self.active, idx32, _np_scalar(True, bool)
+            )
             # mark the overflow tiles hot for the pad/overflow bucket
             tiles = np.unique(new_rows // IVF_BN)
-            self.cluster2tile = _mark_overflow_tiles(
+            self.cluster2tile = _set_tile_cells(
                 self.cluster2tile,
-                jax.device_put(tiles.astype(np.int32)),
-                self.nlist,
+                jax.device_put(_pad_pow2(tiles.astype(np.int32))),
+                _np_scalar(self.nlist, np.int32),
+                _np_scalar(1.0, np.float32),
             )
             if self.vectors_i8c is not None:
                 self.refresh_i8_mirror()
         return True
+
+    def warm_update_path(self, bucket: int = 1024) -> None:
+        """Pre-compile the incremental-update executables at this layout's
+        shapes with IDENTITY writes on the live buffers (scatter back what
+        is already there), so the first dirty epoch pays execution cost
+        only. The r4 8M x 1024 int4 chip artifact measured a 35.7 s first
+        epoch — entirely first-use XLA compiles of these scatters at
+        capacity shapes (bench/incr_probe.py attributes it compile by
+        compile; epoch 1+ ran in 65-136 ms). One compile set covers every
+        epoch of up to `bucket` changed rows (update() pads each scatter
+        to a power-of-two bucket); larger epochs compile one more set at
+        their own bucket on first use.
+        """
+        store = self.vectors_i8c if self.vectors is None else self.vectors
+        if store is None:
+            return
+        idx_np = np.zeros(bucket, dtype=np.int32)
+        idx = jax.device_put(idx_np)
+        # identity rows: fetch row 0 once, write it back `bucket` times
+        # (duplicate indices with identical values are well-defined);
+        # values travel host->device exactly like update()'s — int8 bytes
+        # on the i8-only layout, Float rows on the classic layout (the jit
+        # casts to the mirror dtype; f32 round-trips bf16 exactly) — so
+        # shape, dtype, sharding and layout all match the real call.
+        row0 = np.asarray(store[0:1])
+        if self.vectors is not None:
+            row0 = row0.astype(Float)
+        self_rows = jax.device_put(
+            np.ascontiguousarray(np.repeat(row0, bucket, axis=0))
+        )
+        if self.vectors is None:
+            self.vectors_i8c = _scatter_rows_ivf(
+                self.vectors_i8c, idx, self_rows
+            )
+        else:
+            self.vectors = _scatter_rows_ivf(self.vectors, idx, self_rows)
+        slot0 = np.asarray(self.slots[0:1]).astype(np.int32)
+        self.slots = _scatter_rows_ivf(
+            self.slots, idx, jax.device_put(np.repeat(slot0, bucket))
+        )
+        cl0 = _np_scalar(np.asarray(self.row_cluster[0]), np.int32)
+        self.row_cluster = _scatter_set(self.row_cluster, idx, cl0)
+        act0 = _np_scalar(np.asarray(self.active[0]), bool)
+        self.active = _scatter_set(self.active, idx, act0)
+        # cluster2tile identity: write cell (nlist, 0)'s current value back
+        tiles = jax.device_put(np.zeros(8, dtype=np.int32))
+        cur = _np_scalar(np.asarray(self.cluster2tile[self.nlist, 0]),
+                         np.float32)
+        self.cluster2tile = _set_tile_cells(
+            self.cluster2tile, tiles, _np_scalar(self.nlist, np.int32), cur
+        )
 
     @property
     def overflow_fraction(self) -> float:

@@ -85,11 +85,16 @@ _CACHE: dict = {}
 _CACHE_MAX = 64
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
-def _mark_overflow_tiles_sharded(c2t, sh, tiles, cluster: int):
-    """Mark per-shard overflow tiles hot: c2t is (nshards, nlist_pad,
-    n_tiles); (sh, tiles) are parallel (shard id, local tile id) pairs."""
-    return c2t.at[sh, cluster, tiles].set(1.0)
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _mark_overflow_tiles_sharded(c2t, sh, tiles, cluster, value):
+    """Write `value` into c2t[sh, cluster, tiles]: c2t is (nshards,
+    nlist_pad, n_tiles); (sh, tiles) are parallel (shard id, local tile
+    id) pairs. `cluster`/`value` are traced, so the mutation path's
+    hot-mark 1.0 and warm_update_path's identity write share one
+    executable per operand shape."""
+    return c2t.at[sh, jnp.asarray(cluster, jnp.int32), tiles].set(
+        jnp.asarray(value, c2t.dtype)
+    )
 
 
 def _quantize_shards_i8(vectors, mesh, shard_axis: str):
@@ -538,24 +543,40 @@ class ShardedIVF:
         self._slot2row[new_slots] = new_rows
         self._blob_stale = True
 
-        from ..ops.ivf import _scatter_rows_ivf, _scatter_set
+        from ..ops.ivf import (
+            _np_scalar,
+            _pad_pow2,
+            _scatter_rows_ivf,
+            _scatter_set,
+        )
 
         # scatter operands upload REPLICATED over the mesh (P()) — under
         # multi-process jax.distributed every process holds the identical
         # host mutation set, and a process-local (committed) array could
-        # not join a jit over the globally sharded postings
+        # not join a jit over the globally sharded postings. Sizes pad to
+        # power-of-two buckets (repeating the last entry — idempotent) so
+        # epoch sizes share executables; see IVFIndex.update.
         rep = NamedSharding(self.mesh, P())
+        store = self.vectors_i8c if i8_only else self.vectors
+        mb = 1024 if store.shape[0] >= 65536 else 8
         if old_rows.size:
             self.active = _scatter_set(
-                self.active, jax.device_put(old_rows.astype(np.int32), rep),
-                False,
+                self.active,
+                jax.device_put(
+                    _pad_pow2(old_rows.astype(np.int32), mb), rep
+                ),
+                _np_scalar(False, bool),
             )
         if n_new:
-            idx32 = jax.device_put(new_rows.astype(np.int32), rep)
+            idx32 = jax.device_put(
+                _pad_pow2(new_rows.astype(np.int32), mb), rep
+            )
             if i8_only:
                 self.vectors_i8c = _scatter_rows_ivf(
                     self.vectors_i8c, idx32,
-                    jax.device_put(np.ascontiguousarray(q8_new), rep),
+                    jax.device_put(
+                        _pad_pow2(np.ascontiguousarray(q8_new), mb), rep
+                    ),
                 )
                 slot_vals = (
                     new_slots - new_shard * self._shard_rows_corpus
@@ -564,17 +585,20 @@ class ShardedIVF:
                 self.vectors = _scatter_rows_ivf(
                     self.vectors, idx32,
                     jax.device_put(
-                        np.ascontiguousarray(
+                        _pad_pow2(np.ascontiguousarray(
                             rows[active_flags], dtype=Float
-                        ),
+                        ), mb),
                         rep,
                     ),
                 )
                 slot_vals = new_slots.astype(np.int32)
             self.slots = _scatter_rows_ivf(
-                self.slots, idx32, jax.device_put(slot_vals, rep)
+                self.slots, idx32,
+                jax.device_put(_pad_pow2(slot_vals, mb), rep),
             )
-            self.active = _scatter_set(self.active, idx32, True)
+            self.active = _scatter_set(
+                self.active, idx32, _np_scalar(True, bool)
+            )
             self._row_cluster_np[new_rows] = self.nlist
             # mark the overflow tiles hot in each owning shard's table:
             # cluster2tile is (nshards, nlist_pad, n_tiles) with tile ids
@@ -585,9 +609,10 @@ class ShardedIVF:
             )
             self.cluster2tile = _mark_overflow_tiles_sharded(
                 self.cluster2tile,
-                jax.device_put(pairs[:, 0].astype(np.int32), rep),
-                jax.device_put(pairs[:, 1].astype(np.int32), rep),
-                self.nlist,
+                jax.device_put(_pad_pow2(pairs[:, 0].astype(np.int32)), rep),
+                jax.device_put(_pad_pow2(pairs[:, 1].astype(np.int32)), rep),
+                _np_scalar(self.nlist, np.int32),
+                _np_scalar(1.0, np.float32),
             )
             if not i8_only and self.vectors_i8c is not None:
                 # re-derive the per-shard int8 postings mirror on device
@@ -600,6 +625,51 @@ class ShardedIVF:
                     self.vectors, self.mesh, self.shard_axis
                 )
         return True
+
+    def warm_update_path(self, bucket: int = 1024) -> None:
+        """Pre-compile the incremental-update executables at this layout's
+        shapes with IDENTITY writes on the live sharded buffers, mirroring
+        `IVFIndex.warm_update_path` (see there and utils.scatter_bucket for
+        the rationale: the first dirty epoch otherwise pays seconds of
+        first-use XLA compiles at capacity shapes)."""
+        from ..ops.ivf import _np_scalar, _scatter_rows_ivf, _scatter_set
+
+        store = self.vectors_i8c if self.vectors is None else self.vectors
+        if store is None:
+            return
+        rep = NamedSharding(self.mesh, P())
+        idx = jax.device_put(np.zeros(bucket, dtype=np.int32), rep)
+        # identity rows: fetch row 0 once, write it back `bucket` times —
+        # int8 bytes on the i8-only layout, Float rows on the classic
+        # layout (update() uploads f32; the jit casts to the mirror dtype)
+        row0 = np.asarray(store[0:1])
+        if self.vectors is not None:
+            row0 = row0.astype(Float)
+        row0 = np.repeat(row0, bucket, axis=0)
+        rows_dev = jax.device_put(np.ascontiguousarray(row0), rep)
+        if self.vectors is None:
+            self.vectors_i8c = _scatter_rows_ivf(
+                self.vectors_i8c, idx, rows_dev
+            )
+        else:
+            self.vectors = _scatter_rows_ivf(self.vectors, idx, rows_dev)
+        slot0 = np.asarray(self.slots[0:1]).astype(np.int32)
+        self.slots = _scatter_rows_ivf(
+            self.slots, idx, jax.device_put(np.repeat(slot0, bucket), rep)
+        )
+        act0 = _np_scalar(np.asarray(self.active[0]), bool)
+        self.active = _scatter_set(self.active, idx, act0)
+        # cluster2tile identity: write cell (shard 0, nlist, tile 0)'s
+        # current value back (the pairs operands pad at the default 8)
+        zeros8 = jax.device_put(np.zeros(8, dtype=np.int32), rep)
+        cur = _np_scalar(
+            np.asarray(self.cluster2tile[0, self.nlist, 0]), np.float32
+        )
+        self.cluster2tile = _mark_overflow_tiles_sharded(
+            self.cluster2tile, zeros8, zeros8,
+            _np_scalar(self.nlist, np.int32), cur,
+        )
+        jax.block_until_ready(self.active)
 
     def to_blob(self) -> Optional[dict]:
         """Same sidecar schema as the single-device tier — stores built on a

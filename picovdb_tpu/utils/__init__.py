@@ -146,6 +146,25 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def scatter_bucket(n: int, store_rows: int) -> int:
+    """Pad size for a mutation-scatter operand: next power of two, with a
+    1024-row floor on capacity stores (>= 64k rows).
+
+    Every distinct operand size keys its own XLA executable; at capacity
+    shapes each scatter compile costs seconds (the r4 8M x 1024 int4 chip
+    artifact measured a 35.7 s first dirty epoch — all first-use compiles,
+    bench/results/ivf8m_i4_incr_r4c.log). The floor makes every epoch of
+    up to 1024 changed rows share ONE executable set — which the build-time
+    warm pass (DeviceIndex.warm_scatter_path / IVFIndex.warm_update_path)
+    pre-compiles — at the cost of shipping a fixed ~4 MB operand per epoch
+    (sub-noise next to the corpus, and exactly the size the measured
+    65-136 ms steady-state epochs already paid). Small stores keep the
+    8-row floor: their compiles are cheap and tests mutate single rows.
+    """
+    floor = 1024 if store_rows >= 65536 else 8
+    return max(floor, next_pow2(n))
+
+
 def encode_query_wire(vecs: np.ndarray, wire: str) -> np.ndarray:
     """Cast a (Q, dim) f32 query batch to a compact upload dtype.
 

@@ -266,3 +266,55 @@ def test_ingest_host_shadow_rejects_prequantized(db_path):
             v8, ids=[str(i) for i in range(n)], normalize=False,
             scales=scales, host_shadow=True,
         )
+
+
+@pytest.mark.parametrize("sdt", ["float32", "bfloat16", "int8", "int4"])
+def test_batched_vector_getters_match_per_row(db_path, sdt):
+    """get/get_all(include_vector=True) on a lazy (device-born) store use
+    one chunked device gather (engine._host_rows_batch); rows must match
+    the per-row `_host_row` fetch exactly for every storage tier, with
+    overlay mutations (upsert/delete while lazy) overriding the mirror."""
+    n, dim = 48, 32
+    data = _mk(n, dim, seed=3)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype=sdt
+    )
+    db.ingest_device(
+        jnp.asarray(data), ids=[f"g{i}" for i in range(n)],
+        metadata=[{"i": i} for i in range(n)],
+    )
+    assert db._host_lazy
+    # overlay rows: one update + one delete while lazy
+    db.upsert([{K_ID: "g5", K_VECTOR: np.ones(dim, dtype=np.float32)}])
+    db.delete(["g7"])
+    assert db._host_lazy
+    recs = db.get_all(include_vector=True)
+    assert len(recs) == n - 1
+    for rec in recs:
+        idx = db._id2idx[rec[K_ID]]
+        np.testing.assert_allclose(
+            rec[K_VECTOR], db._host_row(idx), atol=0, rtol=0
+        )
+    # list-form get batches through the same path
+    some = [f"g{i}" for i in range(0, n, 5) if i != 7]
+    recs2 = db.get(some, include_vector=True)
+    assert [r[K_ID] for r in recs2] == some
+    for rec in recs2:
+        idx = db._id2idx[rec[K_ID]]
+        np.testing.assert_allclose(
+            rec[K_VECTOR], db._host_row(idx), atol=0, rtol=0
+        )
+    # non-lazy store (host-born): same records, bulk numpy path
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path + "_h", storage_dtype=sdt
+    )
+    db2.upsert_columnar(
+        data.copy(), ids=[f"g{i}" for i in range(n)],
+        metadata=[{"i": i} for i in range(n)],
+    )
+    recs3 = db2.get_all(include_vector=True)
+    for rec in recs3:
+        idx = db2._id2idx[rec[K_ID]]
+        np.testing.assert_allclose(
+            rec[K_VECTOR], db2._host_row(idx), atol=0, rtol=0
+        )

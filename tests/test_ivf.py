@@ -636,3 +636,48 @@ def test_ivf_partial_probe_recall_across_incremental_epoch(db_path, rng):
     # slack: clustered geometry makes probe sets deterministic, but the
     # k-boundary can shift by one tie)
     assert r_post >= r_pre - 1.0 / k, (r_pre, r_post)
+
+
+@pytest.mark.parametrize("sdt", ["float32", "int8"])
+def test_warm_mutation_path_is_identity(db_path, rng, monkeypatch, sdt):
+    """PICOVDB_WARM_UPDATES=1 pre-compiles the mutation-path executables
+    with identity writes on the live buffers right after the ANN build
+    (engine._maybe_warm_mutation_path); query results must be bit-identical
+    to an unwarmed twin, both before and after an incremental epoch."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")  # enable i8 postings at dim 32
+    dim = 32
+    vectors, _ = clustered_data(rng, 800, dim)
+    queries = normalize_batch(
+        vectors[:8] + 0.01 * rng.normal(size=(8, dim)).astype(np.float32)
+    )
+    newv = normalize_batch(
+        np.random.default_rng(7).normal(size=(8, dim)).astype(np.float32)
+    )
+    results = {}
+    for warm in ("0", "1"):
+        monkeypatch.setenv("PICOVDB_WARM_UPDATES", warm)
+        db = PicoVectorDB(
+            embedding_dim=dim, storage_file=f"{db_path}_{warm}",
+            index="ivf", ivf_nlist=8, storage_dtype=sdt,
+        )
+        db.upsert(
+            [{K_ID: f"id{i}", K_VECTOR: vectors[i]} for i in range(800)]
+        )
+        db.query(vectors[0], top_k=1)  # triggers build (+ warm when "1")
+        assert db._last_ann_rebuild_mode == "full"
+        pre = [
+            tuple((r[K_ID], round(float(r["_metrics_"]), 5))
+                  for r in db.query(q, top_k=5))
+            for q in queries
+        ]
+        db.delete(["id10"])
+        db.upsert([{K_ID: f"new{j}", K_VECTOR: newv[j]} for j in range(8)])
+        post = [
+            tuple((r[K_ID], round(float(r["_metrics_"]), 5))
+                  for r in db.query(q, top_k=5))
+            for q in queries
+        ]
+        assert db._last_ann_rebuild_mode == "incremental"
+        assert db.query(newv[0], top_k=1)[0][K_ID] == "new0"
+        results[warm] = (pre, post)
+    assert results["0"] == results["1"]

@@ -519,3 +519,46 @@ def test_engine_mesh_i8only_clip_guard_falls_back_to_rebuild(
     res = db.query(onehot, top_k=k, ef_search=1000)
     assert db._last_ann_rebuild_mode == "full"  # guard refused in-place
     assert res[0][K_ID] == "hot"
+
+
+@pytest.mark.parametrize("i8_only", [False, True])
+def test_sharded_ivf_warm_update_identity(rng, monkeypatch, i8_only):
+    """warm_update_path() pre-compiles the mesh mutation executables with
+    identity writes: full-probe results must be unchanged by the warm, and
+    a real update() afterwards behaves exactly as without it."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    mesh = make_mesh()
+    n, dim, k = 3000, 32, 10
+    vectors, _ = clustered_data(rng, n, dim)
+    mask = np.ones(n, dtype=bool)
+    ivf = ShardedIVF.build(
+        vectors, mask, mesh, nlist=16, dim=dim, i8_only=i8_only,
+        corpus_cap=n + 1024 if i8_only else None,  # engine cap > size
+    )
+    store0 = np.asarray(ivf.vectors_i8c if i8_only else ivf.vectors)
+    slots0 = np.asarray(ivf.slots)
+    act0 = np.asarray(ivf.active)
+    c2t0 = np.asarray(ivf.cluster2tile)
+    ivf.warm_update_path()
+    np.testing.assert_array_equal(
+        np.asarray(ivf.vectors_i8c if i8_only else ivf.vectors), store0
+    )
+    np.testing.assert_array_equal(np.asarray(ivf.slots), slots0)
+    np.testing.assert_array_equal(np.asarray(ivf.active), act0)
+    np.testing.assert_array_equal(np.asarray(ivf.cluster2tile), c2t0)
+    # a real epoch after the warm: appended rows land and are served
+    new = normalize_batch(rng.normal(size=(3, dim)).astype(np.float32))
+    ok = ivf.update(
+        np.array([n, n + 1, n + 2]), new, np.array([True, True, True])
+    )
+    assert ok
+    if not i8_only:  # i8-only search needs an engine dev for the rescore
+        queries = normalize_batch(
+            rng.normal(size=(8, dim)).astype(np.float32)
+        )
+        v2, s2 = ivf.search(new, 1, ef=1000, dev=None)
+        np.testing.assert_array_equal(s2[:, 0], [n, n + 1, n + 2])
+    else:
+        assert all(
+            int(ivf._slot2row[s]) >= 0 for s in (n, n + 1, n + 2)
+        )
