@@ -226,9 +226,18 @@ def main() -> int:
                   file=sys.stderr)
 
         # ---- reference contract: host queries -> dict-per-hit results ----
-        # Report the ACTUAL wire (the int16 fixed-point query wire engages
-        # from 256 host queries under query_wire="auto"): probe the encode
-        # decision on 2 rows, scale bytes to the full batch.
+        # Served on the int8 wire + host exact rescore (query_wire =
+        # "int8_rescore"): 1 B/component upload, device selects
+        # top-(k + guard), host re-ranks exactly on the f32 rows — recall
+        # 1.0000 at the fastest wire (bench/results/wire_ab_r5.json).
+        # The link's health is probed right before the lane (noop RTT +
+        # upload bandwidth) so cross-round e2e numbers are normalizable.
+        from picovdb_tpu.utils import relay_health
+
+        health = relay_health()
+        print(f"# relay health: rtt {health['relay_rtt_ms']} ms, upload "
+              f"{health['relay_upload_mbps']} MB/s", file=sys.stderr)
+        db._query_wire = "int8_rescore"
         _wp = db._wire_encode(queries[:2], args.queries)
         wire_mb = _wp.nbytes / 2 * args.queries / 1e6
         e2e = float("inf")
@@ -238,7 +247,7 @@ def main() -> int:
                 queries, top_k=args.topk, batch_size=min(args.batch_size, 2048)
             )
             e2e = min(e2e, time.perf_counter() - t0)
-        print(f"# e2e host->dicts (best of 3): "
+        print(f"# e2e host->dicts (best of 3, int8 wire + exact rescore): "
               f"{args.queries} queries in {e2e*1000:.1f} ms "
               f"-> {args.queries/e2e:.0f} QPS "
               f"(relay-bound in this harness: the {wire_mb:.0f} MB {_wp.dtype} "
@@ -375,6 +384,11 @@ def main() -> int:
                 "batch_device_qps": round(device_qps, 0),
                 "e2e_host_dicts_qps": round(args.queries / e2e, 0),
                 "query_wire": str(_wp.dtype),
+                "query_wire_mode": db._query_wire,
+                # link-health probe taken right before the e2e lane (the
+                # relayed dev harness fluctuates ~3x; normalizes rounds)
+                "relay_rtt_ms": health["relay_rtt_ms"],
+                "relay_upload_mbps": health["relay_upload_mbps"],
                 "dict_contract_device_qps": round(dict_dev_qps, 0),
                 "single_query_device_ms": round(device_ms, 3),
                 "single_query_launch_amortized_ms": round(amortized_ms, 3),

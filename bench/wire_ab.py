@@ -62,9 +62,18 @@ def main():
     oracle = np.argsort(-(qn @ dn.T), axis=1)[:, : args.topk]
     del dn
 
-    arms = ["float32", "int16", "float16", "int8"]
+    arms = ["float32", "int16", "float16", "int8", "int8_rescore"]
     walls = {a: [] for a in arms}
     recall = {}
+
+    # relay-health probe (VERDICT r4 #7): the e2e lane swings 3-16k QPS
+    # with the tunnel's health; a noop-dispatch RTT and a small-transfer
+    # bandwidth sample alongside every wall make rounds comparable.
+    from picovdb_tpu.utils import relay_health
+
+    health = relay_health()
+    print(f"relay health: rtt {health['relay_rtt_ms']} ms, "
+          f"upload {health['relay_upload_mbps']} MB/s", flush=True)
 
     # warm each arm once (jit cache per wire dtype)
     for arm in arms:
@@ -108,6 +117,10 @@ def main():
                                     min(walls["float16"]), 2),
         "speedup_i8_vs_f32": round(min(walls["float32"]) /
                                    min(walls["int8"]), 2),
+        "speedup_i8_rescore_vs_f32": round(
+            min(walls["float32"]) / min(walls["int8_rescore"]), 2
+        ),
+        **health,
     }
     print(json.dumps(out, indent=2))
     out_path = args.out

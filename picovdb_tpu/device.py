@@ -936,6 +936,94 @@ class DeviceIndex:
             out[s:e] = np.asarray(rows)[: e - s]
         return out
 
+    def iter_store_chunks(self, n: int, chunk: Optional[int] = None):
+        """Yield the quantized corpus as host (packed_rows, scales) chunks.
+
+        The quantized-persistence writer streams these straight into
+        disk-backed memmaps (persistence.save_quantized_atomic), so a
+        capacity-tier int8/int4 store checkpoints without ever holding
+        more than one chunk of host memory — the f32 matrix the r4 save
+        path materialized (engine._ensure_host_vectors) never exists.
+        Chunks are fixed-size (last one short): two slice executables
+        total, compile-cheap.
+        """
+        if self.vectors is None or self.vstore_scale is None:
+            raise RuntimeError(
+                "iter_store_chunks requires a quantized device store"
+            )
+        step = chunk or self.STREAM_CHUNK_ROWS
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            yield (
+                np.asarray(self.vectors[s:e]),
+                np.asarray(self.vstore_scale[s:e], dtype=np.float32),
+            )
+
+    def upload_prequantized(
+        self, plane: np.ndarray, scales: np.ndarray, active_np: np.ndarray
+    ) -> None:
+        """Build the corpus from a pre-quantized host plane + per-row scales.
+
+        Load-side counterpart of `iter_store_chunks`: `plane` is the
+        (n, cols) int8 matrix ((n, dim//2) packed nibbles for int4),
+        typically a read-only memmap of `<base>.vecs.q.npy` — chunks are
+        scattered into a zero-initialized device buffer, so host RSS stays
+        one chunk and the f32 corpus never exists on either side. Works on
+        single-device and mesh stores (chunks upload replicated; GSPMD
+        routes each row to its owner shard).
+        """
+        n = plane.shape[0]
+        cols = self.dim // 2 if self.storage_dtype == "int4" else self.dim
+        if self.storage_dtype not in ("int8", "int4"):
+            raise ValueError(
+                "upload_prequantized requires int8/int4 storage; "
+                f"this store is {self.storage_dtype!r}"
+            )
+        if plane.ndim != 2 or plane.shape[1] != cols:
+            raise ValueError(
+                f"quantized plane has shape {plane.shape}; expected "
+                f"(*, {cols}) for {self.storage_dtype} at dim {self.dim}"
+            )
+        if scales.shape[0] != n:
+            raise ValueError(
+                f"{scales.shape[0]} scales for {n} plane rows"
+            )
+        cap = max(self.cap, self._padded_cap(n))
+        rep = self._replicated()
+        buf = jax.device_put(
+            jnp.zeros((cap, cols), dtype=jnp.int8), self._row_sharding()
+        )
+        sc = jax.device_put(
+            jnp.zeros((cap,), dtype=jnp.float32), self._mask_sharding()
+        )
+        step = self.STREAM_CHUNK_ROWS
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            idx = jax.device_put(np.arange(s, e, dtype=np.int32), rep)
+            buf = _scatter_rows(
+                buf, idx,
+                jax.device_put(
+                    np.ascontiguousarray(plane[s:e], dtype=np.int8), rep
+                ),
+            )
+            sc = _scatter_1d(
+                sc, idx,
+                jax.device_put(
+                    np.ascontiguousarray(scales[s:e], dtype=np.float32), rep
+                ),
+            )
+        self.vectors = buf
+        self.vstore_scale = sc
+        self.active = jax.device_put(
+            _pad_rows(np.asarray(active_np, dtype=bool), cap),
+            self._mask_sharding(),
+        )
+        self.cap = cap
+        self._refresh_lp_mirror()
+        self._mask_cache.clear()
+        self._fview_cache.clear()
+        self.last_sync_mode = "full"
+
     def snapshot(self):
         """Immutable handles to the current corpus arrays.
 

@@ -793,7 +793,13 @@ class IVFIndex:
             cent = np.asarray(blob["centroids"], dtype=Float)
             if cent.ndim != 2 or cent.shape[1] != dim:
                 return None
-            size = host_vectors.shape[0]
+            # host_vectors may be None when a device corpus serves the
+            # build (quantized-checkpoint reload: the f32 matrix never
+            # exists) — only its row count is needed here
+            size = (
+                active_mask.shape[0] if host_vectors is None
+                else host_vectors.shape[0]
+            )
             act_rows = np.nonzero(active_mask[:size])[0]
             saved_rows = np.asarray(blob["assign_rows"])
             if act_rows.shape != saved_rows.shape or not np.array_equal(
@@ -801,7 +807,7 @@ class IVFIndex:
             ):
                 return None  # active set changed since save -> retrain
             return cls.build(
-                host_vectors,
+                host_vectors if dev_vectors is None else None,
                 active_mask,
                 nlist=int(blob["nlist"]),
                 dim=dim,

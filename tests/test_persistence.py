@@ -283,3 +283,160 @@ def test_vacuum_all_deleted_clears_device_mask(db_path, rng, cap_kwargs):
     db.upsert([{K_ID: "fresh", K_VECTOR: new}])
     hits = db.query(vecs[3], top_k=5)  # query an OLD vector
     assert [h[K_ID] for h in hits] == ["fresh"], hits
+
+
+# ------------------------------------------------- quantized persistence
+
+def _device_born_store(db_path, rng, sdt, n=200, dim=32, index="exact"):
+    import jax.numpy as jnp
+
+    data = rng.normal(size=(n, dim)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype=sdt,
+        index=index,
+    )
+    db.ingest_device(
+        jnp.asarray(data), ids=[f"q{i}" for i in range(n)],
+        metadata=[{"i": i} for i in range(n)], normalize=False,
+    )
+    return db, data
+
+
+@pytest.mark.parametrize("sdt", ["int8", "int4"])
+def test_quantized_save_reload_roundtrip(db_path, rng, sdt):
+    """save(quantized=True) writes the packed plane + scales (no f32
+    matrix); reload reconstructs a lazy store with identical query
+    results, vectors, and overlay-exact mutated rows (VERDICT r4 #2)."""
+    from picovdb_tpu.persistence import (
+        overlay_path, qscale_path, qvecs_path,
+    )
+
+    db, data = _device_born_store(db_path, rng, sdt)
+    n, dim = data.shape
+    # mutate while lazy: overlay rows must survive the round trip exactly
+    newv = np.zeros(dim, dtype=np.float32)
+    newv[0] = 1.0
+    db.upsert([{K_ID: "q5", K_VECTOR: newv}])
+    db.delete(["q7"])
+    assert db._host_lazy
+    db.save(quantized=True)
+    assert db._host_lazy  # the save itself must not materialize
+
+    assert os.path.exists(qvecs_path(db_path))
+    assert os.path.exists(qscale_path(db_path))
+    assert os.path.exists(overlay_path(db_path))
+    assert not os.path.exists(vecs_path(db_path))
+    cols = dim // 2 if sdt == "int4" else dim
+    plane = np.load(qvecs_path(db_path))
+    assert plane.shape == (n, cols) and plane.dtype == np.int8
+
+    db2 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype=sdt
+    )
+    assert db2._host_lazy
+    assert db2.count() == n - 1
+    # overlay rows restored exactly (normalized form of the upsert)
+    got5 = db2.get(["q5"], include_vector=True)[0][K_VECTOR]
+    np.testing.assert_array_equal(got5, db._host_row(db._id2idx["q5"]))
+    # query parity against the pre-save store
+    q = rng.normal(size=(8, dim)).astype(np.float32)
+    want = [[h[K_ID] for h in row] for row in db.query(q, top_k=5)]
+    got = [[h[K_ID] for h in row] for row in db2.query(q, top_k=5)]
+    assert got == want
+    # deleted row stays deleted; vectors match tier-exactly
+    assert db2.get(["q7"]) == []
+    recs = db2.get_all(include_vector=True)
+    for rec in recs:
+        idx = db._id2idx[rec[K_ID]]
+        np.testing.assert_allclose(
+            rec[K_VECTOR], db._host_row(idx), atol=0, rtol=0
+        )
+    # the reloaded store mutates + saves again
+    db2.upsert([{K_ID: "fresh", K_VECTOR: rng.normal(size=dim).astype(np.float32)}])
+    assert db2.query(db2.get(["fresh"], include_vector=True)[0][K_VECTOR],
+                     top_k=1)[0][K_ID] == "fresh"
+    db2.save(quantized=True)
+    db3 = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, storage_dtype=sdt
+    )
+    assert db3.count() == n
+    assert db3.get(["fresh"]) != []
+
+
+def test_quantized_save_validation(db_path, rng):
+    """quantized=True demands int8/int4 storage and refuses shards;
+    reload demands the matching storage_dtype."""
+    items, _ = make_items(rng, 20, 16)
+    db = PicoVectorDB(embedding_dim=16, storage_file=db_path)
+    db.upsert(items)
+    with pytest.raises(ValueError, match="int8/int4"):
+        db.save(quantized=True)
+
+    db8, _ = _device_born_store(db_path + "_8", rng, "int8", n=50, dim=16)
+    with pytest.raises(ValueError, match="shards"):
+        db8.save(shards=2, quantized=True)
+    db8.save(quantized=True)
+    with pytest.raises(ValueError, match="storage_dtype"):
+        PicoVectorDB(embedding_dim=16, storage_file=db_path + "_8")
+
+
+def test_quantized_auto_engages_on_capacity(db_path, rng, monkeypatch):
+    """Default save() on a lazy quantized store auto-picks the quantized
+    format once the f32 materialization would exceed the threshold."""
+    from picovdb_tpu.persistence import qvecs_path
+
+    monkeypatch.setenv("PICOVDB_QSAVE_AUTO_GB", "0.00001")  # ~10 KB
+    db, data = _device_born_store(db_path, rng, "int8", n=300, dim=32)
+    db.save()
+    assert os.path.exists(qvecs_path(db_path))
+    assert not os.path.exists(vecs_path(db_path))
+    assert db._host_lazy
+    db2 = PicoVectorDB(
+        embedding_dim=32, storage_file=db_path, storage_dtype="int8"
+    )
+    assert db2.count() == 300
+
+
+def test_quantized_save_failure_preserves_old_files(db_path, rng):
+    """A crash mid-save leaves the previous quantized checkpoint intact
+    and removes stragglers (same contract as save_atomic)."""
+    import glob
+
+    from picovdb_tpu.persistence import qvecs_path
+
+    db, _ = _device_born_store(db_path, rng, "int8", n=60, dim=16)
+    db.save(quantized=True)
+    before = open(qvecs_path(db_path), "rb").read()
+    with patch("os.replace", side_effect=OSError("disk full")):
+        with pytest.raises(OSError):
+            db.save(quantized=True)
+    assert open(qvecs_path(db_path), "rb").read() == before
+    assert not glob.glob(f"{db_path}*tmp*")
+    db2 = PicoVectorDB(
+        embedding_dim=16, storage_file=db_path, storage_dtype="int8"
+    )
+    assert db2.count() == 60
+
+
+def test_quantized_ivf_sidecar_reuse(db_path, rng):
+    """The ANN sidecar reloads against the device corpus (no f32
+    materialization): centroids reused, no retrain, probed results live."""
+    db, data = _device_born_store(
+        db_path, rng, "int8", n=1200, dim=256, index="ivf"
+    )
+    db.rebuild_index()
+    assert db._ivf is not None
+    cents = np.asarray(db._ivf._host_blob["centroids"])
+    db.save(quantized=True)
+    db2 = PicoVectorDB(
+        embedding_dim=256, storage_file=db_path, storage_dtype="int8",
+        index="ivf",
+    )
+    assert db2._ivf is not None
+    np.testing.assert_array_equal(
+        np.asarray(db2._ivf._host_blob["centroids"]), cents
+    )
+    assert db2._host_lazy  # sidecar reuse must not materialize
+    r = db2.query(data[3], top_k=3)
+    assert r[0][K_ID] == "q3"

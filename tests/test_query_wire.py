@@ -262,3 +262,63 @@ def test_batched_parity_on_mesh_store(db_path, rng):
     assert [[h[K_ID] for h in row] for row in got] == [
         [h[K_ID] for h in row] for row in want
     ]
+
+
+def test_int8_rescore_wire_exact_parity(db_path, rng):
+    """query_wire='int8_rescore': queries ship on the 1 B wire, the device
+    selects top-(k + guard), the host re-ranks exactly on the f32 rows —
+    ids AND scores must match the float32 wire bit-for-bit (the rescore
+    recomputes scores at f64, same as the oracle)."""
+    db, _ = _parity_store(db_path, rng, n=3000, query_wire="int8_rescore")
+    q = rng.normal(size=(QUERY_WIRE_MIN_Q + 40, 48)).astype(np.float32)
+    got = db.query_batched(q, top_k=5, batch_size=512)
+    assert db._last_rescore == "host-wire"
+    db._query_wire = "float32"
+    want = db.query_batched(q, top_k=5, batch_size=512)
+    assert [[h[K_ID] for h in row] for row in got] == [
+        [h[K_ID] for h in row] for row in want
+    ]
+    for g_row, w_row in zip(got, want):
+        for g, w in zip(g_row, w_row):
+            assert abs(g["_metrics_"] - w["_metrics_"]) < 1e-5
+
+
+def test_int8_rescore_small_batch_falls_back_to_int16(db_path, rng):
+    """Below QUERY_WIRE_MIN_Q the rescore lane does not engage; the wire
+    falls back to the recall-1.0 int16 plane, never raw int8."""
+    db, _ = _parity_store(db_path, rng, n=600, query_wire="int8_rescore")
+    small = db._wire_encode(
+        rng.normal(size=(8, 48)).astype(np.float32), 8
+    )
+    assert small.dtype == np.float32  # below the auto threshold: untouched
+    big = db._wire_encode(
+        rng.normal(size=(QUERY_WIRE_MIN_Q, 48)).astype(np.float32),
+        QUERY_WIRE_MIN_Q,
+    )
+    assert big.dtype == np.int8
+
+    # lazy (device-born) stores have no authentic f32 host rows: the lane
+    # must refuse int8 and ship int16 instead
+    db._host_lazy = True
+    lazy = db._wire_encode(
+        rng.normal(size=(QUERY_WIRE_MIN_Q, 48)).astype(np.float32),
+        QUERY_WIRE_MIN_Q,
+    )
+    assert lazy.dtype == np.int16
+    db._host_lazy = False
+
+
+def test_int8_rescore_with_filters(db_path, rng):
+    """The wire-rescore lane composes with ids/where filters: candidates
+    come from the filtered set and the exact re-rank preserves them."""
+    db, _ = _parity_store(db_path, rng, n=2000, query_wire="int8_rescore")
+    allow = [f"id{i}" for i in range(0, 2000, 3)]
+    q = rng.normal(size=(QUERY_WIRE_MIN_Q, 48)).astype(np.float32)
+    got = db.query_batched(q, top_k=5, ids=allow, batch_size=512)
+    db._query_wire = "float32"
+    want = db.query_batched(q, top_k=5, ids=allow, batch_size=512)
+    assert [[h[K_ID] for h in row] for row in got] == [
+        [h[K_ID] for h in row] for row in want
+    ]
+    for row in got:
+        assert all(h[K_ID] in set(allow) for h in row)
