@@ -562,3 +562,31 @@ def test_sharded_ivf_warm_update_identity(rng, monkeypatch, i8_only):
         assert all(
             int(ivf._slot2row[s]) >= 0 for s in (n, n + 1, n + 2)
         )
+
+
+def test_sharded_classic_mirror_update_is_o_changed(rng, monkeypatch):
+    """Mesh classic layout: in-distribution appends clip-scatter the
+    per-shard int8 mirror against frozen scales (no re-derive); drifted
+    appends trip the guard and re-derive with fresh scales."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    mesh = make_mesh()
+    n, dim = 3000, 32
+    vectors, _ = clustered_data(rng, n, dim)
+    ivf = ShardedIVF.build(
+        vectors, np.ones(n, dtype=bool), mesh, nlist=16, dim=dim
+    )
+    assert ivf.vectors_i8c is not None and ivf._cscale_np is not None
+    frozen = ivf._cscale_np
+    new = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    assert ivf.update(np.array([n, n + 1]), new, np.array([True, True]))
+    assert ivf.last_update_clip_fraction <= 0.05
+    assert ivf._cscale_np is frozen
+    v, s = ivf.search(new[:1], 1, ef=1000, dev=None)
+    assert s[0, 0] == n
+
+    big = np.full((1, dim), 100.0, dtype=np.float32)
+    assert ivf.update(np.array([n + 2]), big, np.array([True]))
+    assert ivf.last_update_clip_fraction > 0.05
+    assert ivf._cscale_np is not frozen
+    v2, s2 = ivf.search(normalize_batch(big.copy()), 1, ef=1000, dev=None)
+    assert s2[0, 0] == n + 2
