@@ -290,6 +290,8 @@ class DeviceIndex:
         # mirror mutation. Bounded FIFO.
         self._mask_cache: dict = {}
         self.MASK_CACHE_MAX = 32
+        # replicated-output row-fetch jits on mesh stores (see _fetch_jit)
+        self._fetch_rep_jits: dict = {}
         # Compacted filtered-corpus views (surviving rows gathered dense):
         # lets BIG filtered batches ride the segmax tier — per-segment
         # truncation is unsafe under a clustered filter on the full
@@ -675,6 +677,51 @@ class DeviceIndex:
         self.last_sync_mode = "full"
         return shadow
 
+    def adopt_global(self, vectors_global, active_np: np.ndarray) -> None:
+        """Adopt an externally assembled GLOBAL row-sharded corpus array.
+
+        Multi-process engine load (SURVEY §2 distributed table): each
+        process reads only its own checkpoint shard and joins it into one
+        global jax.Array (parallel.multihost.load_host_shard); this method
+        casts to the storage dtype and pads to the aligned capacity in ONE
+        jitted program whose output sharding is the corpus row sharding —
+        GSPMD inserts the cross-process row movement (ICI/Gloo), so no
+        host ever touches another host's rows. f32/bfloat16 storage only
+        (quantized tiers load via their packed plane instead).
+        """
+        if self.storage_dtype in ("int8", "int4"):
+            raise NotImplementedError(
+                "adopt_global supports float32/bfloat16 storage; quantized "
+                "multi-process stores load via upload_prequantized"
+            )
+        n = int(vectors_global.shape[0])
+        cap = self._padded_cap(n)
+        sdt = jnp.dtype(self._storage_np_dtype())
+
+        @functools.partial(
+            jax.jit, static_argnums=(1,), donate_argnums=(0,),
+            out_shardings=self._row_sharding(),
+        )
+        def _pad_cast(v, pad):
+            v = v.astype(sdt)
+            if pad:
+                v = jnp.pad(v, ((0, pad), (0, 0)))
+            return v
+
+        self.vectors = _pad_cast(vectors_global, cap - n)
+        # active mask: host metadata is replicated across processes, so
+        # every process passes the identical padded array and device_put
+        # slices out its local rows
+        self.active = jax.device_put(
+            _pad_rows(np.asarray(active_np, dtype=bool), cap),
+            self._mask_sharding(),
+        )
+        self.cap = cap
+        self._refresh_lp_mirror()
+        self._mask_cache.clear()
+        self._fview_cache.clear()
+        self.last_sync_mode = "full"
+
     # f32 corpus + bf16 mirror = 6 bytes/row/dim; above this the mirror is
     # skipped so big corpora keep their headroom (v5e has 16 GB HBM).
     MIXED_HBM_BUDGET = 12 * 2**30
@@ -924,17 +971,30 @@ class DeviceIndex:
                 chunk = np.pad(chunk, (0, pad - chunk.shape[0]))
             ci = jax.device_put(chunk, self._replicated())
             if self.storage_dtype == "int4":
-                rows = _fetch_rows_dequant_i4(
+                rows = self._fetch_jit(_fetch_rows_dequant_i4)(
                     self.vectors, self.vstore_scale, ci
                 )
             elif self.vstore_scale is not None:
-                rows = _fetch_rows_dequant(
+                rows = self._fetch_jit(_fetch_rows_dequant)(
                     self.vectors, self.vstore_scale, ci
                 )
             else:
-                rows = _fetch_rows_f32(self.vectors, ci)
+                rows = self._fetch_jit(_fetch_rows_f32)(self.vectors, ci)
             out[s:e] = np.asarray(rows)[: e - s]
         return out
+
+    def _fetch_jit(self, fn):
+        """Row-fetch jit, with the output pinned REPLICATED on mesh stores:
+        under multi-process every host must be able to read the gathered
+        rows locally (a compiler-chosen sharded output would not be fully
+        addressable)."""
+        if self.mesh is None:
+            return fn
+        cached = self._fetch_rep_jits.get(fn)
+        if cached is None:
+            cached = jax.jit(fn, out_shardings=self._replicated())
+            self._fetch_rep_jits[fn] = cached
+        return cached
 
     def iter_store_chunks(self, n: int, chunk: Optional[int] = None):
         """Yield the quantized corpus as host (packed_rows, scales) chunks.

@@ -411,6 +411,9 @@ class PicoVectorDB:
         if qinfo is not None:
             self._load_quantized(qinfo)
             return
+        if self._is_multiprocess() and persistence.exists(self._path):
+            self._load_distributed()
+            return
         if persistence.exists(self._path):
             logger.info("Loading existing DB …")
             self._ids = persistence.load_ids(self._path)
@@ -515,6 +518,94 @@ class PicoVectorDB:
             self._active_indices = np.empty(0, dtype=np.int64)
             logger.info("No persisted data – fresh DB")
             self._dirty = False
+
+    def _is_multiprocess(self) -> bool:
+        """True when this engine is one process of a multi-controller
+        (jax.distributed) program over a global mesh. Every process must
+        then issue the SAME queries/mutations in the same order — the
+        standard SPMD contract; jits over the sharded corpus are
+        collective programs."""
+        if self._dev.mesh is None:
+            return False
+        import jax
+
+        return jax.process_count() > 1
+
+    def _load_distributed(self) -> None:
+        """Construct one logical store across processes (VERDICT r4 #4).
+
+        Each process reads ONLY its own shard of a `save(shards=N)`
+        checkpoint (N == process_count), joins the global row-sharded
+        corpus (parallel.multihost.load_host_shard), and adopts it on
+        device — padding/resharding runs as one GSPMD program, so no host
+        ever holds the full matrix. Host metadata (ids/docs: JSON, small)
+        loads replicated on every process; the store comes back LAZY, and
+        mutations flow through the overlay + replicated-operand scatters
+        exactly like a device-born store. float32/bfloat16 storage;
+        index="ivf" is not yet served here (ShardedIVF's build is
+        host-fed) — the engine warns and serves exact.
+        """
+        import jax
+
+        from .parallel.multihost import load_host_shard
+
+        paths = persistence.find_shards(self._path)
+        nproc = jax.process_count()
+        if len(paths) != nproc:
+            raise ValueError(
+                f"multi-process load needs a save(shards={nproc}) layout; "
+                f"found {len(paths)} shard files for {self._path!r}"
+            )
+        logger.info("Loading existing DB (distributed, %d processes) …",
+                    nproc)
+        self._ids = persistence.load_ids(self._path)
+        count = len(self._ids)
+        self._docs, self._additional = persistence.load_meta(
+            self._path, count
+        )
+        if len(self._docs) < count:
+            self._docs = list(self._docs) + [None] * (count - len(self._docs))
+        free_append = self._free.append
+        actives: list[int] = []
+        for i, (_id, doc) in enumerate(zip(self._ids, self._docs)):
+            if doc is None:
+                free_append(i)
+            elif _id is not None:
+                actives.append(i)
+        self._id2idx = None
+        self._active_mask = np.zeros(count, dtype=bool)
+        if actives:
+            self._active_indices = np.asarray(actives, dtype=np.int64)
+            self._active_mask[self._active_indices] = True
+        else:
+            self._active_indices = np.empty(0, dtype=np.int64)
+        self._tag_index.resize(count)
+        self._host_vectors = None
+        self._host_lazy = True
+        if count:
+            v_glob = load_host_shard(
+                self._path, self.dim, self._dev.mesh,
+                shard_axis=self._dev.shard_axis,
+            )
+            if v_glob.shape[0] != count:
+                raise ValueError(
+                    f"shard files hold {v_glob.shape[0]} rows but the ids "
+                    f"file has {count} slots"
+                )
+            self._dev.adopt_global(v_glob, self._active_mask)
+            self._last_sync_mode = "full"
+        if self._index_kind == "ivf":
+            logger.warning(
+                "index='ivf' is not yet served on multi-process engines "
+                "(the sharded build is host-fed); serving exact"
+            )
+            self._index_kind = "exact"
+        self._dirty = False
+        logger.info(
+            "Loaded %d active / %d total vectors (process %d/%d)",
+            int(self._active_indices.size), count,
+            jax.process_index(), nproc,
+        )
 
     def _load_quantized(self, q: dict) -> None:
         """Reconstruct a store from its quantized checkpoint (packed plane +
@@ -659,6 +750,9 @@ class PicoVectorDB:
         with self._rwlock.write_lock():
             if self._dirty:
                 self._sync_device_locked()
+            if self._is_multiprocess():
+                self._save_distributed(shards)
+                return
             if self._quantized_save_applies(quantized, shards):
                 n = len(self._ids)
                 persistence.save_quantized_atomic(
@@ -705,6 +799,65 @@ class PicoVectorDB:
                 ann_blob=ann_blob,
                 n_shards=shards,
             )
+
+    def _save_distributed(self, shards: Optional[int]) -> None:
+        """Persist a multi-process store: one vector shard file per
+        process, metadata from process 0 (caller holds the write lock,
+        device mirror synced).
+
+        Every process executes the same sequence of replicated-output
+        slice programs (the SPMD contract — per-file row ranges are
+        identical constants on all processes, so the jits match); the
+        owning process fetches its replica locally and writes its file
+        atomically. A barrier closes the save so no process returns
+        before the checkpoint is complete on shared storage.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        if shards is not None and shards != nproc:
+            raise ValueError(
+                f"multi-process save writes one shard per process "
+                f"({nproc}); got shards={shards}"
+            )
+        n = len(self._ids)
+        per = -(-n // nproc) if n else 0
+        rep = NamedSharding(self._dev.mesh, P())
+        for f in range(nproc):
+            start, stop = f * per, min(n, (f + 1) * per)
+            if stop <= start:
+                continue  # identical on every process: no jit skew
+            sliced = jax.jit(
+                lambda v, s=start, m=stop - start: jax.lax.
+                dynamic_slice_in_dim(v, s, m, 0).astype(jnp.float32),
+                out_shardings=rep,
+            )(self._dev.vectors)
+            if pid == f:
+                persistence.save_shard_atomic(
+                    self._path, f, nproc, np.asarray(sliced)
+                )
+            else:
+                jax.block_until_ready(sliced)
+            del sliced
+        if pid == 0:
+            persistence.save_ids_meta_atomic(
+                self._path, self._ids, self._docs, self._additional,
+                self.dim,
+                ann_blob=(
+                    self._ivf.to_blob() if self._ivf is not None else None
+                ),
+            )
+            vfile = persistence.vecs_path(self._path)
+            if os.path.exists(vfile):
+                os.remove(vfile)  # stale single-file matrix
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("picovdb_save_distributed")
+        logger.info("Saved %d vectors (distributed, shard %d/%d)",
+                    n, pid, nproc)
 
     def _quantized_save_applies(
         self, quantized: Optional[bool], shards: Optional[int]
@@ -1181,6 +1334,15 @@ class PicoVectorDB:
         """
         if not self._host_lazy:
             return
+        if self._is_multiprocess():
+            raise RuntimeError(
+                "host materialization of a multi-process store is not "
+                "supported: each process holds only its corpus shard. "
+                "save() writes per-process shard files; keep mutation "
+                "sets under the incremental threshold "
+                "(faiss_incremental_threshold_ratio) so syncs stay "
+                "O(changed)."
+            )
         n = len(self._ids)
         # Fetch the EXISTING device buffer and slice host-side: a device
         # `[:n]` slice would allocate a second corpus-sized buffer on-chip

@@ -318,6 +318,56 @@ def save_quantized_atomic(
                     pass
 
 
+def save_ids_meta_atomic(
+    base: str,
+    ids: list,
+    docs: list,
+    additional: dict,
+    embedding_dim: int,
+    ann_blob: Optional[dict] = None,
+) -> None:
+    """Atomically write the ids/meta (+ optional ANN) files only — the
+    multi-process saver writes vector shards per process and has the
+    coordinator call this for the shared metadata."""
+    ids_file, mfile = ids_path(base), meta_path(base)
+    ann_file = f"{vecs_path(base)}.ivf.npz"
+    tmp_ids, tmp_meta, tmp_ann = (
+        f"{ids_file}.tmp", f"{mfile}.tmp", f"{ann_file}.tmp"
+    )
+    try:
+        with open(tmp_ids, "w", encoding="utf-8") as f:
+            json.dump(ids, f, ensure_ascii=False)
+        with open(tmp_meta, "w", encoding="utf-8") as f:
+            json.dump(
+                {"embedding_dim": embedding_dim, "data": docs,
+                 "additional_data": additional}, f, ensure_ascii=False,
+            )
+        if ann_blob is not None:
+            with open(tmp_ann, "wb") as f:
+                np.savez(f, **ann_blob)
+        os.replace(tmp_ids, ids_file)
+        os.replace(tmp_meta, mfile)
+        if ann_blob is not None:
+            os.replace(tmp_ann, ann_file)
+    finally:
+        for t in (tmp_ids, tmp_meta, tmp_ann):
+            if os.path.exists(t):
+                try:
+                    os.remove(t)
+                except OSError:
+                    pass
+
+
+def save_shard_atomic(base: str, i: int, n: int, rows: np.ndarray) -> str:
+    """Atomically write ONE vector shard file (multi-process saver: each
+    process persists its own slice of the corpus)."""
+    final = shard_path(base, i, n)
+    tmp_base = f"{final[:-4]}.tmp"
+    np.save(tmp_base, np.ascontiguousarray(rows, dtype=Float))
+    os.replace(f"{tmp_base}.npy", final)
+    return final
+
+
 def load_quantized(base: str) -> Optional[dict]:
     """Read a quantized store's plane/scales (memmapped, read-only) plus
     the exact-row overlay; None when this base has no quantized plane."""

@@ -197,6 +197,78 @@ def run_ivf8(mesh, vectors, full, qn):
     assert s3[0, 0] == 1, s3
 
 
+def run_engine(mesh, base, dim, full):
+    """Engine-level multi-process serving (VERDICT r4 #4): a PicoVectorDB
+    constructed in EVERY process over the global mesh — each reads only
+    its own checkpoint shard — with queries, upserts, deletes, batched
+    vector getters, a distributed re-save, and a reload, all verified
+    against the host oracle. Every process issues the identical call
+    sequence (the SPMD contract)."""
+    from picovdb_tpu import PicoVectorDB, K_ID, K_VECTOR
+
+    n = full.shape[0]
+    db = PicoVectorDB(embedding_dim=dim, storage_file=base, mesh=mesh)
+    assert db._host_lazy and db._host_vectors is None
+    assert db.count() == n
+
+    ids = db.get_all()
+    id_list = [r[K_ID] for r in ids]
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((3, dim)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    s, want = _oracle_topk(qn, full, 5)
+    res = db.query(q, top_k=5)
+    for qi in range(3):
+        got_ids = [h[K_ID] for h in res[qi]]
+        assert got_ids == [id_list[j] for j in want[qi]], (qi, got_ids)
+        np.testing.assert_allclose(
+            [h["_metrics_"] for h in res[qi]],
+            np.take_along_axis(s, want, axis=1)[qi], rtol=1e-5, atol=1e-5,
+        )
+
+    # batched vector getter: replicated-output gather, every process
+    # reads the dequantized rows locally
+    got_vec = db.get([id_list[1]], include_vector=True)[0][K_VECTOR]
+    np.testing.assert_allclose(got_vec, full[1], rtol=1e-5, atol=1e-6)
+
+    # identical mutation set in every process: update 1, delete 1,
+    # append 4 (keeps the re-saved row count divisible by the device
+    # count for the reload below)
+    rng2 = np.random.default_rng(11)
+    newv = rng2.standard_normal((5, dim)).astype(np.float32)
+    newv /= np.linalg.norm(newv, axis=1, keepdims=True)
+    db.upsert(
+        [{K_ID: id_list[2], K_VECTOR: newv[0]}]
+        + [{K_ID: f"mh_new{j}", K_VECTOR: newv[1 + j]} for j in range(4)]
+    )
+    db.delete([id_list[5]])
+
+    corpus = np.vstack([full, newv[1:5]])
+    corpus[2] = newv[0]
+    live = np.ones(n + 4, dtype=bool)
+    live[5] = False
+    ids2 = id_list + [f"mh_new{j}" for j in range(4)]
+    s2, want2 = _oracle_topk(qn, corpus, 5, live=live)
+    res2 = db.query(q, top_k=5)
+    for qi in range(3):
+        got_ids = [h[K_ID] for h in res2[qi]]
+        assert got_ids == [ids2[j] for j in want2[qi]], (qi, got_ids)
+    assert db.query(newv[1], top_k=1)[0][K_ID] == "mh_new0"
+    assert all(
+        h[K_ID] != id_list[5] for h in db.query(full[5], top_k=10)
+    )
+
+    # distributed re-save (one shard file per process) + reload
+    db.save()
+    db2 = PicoVectorDB(embedding_dim=dim, storage_file=base, mesh=mesh)
+    assert db2.count() == n + 4 - 1
+    res3 = db2.query(q, top_k=5)
+    for qi in range(3):
+        assert [h[K_ID] for h in res3[qi]] == [
+            ids2[j] for j in want2[qi]
+        ], qi
+
+
 def main() -> int:
     pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     base, dim = sys.argv[4], int(sys.argv[5])
@@ -213,6 +285,14 @@ def main() -> int:
                      process_id=pid)
     assert jax.process_count() == nprocs, jax.process_count()
     mesh = pod_mesh(dp=1)
+
+    if mode == "engine":
+        full = np.concatenate(
+            [np.load(p) for p in persistence.find_shards(base)]
+        )
+        run_engine(mesh, base, dim, full)
+        print(f"MH OK pid={pid} mode={mode}", flush=True)
+        return 0
 
     vectors = load_host_shard(base, dim, mesh)
     n = vectors.shape[0]

@@ -31,12 +31,15 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.parametrize("mode", ["exact", "i4", "ivf", "ivf8"])
+@pytest.mark.parametrize("mode", ["exact", "i4", "ivf", "ivf8", "engine"])
 def test_two_process_sharded_query(tmp_path, mode):
     """exact: the f32 merge. i4: the packed-nibble int4 STORAGE lane.
     ivf: ShardedIVF build + search + an INCREMENTAL update() epoch.
     ivf8: the int8-only layout + an in-place frozen-scale requantize
-    epoch — all across 2 real OS processes (VERDICT r3 item 5)."""
+    epoch — all across 2 real OS processes (VERDICT r3 item 5).
+    engine: a full PicoVectorDB per process — shard-local load, queries,
+    mutations, batched getters, distributed save + reload (VERDICT r4
+    item 4)."""
     base = str(tmp_path / "mhstore")
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((N, DIM)).astype(np.float32)
