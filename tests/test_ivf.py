@@ -713,3 +713,36 @@ def test_ivf_classic_mirror_update_is_o_changed(rng, monkeypatch):
     vals2, slots2 = ivf.search(normalize_batch(big.copy()), k, ef=64,
                                dev=None)
     assert slots2[0, 0] == n + 2
+
+
+def test_clip_guard_device_born_rebuild_stays_lazy(db_path, rng, monkeypatch):
+    """VERDICT r4 #8: on a SINGLE-DEVICE device-born int8 store the
+    clip-guard fallback rebuild runs from the resident device corpus —
+    the host matrix is never materialized (the mesh tier's host-fed build
+    is the remaining exception, tested in test_ivf_mesh)."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    monkeypatch.setenv("PICOVDB_IVF_I8_CLIP_MAX", "0")
+    dim, n, k = 32, 3000, 5
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf",
+        storage_dtype="int8", ivf_nlist=16,
+    )
+    db.ingest_device(
+        jnp.asarray(vectors), ids=[str(i) for i in range(n)],
+        normalize=False,
+    )
+    db.rebuild_index()
+    assert db._host_lazy and db._ivf is not None
+
+    onehot = np.zeros(dim, np.float32)
+    onehot[0] = 1.0
+    db.upsert([{K_ID: "hot", K_VECTOR: onehot}])
+    res = db.query(onehot, top_k=k, ef_search=1000)
+    assert db._last_ann_rebuild_mode == "full"
+    assert res[0][K_ID] == "hot"
+    assert db.query(vectors[7], top_k=1)[0][K_ID] == "7"
+    # the fallback must NOT have materialized the host corpus
+    assert db._host_lazy

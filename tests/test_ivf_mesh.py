@@ -590,3 +590,37 @@ def test_sharded_classic_mirror_update_is_o_changed(rng, monkeypatch):
     assert ivf._cscale_np is not frozen
     v2, s2 = ivf.search(normalize_batch(big.copy()), 1, ef=1000, dev=None)
     assert s2[0, 0] == n + 2
+
+
+def test_engine_mesh_i8only_clip_guard_device_born(db_path, rng, monkeypatch):
+    """VERDICT r4 #8 worst case: drifted appends on a DEVICE-BORN (lazy)
+    int8-only mesh store — the guard refuses the in-place path and the
+    full rebuild (which is host-fed on the mesh tier) must still serve
+    correct results."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    monkeypatch.setenv("PICOVDB_IVF_I8_CLIP_MAX", "0")
+    mesh = make_mesh()
+    dim, n, k = 32, 4096, 8
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="int8", ivf_nlist=16,
+    )
+    db.ingest_device(
+        jnp.asarray(vectors), ids=[str(i) for i in range(n)],
+        normalize=False,
+    )
+    assert db._host_lazy
+    db.rebuild_index()
+    assert db._ivf is not None and db._ivf.vectors is None
+
+    onehot = np.zeros(dim, np.float32)
+    onehot[0] = 1.0
+    db.upsert([{K_ID: "hot", K_VECTOR: onehot}])
+    res = db.query(onehot, top_k=k, ef_search=1000)
+    assert db._last_ann_rebuild_mode == "full"  # guard refused in-place
+    assert res[0][K_ID] == "hot"
+    # pre-drift rows still served
+    assert db.query(vectors[7], top_k=1)[0][K_ID] == "7"
