@@ -46,6 +46,16 @@ def _scatter_1d(arr, idx, vals):
     return arr.at[idx].set(vals)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pad_tail_2d(x, pad: int):
+    return jnp.pad(x, ((0, pad), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _pad_tail_1d(x, pad: int):
+    return jnp.pad(x, (0, pad))
+
+
 @jax.jit
 def _pack_vi(vals, idxs):
     """(Q, k) f32 + (Q, k) i32 -> one (Q, 2k) i32 fetch buffer (bitcast)."""
@@ -428,6 +438,99 @@ class DeviceIndex:
     # larger than host RAM never materializes on the host (SURVEY.md §7.6
     # "memmap streaming host->HBM").
     STREAM_CHUNK_ROWS = 262_144
+
+    def grow(self, n: int) -> bool:
+        """Grow padded capacity device-side to hold `n` rows — zero host traffic.
+
+        Append epochs that cross a ROW_PAD capacity bucket used to fall
+        back to the host-fed full re-upload (`_ensure_host_vectors` +
+        `full_upload`), which on a lazy capacity-tier store materializes
+        the full f32 host matrix (~33 GB at 8M x 1024) and was measured to
+        OOM on the chip with the IVF postings mirror resident
+        (bench/results/ivf8m_i4_incr_r5.log). This pads every resident
+        plane with zero rows on device instead (d2d, milliseconds) and
+        adds a small slack (max(ROW_PAD, n/64)) so subsequent appends stay
+        inside the new bucket — keeping mutation epochs O(changed) across
+        bucket boundaries (reference bar: incremental must beat full,
+        picovdb/pico_vdb.py:884-921).
+
+        Peak HBM is old + new corpus plane. On allocation failure near the
+        HBM ceiling the method degrades rather than corrupts: if the core
+        plane pad fails the store is untouched; if a later (small) buffer
+        fails the device mirror is dropped wholesale. Either way returns
+        False and the caller falls back to the full re-upload path.
+        """
+        if self.vectors is None:
+            return False
+        slack = max(ROW_PAD, n // 64)
+        new_cap = max(self.cap, self._padded_cap(n + slack))
+        if new_cap <= self.cap:
+            return True
+        pad = new_cap - self.cap
+        row_sh = self._row_sharding()
+        mask_sh = self._mask_sharding()
+        committed = False
+        try:
+            # the big plane first: a failure here leaves the store intact.
+            # device_put rebalances the tail padding across shards (the
+            # block distribution's row boundaries move with cap).
+            vecs = jax.device_put(_pad_tail_2d(self.vectors, pad), row_sh)
+            vecs.block_until_ready()
+            self.vectors = vecs
+            committed = True
+            self.active = jax.device_put(
+                _pad_tail_1d(self.active, pad), mask_sh
+            )
+            if self.vstore_scale is not None:
+                self.vstore_scale = jax.device_put(
+                    _pad_tail_1d(self.vstore_scale, pad), mask_sh
+                )
+            self.cap = new_cap
+        except Exception as e:  # RESOURCE_EXHAUSTED near the HBM ceiling
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            if committed:
+                # partially grown: drop the mirror; the caller's full
+                # re-upload rebuilds every buffer at a consistent cap
+                self.vectors = None
+                self.vstore_scale = None
+                self.vectors_lp = None
+                self.vectors_i8 = None
+                self.vscale = None
+            return False
+        # optional mirrors (f32/bf16 stores): pad in place; each step
+        # frees its old buffer on assignment, bounding the transient. A
+        # mirror that fails to grow is simply dropped — queries fall back
+        # to the f32 corpus plane for that tier.
+        try:
+            if self.vectors_lp is not None:
+                self.vectors_lp = jax.device_put(
+                    _pad_tail_2d(self.vectors_lp, pad), row_sh
+                )
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            self.vectors_lp = None
+        try:
+            if self.vectors_i8 is not None:
+                self.vectors_i8 = jax.device_put(
+                    _pad_tail_2d(self.vectors_i8, pad), row_sh
+                )
+                self.vscale = jax.device_put(
+                    _pad_tail_1d(self.vscale, pad), mask_sh
+                )
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            self.vectors_i8 = None
+            self.vscale = None
+        # i8c mirror stays lazy (corpus-global column scales)
+        self.vectors_i8c = None
+        self.cscale = None
+        self._mask_cache.clear()
+        self._fview_cache.clear()
+        self.last_sync_mode = "grow"
+        return True
 
     def full_upload(self, host_vectors: np.ndarray, active_np: np.ndarray) -> None:
         """Upload the whole corpus, growing padded capacity as needed."""

@@ -2799,13 +2799,33 @@ class PicoVectorDB:
             # so no materialization happens on the O(changed) path.
             changed = sorted(self._pending_add | self._pending_remove)
         dev_rows = self._dev.cap
+        if (
+            not mirror_current
+            and not self._pending_full
+            and changed
+            and self._dev.vectors is not None
+            and size > dev_rows
+        ):
+            # append epoch crossed a capacity bucket: grow the device
+            # planes in place (d2d pad, no host traffic) so the epoch
+            # stays O(changed) — the fallback below re-uploads from host,
+            # which on a lazy capacity-tier store materializes the full
+            # f32 matrix (measured OOM at 8M x 1024 int4+IVF,
+            # bench/results/ivf8m_i4_incr_r5.log)
+            if self._dev.grow(size):
+                dev_rows = self._dev.cap
         need_full = not mirror_current and (
             self._pending_full
             or self._dev.vectors is None
             or size > dev_rows
             or not changed  # unknown change set -> be safe
         )
-        if not need_full and not mirror_current:
+        if not need_full and not mirror_current and not self._host_lazy:
+            # host-backed stores: past the threshold ratio a bulk
+            # re-upload beats a huge scatter (reference incremental-vs-
+            # full policy, picovdb/pico_vdb.py:884-921). Lazy stores skip
+            # this — their re-upload would first materialize the host
+            # corpus, so the O(changed) scatter wins at any ratio.
             ratio = len(changed) / float(max(1, min(size, dev_rows)))
             need_full = ratio > max(0.0, self._incr_threshold_ratio)
         ann_rows = None

@@ -10,7 +10,7 @@ import jax
 import numpy as np
 import pytest
 
-from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS
+from picovdb_tpu import PicoVectorDB, K_ID, K_METRICS, K_VECTOR
 from picovdb_tpu.parallel import make_mesh
 from picovdb_tpu.parallel.sharded_query import make_sharded_topk
 from picovdb_tpu.utils import normalize_batch
@@ -262,3 +262,33 @@ def test_sharded_build_cache_is_bounded():
         m = np.ones((16,), dtype=bool)
         fn(q, v, m)  # builds + runs so executables exist
         assert len(sq._CACHE) <= sq._CACHE_MAX
+
+
+def test_mesh_device_grow_keeps_append_epoch_incremental(db_path, rng):
+    """Bucket-crossing append on a MESH store: the row-sharded planes grow
+    in place (pad + reshard over ICI), no host materialization."""
+    import jax.numpy as jnp
+
+    from picovdb_tpu.constants import ROW_PAD
+
+    mesh = make_mesh()
+    nsh = mesh.devices.size
+    base_cap = ROW_PAD * nsh
+    dim, n = 8, base_cap - 64
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path, mesh=mesh)
+    db.ingest_device(jnp.asarray(vecs), ids=[str(i) for i in range(n)],
+                     normalize=False)
+    assert db._dev.cap == base_cap
+    db.query(vecs[0])
+
+    extra = rng.normal(size=(128, dim)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    db.upsert([{K_ID: f"x{i}", K_VECTOR: extra[i]} for i in range(128)])
+    assert db.query(extra[2], top_k=1)[0][K_ID] == "x2"
+    assert db._last_sync_mode == "incremental"
+    assert db._dev.cap > base_cap
+    assert db._dev.cap % nsh == 0  # shards stay even
+    assert db._host_lazy
+    assert db.query(vecs[9], top_k=1)[0][K_ID] == "9"

@@ -252,3 +252,63 @@ def test_hnsw_construction_knobs_drive_ivf_build(db_path, rng):
     db3.query(vecs[0], top_k=1)
     bp3 = db3.last_query_debug()["ann_build_params"]
     assert bp3["kmeans_iters"] == 8 and bp3["nlist_requested"] is None
+
+
+def test_device_grow_keeps_append_epoch_incremental(db_path, rng):
+    """Appends that cross a ROW_PAD capacity bucket grow the device planes
+    in place (d2d pad) instead of falling back to a host-fed full
+    re-upload — on lazy capacity-tier stores the fallback materializes
+    the whole f32 host matrix (measured OOM at 8M x 1024 int4+IVF,
+    bench/results/ivf8m_i4_incr_r5.log)."""
+    import jax.numpy as jnp
+
+    from picovdb_tpu.constants import ROW_PAD
+
+    dim, n = 8, ROW_PAD - 50
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    db.ingest_device(jnp.asarray(vecs), ids=[str(i) for i in range(n)],
+                     normalize=False)
+    assert db._host_lazy and db._dev.cap == ROW_PAD
+    db.query(vecs[0])
+
+    extra = rng.normal(size=(100, dim)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    db.upsert([{K_ID: f"x{i}", K_VECTOR: extra[i]} for i in range(100)])
+    res = db.query(extra[3], top_k=1)
+    assert res[0][K_ID] == "x3"
+    assert db._last_sync_mode == "incremental"  # not a full re-upload
+    assert db._dev.cap > ROW_PAD
+    assert db._host_lazy  # the fallback would have materialized
+    # pre-grow rows still served, actives consistent
+    assert db.query(vecs[7], top_k=1)[0][K_ID] == "7"
+    assert db.count() == n + 100
+
+
+def test_device_grow_quantized_store(db_path, rng):
+    """Same bucket-crossing append on an int8 store: the packed plane and
+    the per-row scale column grow together."""
+    import jax.numpy as jnp
+
+    from picovdb_tpu.constants import ROW_PAD
+
+    dim, n = 16, ROW_PAD - 10
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      storage_dtype="int8")
+    db.ingest_device(jnp.asarray(vecs), ids=[str(i) for i in range(n)],
+                     normalize=False)
+    db.query(vecs[0])
+    cap0 = db._dev.cap
+
+    extra = rng.normal(size=(40, dim)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    db.upsert([{K_ID: f"x{i}", K_VECTOR: extra[i]} for i in range(40)])
+    assert db.query(extra[0], top_k=1)[0][K_ID] == "x0"
+    assert db._last_sync_mode == "incremental"
+    assert db._dev.cap > cap0
+    assert db._dev.vstore_scale.shape[0] == db._dev.cap
+    assert db._host_lazy
+    assert db.query(vecs[5], top_k=1)[0][K_ID] == "5"
