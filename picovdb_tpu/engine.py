@@ -333,6 +333,9 @@ class PicoVectorDB:
         self._ann_build_params: Optional[dict] = None
         self._ivf_nprobe = ivf_nprobe
         self._ivf = None  # built lazily by the ANN tier (ops/ivf.py)
+        # warm-centroid stash for rebuilds that had to free the live IVF
+        # first (device grow at the HBM ceiling, _sync_device_locked)
+        self._ivf_warm_blob = None
 
         # device mirror --------------------------------------------------------
         self._dev = DeviceIndex(
@@ -2814,6 +2817,17 @@ class PicoVectorDB:
             # bench/results/ivf8m_i4_incr_r5.log)
             if self._dev.grow(size):
                 dev_rows = self._dev.cap
+            elif self._ivf is not None:
+                # HBM ceiling with the IVF postings resident (at 8M x 1024
+                # int4 the corpus-sized postings leave no room for the
+                # grow transient): free the postings — their warm
+                # centroids survive in the stash — retry, and let the ANN
+                # block below do a warm full rebuild from the (grown)
+                # device corpus. Still no host materialization.
+                self._ivf_warm_blob = getattr(self._ivf, "_host_blob", None)
+                self._ivf = None
+                if self._dev.grow(size):
+                    dev_rows = self._dev.cap
         need_full = not mirror_current and (
             self._pending_full
             or self._dev.vectors is None
@@ -3077,11 +3091,13 @@ class PicoVectorDB:
                         )
                     )
                 ):
-                    warm = (
-                        self._ivf._host_blob["centroids"]
+                    warm_blob = (
+                        self._ivf._host_blob
                         if self._ivf is not None and self._ivf._host_blob
-                        else None
+                        else self._ivf_warm_blob
                     )
+                    warm = warm_blob["centroids"] if warm_blob else None
+                    self._ivf_warm_blob = None
                     self._ivf = None
                     self._ensure_host_vectors()
                     bp_nlist, bp_iters = self._ivf_build_params(n_active)
@@ -3155,11 +3171,13 @@ class PicoVectorDB:
                     )
                 )
             ):
-                warm = (
-                    self._ivf._host_blob["centroids"]
+                warm_blob = (
+                    self._ivf._host_blob
                     if self._ivf is not None and self._ivf._host_blob
-                    else None
+                    else self._ivf_warm_blob
                 )
+                warm = warm_blob["centroids"] if warm_blob else None
+                self._ivf_warm_blob = None
                 # Free the old index's device mirror before building the
                 # new one — at scale two IVF mirrors can't coexist in HBM
                 # (each is ~corpus-sized).

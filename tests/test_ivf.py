@@ -746,3 +746,49 @@ def test_clip_guard_device_born_rebuild_stays_lazy(db_path, rng, monkeypatch):
     assert db.query(vectors[7], top_k=1)[0][K_ID] == "7"
     # the fallback must NOT have materialized the host corpus
     assert db._host_lazy
+
+
+def test_grow_oom_fallback_frees_ivf_and_warm_rebuilds(db_path, rng,
+                                                       monkeypatch):
+    """When the device grow OOMs with the IVF postings resident (HBM
+    ceiling), the engine frees the postings (stashing warm centroids),
+    retries the grow, and warm-rebuilds the ANN tier from the grown
+    device corpus — never materializing the host matrix."""
+    import jax.numpy as jnp
+
+    from picovdb_tpu.constants import ROW_PAD
+
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    dim, n = 32, ROW_PAD - 50
+    vectors, _ = clustered_data(rng, n, dim)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, index="ivf",
+        storage_dtype="int8", ivf_nlist=16,
+    )
+    db.ingest_device(jnp.asarray(vectors), ids=[str(i) for i in range(n)],
+                     normalize=False)
+    db.rebuild_index()
+    assert db._host_lazy and db._ivf is not None
+
+    real_grow = db._dev.grow
+    calls = {"n": 0}
+
+    def flaky_grow(size):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return False  # simulated RESOURCE_EXHAUSTED
+        return real_grow(size)
+
+    monkeypatch.setattr(db._dev, "grow", flaky_grow)
+    extra = rng.normal(size=(100, dim)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    db.upsert([{K_ID: f"x{i}", K_VECTOR: extra[i]} for i in range(100)])
+    res = db.query(extra[4], top_k=1, ef_search=1000)
+    assert calls["n"] == 2  # failed once, retried after freeing the IVF
+    assert res[0][K_ID] == "x4"
+    assert db._last_ann_rebuild_mode == "full"
+    assert db._ivf is not None  # rebuilt
+    assert db._ivf_warm_blob is None  # warm stash consumed
+    assert db._host_lazy  # never materialized
+    assert db._dev.cap > ROW_PAD
+    assert db.query(vectors[7], top_k=1, ef_search=1000)[0][K_ID] == "7"
