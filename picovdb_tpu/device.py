@@ -18,6 +18,7 @@ rebuild at picovdb/pico_vdb.py:884-921).
 from __future__ import annotations
 
 import functools
+import logging
 import os as _os
 import threading
 from typing import Optional, Tuple
@@ -362,6 +363,25 @@ class DeviceIndex:
             cap = round_up(cap, ROW_PAD * nshards)
         return cap
 
+    def _cap_with_headroom(self, n: int) -> int:
+        """Padded capacity plus append headroom on capacity-tier stores.
+
+        At >=1M rows the ROW_PAD alignment pad is taken anyway (and for
+        adopt the pad already costs the transient copy), so widen it to
+        ~n/64 extra rows: ~64 append epochs of n/64k rows land in the
+        existing plane as O(changed) scatters before `grow()` must pay
+        the old+new transient — which at HBM-saturated scale can
+        RESOURCE_EXHAUST and (measured, bench/results/ivf8m_i4_incr_r5b
+        .log) leave the axon device unable to serve further allocations.
+        When n is already ROW_PAD-aligned (the documented zero-copy
+        ceiling recipe, e.g. 12.58M = 1536*8192 int8) the pad stays 0 and
+        no headroom is added, preserving the ceiling adopt.
+        """
+        cap = max(self.cap, self._padded_cap(n))
+        if n >= 1_000_000 and cap != n:
+            cap = max(cap, self._padded_cap(n + n // 64))
+        return cap
+
     def _filter_view(self, mask_key, filter_mask):
         """Get-or-build the compacted corpus view for a filter mask.
 
@@ -489,6 +509,10 @@ class DeviceIndex:
         except Exception as e:  # RESOURCE_EXHAUSTED near the HBM ceiling
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
+            logging.getLogger("picovdb_tpu").warning(
+                "device grow %d -> %d rows exhausted HBM (%s)",
+                self.cap, new_cap, str(e).split("\n")[0][:160],
+            )
             if committed:
                 # partially grown: drop the mirror; the caller's full
                 # re-upload rebuilds every buffer at a consistent cap
@@ -535,7 +559,7 @@ class DeviceIndex:
     def full_upload(self, host_vectors: np.ndarray, active_np: np.ndarray) -> None:
         """Upload the whole corpus, growing padded capacity as needed."""
         n = host_vectors.shape[0]
-        cap = max(self.cap, self._padded_cap(n))
+        cap = self._cap_with_headroom(n)
         mask = _pad_rows(np.ascontiguousarray(active_np, dtype=bool), cap)
         if self.storage_dtype in ("int8", "int4") and self.mesh is not None:
             # Sharded quantized corpus: rows + their per-row scales live on
@@ -671,7 +695,7 @@ class DeviceIndex:
             if not shadow.flags.writeable:  # engine mutates host rows
                 shadow = shadow.copy()
             normalize = False
-        cap = max(self.cap, self._padded_cap(n))
+        cap = self._cap_with_headroom(n)
         if self.storage_dtype in ("int8", "int4") and scales is not None:
             # pre-quantized device-born input (built chunk-wise when the
             # f32 intermediate could never fit HBM — e.g. 12M x 1024):
@@ -798,7 +822,7 @@ class DeviceIndex:
                 "multi-process stores load via upload_prequantized"
             )
         n = int(vectors_global.shape[0])
-        cap = self._padded_cap(n)
+        cap = self._cap_with_headroom(n)
         sdt = jnp.dtype(self._storage_np_dtype())
 
         @functools.partial(
@@ -1151,7 +1175,7 @@ class DeviceIndex:
             raise ValueError(
                 f"{scales.shape[0]} scales for {n} plane rows"
             )
-        cap = max(self.cap, self._padded_cap(n))
+        cap = self._cap_with_headroom(n)
         rep = self._replicated()
         buf = jax.device_put(
             jnp.zeros((cap, cols), dtype=jnp.int8), self._row_sharding()

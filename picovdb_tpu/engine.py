@@ -1347,10 +1347,13 @@ class PicoVectorDB:
                 "O(changed)."
             )
         n = len(self._ids)
-        # Fetch the EXISTING device buffer and slice host-side: a device
-        # `[:n]` slice would allocate a second corpus-sized buffer on-chip
-        # before the transfer, which OOMs capacity-tier stores (measured:
-        # 8M x 1024 int4 at 12.9 GB resident). The pad rows add <0.1% wire.
+        # Fetch the device plane in ROW CHUNKS (each chunk slice allocates
+        # only a chunk-sized device buffer before its transfer): a bulk
+        # `np.asarray(vectors)` needs a corpus-sized relayout temp on-chip
+        # — measured RESOURCE_EXHAUSTED at 8M x 1024 int4 on a device
+        # already degraded by prior failed allocations
+        # (bench/results/ivf8m_i4_incr_r5b.log) — and a device `[:n]`
+        # slice would allocate a second corpus-sized buffer outright.
         # Slots at/above the device row count (appends not yet synced) and
         # every overlay slot are filled from `_host_overlay` below.
         if n == 0:
@@ -1361,31 +1364,35 @@ class PicoVectorDB:
             # device unpack_i4 would materialize the (cap, dim) int8
             # intermediate (2x the packed corpus) next to the resident
             # store; unpacking on host is chunked to bound transients.
-            packed = np.asarray(self._dev.vectors)
-            scale = np.asarray(self._dev.vstore_scale)
-            avail = min(n, packed.shape[0])
-            half = packed.shape[1]
+            avail = min(n, int(self._dev.vectors.shape[0]))
+            half = self.dim // 2
             out = np.zeros((n, self.dim), dtype=Float)
-            step = 1 << 20
-            for s in range(0, avail, step):
-                e = min(s + step, avail)
-                p = packed[s:e].astype(np.int16) & 255
+            s = 0
+            for packed, scale in self._dev.iter_store_chunks(avail):
+                e = s + packed.shape[0]
+                p = packed.astype(np.int16) & 255
                 out[s:e, :half] = (p & 15) - 8
                 out[s:e, half:] = ((p >> 4) & 15) - 8
-                out[s:e] *= scale[s:e, None]
+                out[s:e] *= scale[:, None]
+                s = e
             self._host_vectors = out
         elif self._dev.vstore_scale is not None:  # int8 storage: dequantize
-            raw = np.asarray(self._dev.vectors)
-            avail = min(n, raw.shape[0])
+            avail = min(n, int(self._dev.vectors.shape[0]))
             rows = np.zeros((n, self.dim), dtype=Float)
-            rows[:avail] = raw[:avail]
-            rows[:avail] *= np.asarray(self._dev.vstore_scale)[:avail, None]
+            s = 0
+            for raw, scale in self._dev.iter_store_chunks(avail):
+                e = s + raw.shape[0]
+                rows[s:e] = raw
+                rows[s:e] *= scale[:, None]
+                s = e
             self._host_vectors = rows
         else:
-            raw = np.asarray(self._dev.vectors)
-            avail = min(n, raw.shape[0])
+            avail = min(n, int(self._dev.vectors.shape[0]))
             rows = np.zeros((n, self.dim), dtype=Float)
-            rows[:avail] = raw[:avail]
+            step = self._dev.STREAM_CHUNK_ROWS
+            for s in range(0, avail, step):
+                e = min(s + step, avail)
+                rows[s:e] = np.asarray(self._dev.vectors[s:e])
             self._host_vectors = rows
         if self._host_overlay:
             # mutations made while lazy: exact f32 rows (zeros = deleted)
@@ -2824,10 +2831,26 @@ class PicoVectorDB:
                 # centroids survive in the stash — retry, and let the ANN
                 # block below do a warm full rebuild from the (grown)
                 # device corpus. Still no host materialization.
+                logger.warning(
+                    "device grow to %d rows hit the HBM ceiling; freeing "
+                    "the IVF postings and retrying", size,
+                )
                 self._ivf_warm_blob = getattr(self._ivf, "_host_blob", None)
                 self._ivf = None
+                import gc
+
+                import jax as _jax
+
+                gc.collect()  # break any cycles pinning the postings
                 if self._dev.grow(size):
                     dev_rows = self._dev.cap
+                else:
+                    logger.warning(
+                        "device grow retry failed after freeing the IVF "
+                        "postings (%.2f GiB live on device); falling back "
+                        "to the host-fed full re-upload",
+                        sum(a.nbytes for a in _jax.live_arrays()) / 2**30,
+                    )
         need_full = not mirror_current and (
             self._pending_full
             or self._dev.vectors is None
