@@ -71,25 +71,15 @@ def _cast_bf16(vectors):
 
 
 @jax.jit
-def _fetch_rows_f32(arr, idx):
-    return jnp.take(arr, idx, axis=0).astype(jnp.float32)
+def _gather_rows_raw(arr, idx):
+    """Storage-dtype row gather: the transfer ships packed/quantized bytes
+    and the dequant runs host-side (fetch_rows)."""
+    return jnp.take(arr, idx, axis=0)
 
 
 @jax.jit
-def _fetch_rows_dequant(arr, scale, idx):
-    rows = jnp.take(arr, idx, axis=0).astype(jnp.float32)
-    return rows * jnp.take(scale, idx)[:, None]
-
-
-@jax.jit
-def _fetch_rows_dequant_i4(arr, scale, idx):
-    """Gather + unpack packed-int4 rows (quantize_rows_i4's layout: element
-    j in the LOW nibble of byte j, j+dim/2 in the HIGH nibble)."""
-    rows = jnp.take(arr, idx, axis=0).astype(jnp.int32) & 255
-    lo = (rows & 15) - 8
-    hi = ((rows >> 4) & 15) - 8
-    full = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
-    return full * jnp.take(scale, idx)[:, None]
+def _gather_1d_raw(arr, idx):
+    return jnp.take(arr, idx)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -1083,6 +1073,13 @@ class DeviceIndex:
         host cost (picovdb/pico_vdb.py:945) for device-born stores.
         Indices are padded to power-of-two buckets so repeated calls at
         varying sizes reuse a handful of gather specializations.
+
+        The wire carries STORAGE-dtype bytes (packed int4 rows: 8x fewer
+        bytes than f32; int8: 4x; bf16: 2x) and the dequant/unpack runs
+        host-side — on slow host<->device links the transfer dominates
+        the call (measured: an f32-wire get_all over 100k x 1024 int4
+        cost 867 s in a degraded relay window, gather_ab_r5.log), and on
+        fast links the host-side multiply is noise.
         """
         if self.vectors is None:
             raise RuntimeError("fetch_rows before any upload")
@@ -1097,17 +1094,30 @@ class DeviceIndex:
             if pad != chunk.shape[0]:
                 chunk = np.pad(chunk, (0, pad - chunk.shape[0]))
             ci = jax.device_put(chunk, self._replicated())
+            raw = np.asarray(
+                self._fetch_jit(_gather_rows_raw)(self.vectors, ci)
+            )[: e - s]
+            if self.vstore_scale is not None:
+                scale = np.asarray(
+                    self._fetch_jit(_gather_1d_raw)(self.vstore_scale, ci),
+                    dtype=np.float32,
+                )[: e - s]
             if self.storage_dtype == "int4":
-                rows = self._fetch_jit(_fetch_rows_dequant_i4)(
-                    self.vectors, self.vstore_scale, ci
-                )
-            elif self.vstore_scale is not None:
-                rows = self._fetch_jit(_fetch_rows_dequant)(
-                    self.vectors, self.vstore_scale, ci
-                )
-            else:
-                rows = self._fetch_jit(_fetch_rows_f32)(self.vectors, ci)
-            out[s:e] = np.asarray(rows)[: e - s]
+                # nibble unpack (quantize_rows_i4 layout: low nibble =
+                # first dim half, high = second), same math as
+                # engine._ensure_host_vectors
+                half = raw.shape[1]
+                p = raw.astype(np.int16) & 255
+                rows = np.empty((e - s, self.dim), dtype=np.float32)
+                rows[:, :half] = (p & 15) - 8
+                rows[:, half:] = ((p >> 4) & 15) - 8
+                rows *= scale[:, None]
+            elif self.vstore_scale is not None:  # int8
+                rows = raw.astype(np.float32)
+                rows *= scale[:, None]
+            else:  # float32 / bfloat16
+                rows = np.asarray(raw, dtype=np.float32)
+            out[s:e] = rows
         return out
 
     def _fetch_jit(self, fn):
