@@ -226,10 +226,11 @@ def main() -> int:
                   file=sys.stderr)
 
         # ---- reference contract: host queries -> dict-per-hit results ----
-        # Served on the int8 wire + host exact rescore (query_wire =
-        # "int8_rescore"): 1 B/component upload, device selects
-        # top-(k + guard), host re-ranks exactly on the f32 rows — recall
-        # 1.0000 at the fastest wire (bench/results/wire_ab_r5.json).
+        # Served on the int16 fixed-point wire (the `auto` pick): half the
+        # f32 upload at recall@10 = 1.0000. The int8+host-exact-rescore
+        # lane ships half again but its host re-rank loses more than the
+        # wire saves on this balloon-memory host (wire_ab_r5.json: the
+        # full-rescore arm measured 0.18x f32) — it stays opt-in.
         # The link's health is probed right before the lane (noop RTT +
         # upload bandwidth) so cross-round e2e numbers are normalizable.
         from picovdb_tpu.utils import relay_health
@@ -237,7 +238,6 @@ def main() -> int:
         health = relay_health()
         print(f"# relay health: rtt {health['relay_rtt_ms']} ms, upload "
               f"{health['relay_upload_mbps']} MB/s", file=sys.stderr)
-        db._query_wire = "int8_rescore"
         _wp = db._wire_encode(queries[:2], args.queries)
         wire_mb = _wp.nbytes / 2 * args.queries / 1e6
         e2e = float("inf")
@@ -247,7 +247,7 @@ def main() -> int:
                 queries, top_k=args.topk, batch_size=min(args.batch_size, 2048)
             )
             e2e = min(e2e, time.perf_counter() - t0)
-        print(f"# e2e host->dicts (best of 3, int8 wire + exact rescore): "
+        print(f"# e2e host->dicts (best of 3): "
               f"{args.queries} queries in {e2e*1000:.1f} ms "
               f"-> {args.queries/e2e:.0f} QPS "
               f"(relay-bound in this harness: the {wire_mb:.0f} MB {_wp.dtype} "
