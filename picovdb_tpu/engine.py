@@ -2641,16 +2641,21 @@ class PicoVectorDB:
         return finite.any(axis=1) & np.isfinite(kth) & (a_min + eps >= kth)
 
     def _host_rescore(self, vals, idxs, vecs):
-        """Exact f32 re-rank of device candidates (caller holds read lock).
+        """Exact re-rank of device candidates (caller holds read lock).
 
         Gathers the candidate rows from the authoritative host matrix
-        (RAM or memmap), recomputes cosine scores against the normalized
-        queries in float64 — the candidate set is tiny, so full-precision
-        ranking costs nothing and resolves ties that collapse at f32
-        resolution (near-duplicate corpora pack true gaps below ~6e-8) —
-        and re-sorts each row's candidates. Invalid slots (-1 padding,
-        -inf/NaN scores) sink to the tail as -inf. Returned scores are
-        float32 (the result contract's dtype).
+        (RAM or memmap) and recomputes cosine scores against the
+        normalized queries. The gather reads each UNIQUE row once in
+        sorted order (page/cache-friendly — on this harness's
+        balloon-memory host the naive per-candidate fancy-index gather
+        measured ~100 MB/s and put 19-44 s of host time under a 32k-query
+        wire-rescore pass, bench/results/wire_ab_r5.log) and scoring runs
+        in float32 BLAS; queries whose f32 margins are too tight to rank
+        reliably (adjacent gaps under ~1e-5 — near-duplicate corpora pack
+        true gaps below f32 resolution) are re-scored in float64, so the
+        returned ordering matches the old always-f64 pass. Invalid slots
+        (-1 padding, -inf/NaN scores) sink to the tail as -inf. Returned
+        scores are float32 (the result contract's dtype).
         """
         vals = np.asarray(vals, dtype=np.float32)
         idxs = np.asarray(idxs, dtype=np.int64)
@@ -2658,15 +2663,54 @@ class PicoVectorDB:
         valid = (idxs >= 0) & (idxs < n_rows) & np.isfinite(vals)
         if not valid.any():
             return vals, idxs
-        q = normalize_batch(np.asarray(vecs, dtype=Float)).astype(np.float64)
+        q32 = normalize_batch(np.asarray(vecs, dtype=Float))
         nq, kr = idxs.shape
-        flat = np.where(valid, idxs, 0).ravel()
-        rows = np.asarray(self._host_vectors[flat], dtype=np.float64)
-        ex = np.einsum("qd,qkd->qk", q, rows.reshape(nq, kr, self.dim))
-        ex = np.where(valid, ex, -np.inf)
+        flat = np.where(valid, idxs, 0)
+        uniq, inv = np.unique(flat.ravel(), return_inverse=True)
+        rows_u = np.ascontiguousarray(
+            np.asarray(self._host_vectors[uniq], dtype=np.float32)
+        )
+        inv = inv.reshape(nq, kr)
+        ex = np.empty((nq, kr), dtype=np.float32)
+        step = max(1, (1 << 22) // max(1, kr * self.dim))  # ~16 MB buffer
+        buf = np.empty((step * kr, self.dim), dtype=np.float32)
+        for s in range(0, nq, step):
+            e = min(nq, s + step)
+            m = e - s
+            np.take(rows_u, inv[s:e].ravel(), axis=0, out=buf[: m * kr])
+            ex[s:e] = np.einsum(
+                "qd,qkd->qk", q32[s:e],
+                buf[: m * kr].reshape(m, kr, self.dim),
+                optimize=True,
+            )
+        ex = np.where(valid, ex.astype(np.float64), -np.inf)
         order = np.argsort(-ex, axis=1, kind="stable")
+        exs = np.take_along_axis(ex, order, axis=1)
+        if kr > 1:
+            gaps = exs[:, :-1] - exs[:, 1:]
+            # nan gaps = two invalid (-inf) tail slots, +inf = valid over
+            # invalid: neither is a ranking ambiguity. Neither are
+            # zero gaps between DUPLICATE slots (selection tiers may
+            # return the same row twice in the guard band; order between
+            # copies of one row is meaningless) — without this exclusion
+            # ~40% of wire-rescore queries took the f64 path for nothing.
+            ids_sorted = np.take_along_axis(idxs, order, axis=1)
+            dup = ids_sorted[:, :-1] == ids_sorted[:, 1:]
+            ambiguous = (
+                (np.nan_to_num(gaps, nan=1.0, posinf=1.0) < 1e-5) & ~dup
+            ).any(axis=1)
+            if ambiguous.any():
+                qa = q32[ambiguous].astype(np.float64)
+                rowsa = rows_u[inv[ambiguous].ravel()].astype(np.float64)
+                exa = np.einsum(
+                    "qd,qkd->qk", qa,
+                    rowsa.reshape(qa.shape[0], kr, self.dim),
+                )
+                ex[ambiguous] = np.where(valid[ambiguous], exa, -np.inf)
+                order = np.argsort(-ex, axis=1, kind="stable")
+                exs = np.take_along_axis(ex, order, axis=1)
         return (
-            np.take_along_axis(ex, order, axis=1).astype(np.float32),
+            exs.astype(np.float32),
             np.take_along_axis(idxs, order, axis=1),
         )
 
