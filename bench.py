@@ -120,21 +120,32 @@ def main() -> int:
 
         # ---- headline: serving mode (device-resident queries, columnar) ----
         q_dev = jax.device_put(queries)  # upstream embedder output stand-in
-        ids_col, scores_col = db.query_columnar(
-            q_dev, top_k=args.topk, batch_size=args.batch_size
-        )  # warm: compile + first device sync
-        times = []
-        for _ in range(args.iters):
-            t0 = time.perf_counter()
-            ids_col, scores_col = db.query_columnar(
-                q_dev, top_k=args.topk, batch_size=args.batch_size
-            )
-            times.append(time.perf_counter() - t0)
-        # best-of-N: the host is a shared single core in this dev harness,
-        # so mean times are dominated by unrelated load spikes
-        serving_elapsed = min(times)
+        # Two chunk sizes: bigger chunks halve the per-dispatch relay
+        # overhead (chip A/B: 4096 ~10% over 2048; 8192 regresses — the
+        # selection slab outgrows VMEM-friendly tiling). The best arm and
+        # its size are reported so captures under different relay windows
+        # stay comparable.
+        serving_elapsed, serving_bs = float("inf"), args.batch_size
+        ids_col = scores_col = None
+        for bs in {args.batch_size, 4096}:
+            ic, sc = db.query_columnar(
+                q_dev, top_k=args.topk, batch_size=bs
+            )  # warm: compile + first device sync
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                ic, sc = db.query_columnar(
+                    q_dev, top_k=args.topk, batch_size=bs
+                )
+                times.append(time.perf_counter() - t0)
+            # best-of-N: the host is a shared single core in this dev
+            # harness, so means are dominated by unrelated load spikes
+            if min(times) < serving_elapsed:
+                serving_elapsed, serving_bs = min(times), bs
+                ids_col, scores_col = ic, sc
         serving_qps = args.queries / serving_elapsed
-        print(f"# serving (device queries, columnar): {args.queries} queries "
+        print(f"# serving (device queries, columnar, chunk={serving_bs}): "
+              f"{args.queries} queries "
               f"in {serving_elapsed*1000:.1f} ms -> {serving_qps:.0f} QPS",
               file=sys.stderr)
 
@@ -210,9 +221,15 @@ def main() -> int:
                 return time.perf_counter() - t0
 
             dot_chain(1)  # warm
+            # The 1 -> 65 spread puts ~64 batches of MXU work (~145 ms)
+            # against the relay's +-10 ms RTT jitter; the earlier 1 -> 9
+            # spread (18 ms of device work) let that jitter push slope
+            # readings past the nominal peak (a capture printed "113% of
+            # peak" — a methodology artifact the r4 review rightly
+            # flagged, not a fast chip).
             d_lo = min(dot_chain(1) for _ in range(5))
-            d_hi = min(dot_chain(9) for _ in range(5))
-            dot_s = max((d_hi - d_lo) / 8, 1e-9)
+            d_hi = min(dot_chain(65) for _ in range(5))
+            dot_s = max((d_hi - d_lo) / 64, 1e-9)
             flops = 2.0 * args.batch_size * vb.shape[0] * args.dim
             dot_tflops = flops / dot_s / 1e12
             # v5e MXU peak: 197 TFLOP/s bf16 (public spec). Only claim MFU
@@ -224,6 +241,11 @@ def main() -> int:
                   f"{dot_tflops:.1f} TFLOP/s"
                   + (f" = {mfu*100:.0f}% of v5e bf16 peak" if mfu else ""),
                   file=sys.stderr)
+            if mfu is not None and mfu > 1.0:
+                print("# NOTE: slope reading exceeds the nominal spec — "
+                      "host-side jitter contaminated the chain floor; "
+                      "treat as ~peak, see BENCHMARKS.md MFU note",
+                      file=sys.stderr)
 
         # ---- reference contract: host queries -> dict-per-hit results ----
         # Served on the int16 fixed-point wire (the `auto` pick): half the
@@ -380,6 +402,7 @@ def main() -> int:
                 "value": round(serving_qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(serving_qps / baseline_qps, 2),
+                "serving_chunk": serving_bs,
                 "insert_vec_per_s": round(insert_vec_s, 0),
                 "batch_device_qps": round(device_qps, 0),
                 "e2e_host_dicts_qps": round(args.queries / e2e, 0),
@@ -396,6 +419,9 @@ def main() -> int:
                     round(dot_tflops, 1) if dot_tflops else None
                 ),
                 "mfu_vs_v5e_bf16_peak": round(mfu, 3) if mfu else None,
+                **({"mfu_note": "slope>nominal-peak: host jitter in the "
+                                "chain floor; treat as ~peak"}
+                   if mfu is not None and mfu > 1.0 else {}),
                 # committed measurements from the scale suite
                 # (bench/ivf_scale.py, bench/query_profiler.py) — see
                 # BENCHMARKS.md for methodology

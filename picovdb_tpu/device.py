@@ -568,7 +568,9 @@ class DeviceIndex:
                 cap,
             )
             f_dev = jax.device_put(vecs, self._row_sharding())
-            q8, qs = jax.jit(quant, donate_argnums=(0,))(f_dev)
+            # no donation: the f32 input cannot alias the narrower
+            # quantized outputs, so donating would only warn
+            q8, qs = jax.jit(quant)(f_dev)
             self.vectors = jax.device_put(q8, self._row_sharding())
             self.vstore_scale = jax.device_put(qs, self._mask_sharding())
             self.active = jax.device_put(mask, self._mask_sharding())
@@ -667,8 +669,13 @@ class DeviceIndex:
         """
         shadow = None
         if want_shadow and scales is None:
+            # donate only when the f32 output can alias the input (same
+            # dtype); a bf16/int input widens and could never alias
             @functools.partial(
-                jax.jit, static_argnums=(1,), donate_argnums=(0,)
+                jax.jit, static_argnums=(1,),
+                donate_argnums=(
+                    (0,) if vectors_dev.dtype == jnp.float32 else ()
+                ),
             )
             def _norm32(x, do_norm):
                 x = x.astype(jnp.float32)
@@ -702,15 +709,24 @@ class DeviceIndex:
                     vectors_dev.shape, self.dim
                 )
 
-            @functools.partial(jax.jit, static_argnums=(2,),
-                               donate_argnums=(0, 1))
-            def _pad_q(v8, vs, pad):
-                if pad:
-                    v8 = jnp.pad(v8, ((0, pad), (0, 0)))
-                    vs = jnp.pad(vs, (0, pad))
-                return v8, vs
+            if cap == n:
+                # donation aliases only at pad == 0 (see NOTE above):
+                # the zero-copy adopt at ROW_PAD-multiple n
+                @functools.partial(jax.jit, donate_argnums=(0, 1))
+                def _pad_q0(v8, vs):
+                    return v8, vs
 
-            v8, vs = _pad_q(vectors_dev, scales, cap - n)
+                v8, vs = _pad_q0(vectors_dev, scales)
+            else:
+                # pad changes the shape, so the donated input could never
+                # alias — donating here only emits "buffers were not
+                # usable" warnings (the transient 2x is inherent)
+                @functools.partial(jax.jit, static_argnums=(2,))
+                def _pad_q(v8, vs, pad):
+                    return (jnp.pad(v8, ((0, pad), (0, 0))),
+                            jnp.pad(vs, (0, pad)))
+
+                v8, vs = _pad_q(vectors_dev, scales, cap - n)
             self.vectors = jax.device_put(v8, self._row_sharding())
             self.vstore_scale = jax.device_put(vs, self._mask_sharding())
             self.active = jax.device_put(
@@ -728,9 +744,9 @@ class DeviceIndex:
             quant = (quantize_rows_i4 if self.storage_dtype == "int4"
                      else quantize_rows_i8)
 
-            @functools.partial(
-                jax.jit, static_argnums=(1, 2), donate_argnums=(0,)
-            )
+            # no donation: the f32 input can never alias the int8/packed
+            # output (element width changes), so donating only warns
+            @functools.partial(jax.jit, static_argnums=(1, 2))
             def _prep_q(x, pad, do_norm):
                 x = x.astype(jnp.float32)
                 if do_norm:
@@ -758,9 +774,14 @@ class DeviceIndex:
             self.last_sync_mode = "full"
             return shadow
         sdt = jnp.dtype(self._storage_np_dtype())
+        # donation aliases only when the output keeps the input's shape
+        # and dtype (pad == 0, matching storage dtype) — that is the
+        # zero-copy adopt documented below; anywhere else it just warns
+        alias_ok = (cap == n) and (vectors_dev.dtype == sdt)
 
         @functools.partial(
-            jax.jit, static_argnums=(1, 2), donate_argnums=(0,)
+            jax.jit, static_argnums=(1, 2),
+            donate_argnums=(0,) if alias_ok else (),
         )
         def _prep(x, pad, do_norm):
             if do_norm:
@@ -816,7 +837,14 @@ class DeviceIndex:
         sdt = jnp.dtype(self._storage_np_dtype())
 
         @functools.partial(
-            jax.jit, static_argnums=(1,), donate_argnums=(0,),
+            jax.jit, static_argnums=(1,),
+            # donation can alias only when shape and dtype survive the
+            # cast+pad; the resharding itself may still block it, but
+            # then aliasing is genuinely impossible and the warning is
+            # the honest outcome
+            donate_argnums=(
+                (0,) if (cap == n and vectors_global.dtype == sdt) else ()
+            ),
             out_shardings=self._row_sharding(),
         )
         def _pad_cast(v, pad):

@@ -530,7 +530,11 @@ class IVFIndex:
                 cap_ivf,
             )
         else:
-            ivf_vecs = _reorder_pad(
+            # donation aliases only when the padded output keeps the
+            # source's shape; otherwise it just warns (shape change)
+            reorder = (_reorder_pad if int(src.shape[0]) == cap_ivf
+                       else _reorder_pad_shared)
+            ivf_vecs = reorder(
                 src, jax.device_put(order.astype(np.int32)), cap_ivf
             )
         ivf_slots = np.full(cap_ivf, -1, dtype=np.int32)

