@@ -497,20 +497,23 @@ class DeviceIndex:
                 )
             self.cap = new_cap
         except Exception as e:  # RESOURCE_EXHAUSTED near the HBM ceiling
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            logging.getLogger("picovdb_tpu").warning(
-                "device grow %d -> %d rows exhausted HBM (%s)",
-                self.cap, new_cap, str(e).split("\n")[0][:160],
-            )
             if committed:
-                # partially grown: drop the mirror; the caller's full
+                # partially grown (corpus plane at new_cap, cap/active
+                # still old): drop the mirror wholesale — whether OOM or
+                # any other failure — so no later op pairs a new_cap
+                # corpus with an old-cap mask; the caller's full
                 # re-upload rebuilds every buffer at a consistent cap
                 self.vectors = None
                 self.vstore_scale = None
                 self.vectors_lp = None
                 self.vectors_i8 = None
                 self.vscale = None
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            logging.getLogger("picovdb_tpu").warning(
+                "device grow %d -> %d rows exhausted HBM (%s)",
+                self.cap, new_cap, str(e).split("\n")[0][:160],
+            )
             return False
         # optional mirrors (f32/bf16 stores): pad in place; each step
         # frees its old buffer on assignment, bounding the transient. A
@@ -522,9 +525,11 @@ class DeviceIndex:
                     _pad_tail_2d(self.vectors_lp, pad), row_sh
                 )
         except Exception as e:
+            # drop FIRST: an old-cap mirror next to the new-cap corpus
+            # would shape-mismatch every strategy that reads it
+            self.vectors_lp = None
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-            self.vectors_lp = None
         try:
             if self.vectors_i8 is not None:
                 self.vectors_i8 = jax.device_put(
@@ -534,10 +539,10 @@ class DeviceIndex:
                     _pad_tail_1d(self.vscale, pad), mask_sh
                 )
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
             self.vectors_i8 = None
             self.vscale = None
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
         # i8c mirror stays lazy (corpus-global column scales)
         self.vectors_i8c = None
         self.cscale = None
@@ -1131,14 +1136,10 @@ class DeviceIndex:
                     dtype=np.float32,
                 )[: e - s]
             if self.storage_dtype == "int4":
-                # nibble unpack (quantize_rows_i4 layout: low nibble =
-                # first dim half, high = second), same math as
-                # engine._ensure_host_vectors
-                half = raw.shape[1]
-                p = raw.astype(np.int16) & 255
+                from .ops.pallas_scan import unpack_i4_np_into
+
                 rows = np.empty((e - s, self.dim), dtype=np.float32)
-                rows[:, :half] = (p & 15) - 8
-                rows[:, half:] = ((p >> 4) & 15) - 8
+                unpack_i4_np_into(raw, rows)
                 rows *= scale[:, None]
             elif self.vstore_scale is not None:  # int8
                 rows = raw.astype(np.float32)

@@ -754,6 +754,12 @@ class PicoVectorDB:
             if self._dirty:
                 self._sync_device_locked()
             if self._is_multiprocess():
+                if quantized:
+                    logger.warning(
+                        "save(quantized=True) is single-process only; "
+                        "the multi-process checkpoint writes dequantized "
+                        "f32 shards instead"
+                    )
                 self._save_distributed(shards)
                 return
             if self._quantized_save_applies(quantized, shards):
@@ -829,15 +835,38 @@ class PicoVectorDB:
         n = len(self._ids)
         per = -(-n // nproc) if n else 0
         rep = NamedSharding(self._dev.mesh, P())
+        sdt = self._dev.storage_dtype
+        scales = self._dev.vstore_scale
+        quantized = sdt in ("int8", "int4") and scales is not None
         for f in range(nproc):
             start, stop = f * per, min(n, (f + 1) * per)
             if stop <= start:
                 continue  # identical on every process: no jit skew
-            sliced = jax.jit(
-                lambda v, s=start, m=stop - start: jax.lax.
-                dynamic_slice_in_dim(v, s, m, 0).astype(jnp.float32),
-                out_shardings=rep,
-            )(self._dev.vectors)
+            if quantized:
+                # the resident plane holds quantization CODES (int8, or
+                # int4 nibble-packed (cap, dim//2)); shard files are
+                # f32, so dequantize in the slice program — writing the
+                # raw codes cast to f32 would double-quantize on reload
+                # (and mis-shape int4 outright). The quantized on-disk
+                # format (save(quantized=True)) is single-process only.
+                def _slice_dq(v, sc, s=start, m=stop - start):
+                    from .ops.pallas_scan import unpack_i4
+
+                    vs = jax.lax.dynamic_slice_in_dim(v, s, m, 0)
+                    ss = jax.lax.dynamic_slice_in_dim(sc, s, m, 0)
+                    full = (unpack_i4(vs) if sdt == "int4" else vs
+                            ).astype(jnp.float32)
+                    return full * ss[:, None]
+
+                sliced = jax.jit(_slice_dq, out_shardings=rep)(
+                    self._dev.vectors, scales
+                )
+            else:
+                sliced = jax.jit(
+                    lambda v, s=start, m=stop - start: jax.lax.
+                    dynamic_slice_in_dim(v, s, m, 0).astype(jnp.float32),
+                    out_shardings=rep,
+                )(self._dev.vectors)
             if pid == f:
                 persistence.save_shard_atomic(
                     self._path, f, nproc, np.asarray(sliced)
@@ -1364,15 +1393,14 @@ class PicoVectorDB:
             # device unpack_i4 would materialize the (cap, dim) int8
             # intermediate (2x the packed corpus) next to the resident
             # store; unpacking on host is chunked to bound transients.
+            from .ops.pallas_scan import unpack_i4_np_into
+
             avail = min(n, int(self._dev.vectors.shape[0]))
-            half = self.dim // 2
             out = np.zeros((n, self.dim), dtype=Float)
             s = 0
             for packed, scale in self._dev.iter_store_chunks(avail):
                 e = s + packed.shape[0]
-                p = packed.astype(np.int16) & 255
-                out[s:e, :half] = (p & 15) - 8
-                out[s:e, half:] = ((p >> 4) & 15) - 8
+                unpack_i4_np_into(packed, out[s:e])
                 out[s:e] *= scale[:, None]
                 s = e
             self._host_vectors = out
@@ -1801,6 +1829,15 @@ class PicoVectorDB:
 
         with contextlib.ExitStack() as stack:
             stack.enter_context(self._synced_read())
+            if wire_rescore and not self._wire_rescore_applies(num_q):
+                # eligibility was judged before the lock; a writer may
+                # have swapped the corpus in between (e.g. ingest_device
+                # dropping the authentic f32 host rows). Fall back to
+                # the default wire, re-encoded from the f32 batch we
+                # kept for the rescore.
+                wire_rescore = False
+                vecs = self._wire_encode(vecs_f32, num_q)
+                vecs_f32 = None
             if not self._active_indices.size:
                 return [[] for _ in range(num_q)]
             filtered = ids is not None or where is not None
@@ -2709,6 +2746,25 @@ class PicoVectorDB:
                 ex[ambiguous] = np.where(valid[ambiguous], exa, -np.inf)
                 order = np.argsort(-ex, axis=1, kind="stable")
                 exs = np.take_along_axis(ex, order, axis=1)
+        # Sink guard-band duplicates: the selection tier may return the
+        # same row twice (see the zero-gap note above); both copies carry
+        # identical exact scores, so without this both could land inside
+        # the caller's [:, :k_eff] slice — the same document twice and a
+        # true k-th neighbor pushed out. Keep the best-ranked copy, sink
+        # the rest to -inf, and re-sort (stable: everything else keeps
+        # its order).
+        ids_sorted = np.take_along_axis(idxs, order, axis=1)
+        bys = np.argsort(ids_sorted, axis=1, kind="stable")
+        s_by = np.take_along_axis(ids_sorted, bys, axis=1)
+        dup_by = np.zeros(ids_sorted.shape, dtype=bool)
+        dup_by[:, 1:] = (s_by[:, 1:] == s_by[:, :-1]) & (s_by[:, 1:] >= 0)
+        if dup_by.any():
+            dup_sorted = np.zeros_like(dup_by)
+            np.put_along_axis(dup_sorted, bys, dup_by, axis=1)
+            exs = np.where(dup_sorted, -np.inf, exs)
+            reorder = np.argsort(-exs, axis=1, kind="stable")
+            exs = np.take_along_axis(exs, reorder, axis=1)
+            order = np.take_along_axis(order, reorder, axis=1)
         return (
             exs.astype(np.float32),
             np.take_along_axis(idxs, order, axis=1),
@@ -3091,7 +3147,12 @@ class PicoVectorDB:
         if env in ("0", "false", "off", "no"):
             return
         if env not in ("1", "true", "on", "yes"):
-            if int(self._active_indices.size) < 1_000_000:
+            from .utils import SCATTER_FLOOR_MIN_ROWS
+
+            # same constant as the scatter floor (utils.scatter_floor):
+            # the floor's fixed per-epoch operand is only justified where
+            # this warm removed the per-size compile cost
+            if int(self._active_indices.size) < SCATTER_FLOOR_MIN_ROWS:
                 return
         try:
             t0 = time.perf_counter()

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import Float
-from ..utils import next_pow2, round_up
+from ..utils import next_pow2, round_up, scatter_floor
 from .pallas_scan import (
     DEFAULT_QT,
     KEY_MIN,
@@ -166,10 +166,9 @@ def _gather_rows_dequant_i4(arr, scale, idx):
     (cap, dim//2) byte rows, unpack both nibble planes (element j in the
     LOW nibble of byte j, j+dim/2 in the HIGH — quantize_rows_i4's
     layout), and reconstruct as nibble * vscale[row]."""
-    rows = jnp.take(arr, idx, axis=0).astype(jnp.int32) & 255
-    lo = (rows & 15) - 8
-    hi = ((rows >> 4) & 15) - 8
-    full = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    from .pallas_scan import unpack_i4
+
+    full = unpack_i4(jnp.take(arr, idx, axis=0)).astype(jnp.float32)
     return full * jnp.take(scale, idx)[:, None]
 
 
@@ -656,7 +655,7 @@ class IVFIndex:
         # pre-compiles at build time (the r4 8M chip epoch measured 35.7 s
         # because each jit first-compiled at its own shape; see
         # bench/incr_probe.py).
-        mb = 1024 if store.shape[0] >= 65536 else 8
+        mb = scatter_floor(int(store.shape[0]))
         if old_rows.size:
             self.active = _scatter_set(
                 self.active,
@@ -1271,10 +1270,9 @@ def _rescore_by_slot(q, corpus, slots, vals, idxs, k, corpus_scale=None,
     safe = jnp.maximum(sl, 0)
     gathered = jnp.take(corpus, safe, axis=0)
     if packed_i4:
-        p = gathered.astype(jnp.int32) & 255
-        lo = (p & 15) - 8
-        hi = ((p >> 4) & 15) - 8
-        gathered = jnp.concatenate([lo, hi], axis=-1)
+        from .pallas_scan import unpack_i4
+
+        gathered = unpack_i4(gathered)
     exact = jnp.einsum("qd,qkd->qk", q, gathered.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
     if corpus_scale is not None:

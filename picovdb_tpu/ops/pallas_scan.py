@@ -1132,11 +1132,25 @@ def quantize_rows_i4(v):
 
 
 def unpack_i4(packed):
-    """(n, dim//2) packed int8 -> (n, dim) int8 nibble values in [-7, 7]."""
+    """(..., dim//2) packed int8 -> (..., dim) int8 nibble values in
+    [-7, 7] (inverts `quantize_rows_i4`; multiply by the per-row scales
+    to dequantize). The single home of the nibble-layout contract: low
+    nibble = first dim half, both nibbles biased [1, 15]."""
     p = packed.astype(jnp.int32) & 255
     lo = (p & 15) - 8
     hi = ((p >> 4) & 15) - 8
-    return jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
+def unpack_i4_np_into(packed: "np.ndarray", out: "np.ndarray") -> None:
+    """NumPy twin of `unpack_i4` for host-side paths, writing UNSCALED
+    nibble values into a caller-provided (n, dim) buffer (no (n, dim)
+    integer temp — the chunked host materialization paths bound their
+    transients with this)."""
+    half = packed.shape[1]
+    p = packed.astype(np.int16) & 255
+    out[:, :half] = (p & 15) - 8
+    out[:, half:] = ((p >> 4) & 15) - 8
 
 
 def rescore_exact_i4r(queries, v_i4, vscale, vals, idxs):

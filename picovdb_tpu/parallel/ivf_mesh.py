@@ -63,7 +63,7 @@ except ImportError:  # pragma: no cover - older JAX
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..constants import Float
-from ..utils import next_pow2, round_up
+from ..utils import next_pow2, round_up, scatter_floor
 from ..ops.ivf import (
     IVF_BN,
     _assign,
@@ -572,7 +572,7 @@ class ShardedIVF:
         # epoch sizes share executables; see IVFIndex.update.
         rep = NamedSharding(self.mesh, P())
         store = self.vectors_i8c if i8_only else self.vectors
-        mb = 1024 if store.shape[0] >= 65536 else 8
+        mb = scatter_floor(int(store.shape[0]))
         if old_rows.size:
             self.active = _scatter_set(
                 self.active,

@@ -190,6 +190,22 @@ def save_atomic(
         os.replace(tmp_meta, mfile)
         if ann_blob is not None:
             os.replace(tmp_ann, ann_file)
+        # A previous save(quantized=True) leaves its packed plane behind;
+        # the loader prefers that plane (engine._load_or_init tries
+        # load_quantized first), so a stale one would silently shadow
+        # this fresh f32 matrix — mirror of save_quantized_atomic
+        # removing the stale .vecs.npy.
+        for stale_q in (qvecs_path(base), qscale_path(base),
+                        qinfo_path(base), overlay_path(base)):
+            if os.path.exists(stale_q):
+                try:
+                    os.remove(stale_q)
+                except OSError:
+                    logger.warning(
+                        "Could not remove stale quantized plane %s; the "
+                        "loader would prefer it over the fresh f32 "
+                        "matrix — delete it manually", stale_q,
+                    )
         logger.info("Saved %d vectors", len(ids))
     finally:
         for tmp in (tmp_ids, tmp_vecs, tmp_meta, tmp_ann):

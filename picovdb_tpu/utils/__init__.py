@@ -198,9 +198,27 @@ def relay_health(upload_mb: float = 8.0) -> dict:
     }
 
 
+# Stores at or above this many rows get the 1024-row scatter floor AND
+# the build-time mutation-path warm (engine._maybe_warm_mutation_path
+# gates on the same constant): the floor's fixed ~4 MB operand per epoch
+# only pays off where the warm removed the per-size compile cost it
+# exists to bound. Below it, mid-size stores keep the 8-row floor —
+# their scatter compiles are sub-second, and padding a 1-row upsert to
+# 1024 rows would ship ~4 MB per epoch for nothing (~150-250 ms on the
+# measured 16-27 MB/s dev-harness link).
+SCATTER_FLOOR_MIN_ROWS = 1_000_000
+
+
+def scatter_floor(store_rows: int) -> int:
+    """Minimum mutation-scatter operand bucket for a store of this size
+    (the single source of the 1024-vs-8 floor; see
+    SCATTER_FLOOR_MIN_ROWS)."""
+    return 1024 if store_rows >= SCATTER_FLOOR_MIN_ROWS else 8
+
+
 def scatter_bucket(n: int, store_rows: int) -> int:
     """Pad size for a mutation-scatter operand: next power of two, with a
-    1024-row floor on capacity stores (>= 64k rows).
+    1024-row floor on capacity stores (>= SCATTER_FLOOR_MIN_ROWS rows).
 
     Every distinct operand size keys its own XLA executable; at capacity
     shapes each scatter compile costs seconds (the r4 8M x 1024 int4 chip
@@ -210,11 +228,10 @@ def scatter_bucket(n: int, store_rows: int) -> int:
     warm pass (DeviceIndex.warm_scatter_path / IVFIndex.warm_update_path)
     pre-compiles — at the cost of shipping a fixed ~4 MB operand per epoch
     (sub-noise next to the corpus, and exactly the size the measured
-    65-136 ms steady-state epochs already paid). Small stores keep the
+    65-136 ms steady-state epochs already paid). Smaller stores keep the
     8-row floor: their compiles are cheap and tests mutate single rows.
     """
-    floor = 1024 if store_rows >= 65536 else 8
-    return max(floor, next_pow2(n))
+    return max(scatter_floor(store_rows), next_pow2(n))
 
 
 def encode_query_wire(vecs: np.ndarray, wire: str) -> np.ndarray:
@@ -260,8 +277,25 @@ def encode_query_wire(vecs: np.ndarray, wire: str) -> np.ndarray:
         # host: 848 ms -> 354 ms for the 32768 x 1024 encode.
         row_max = np.abs(vecs).max(axis=1)
         safe = np.where(row_max > 0.0, row_max, 1.0)
-        factor = (np.float32(32704.0) / safe)[:, None].astype(np.float32)
-        return (vecs * factor).astype(np.int16)  # zero rows stay zeros
+        with np.errstate(over="ignore", invalid="ignore"):
+            # denormal-scale rows overflow the factor to inf here and
+            # are recomputed on the fallback below — expected, not noise
+            factor = (np.float32(32704.0) / safe)[:, None].astype(
+                np.float32
+            )
+            out = (vecs * factor).astype(np.int16)  # zero rows stay 0
+        bad = ~np.isfinite(factor[:, 0])
+        if bad.any():
+            # denormal-scale rows (row_max < ~1.2e-34 overflows the f32
+            # factor to inf, and inf/NaN -> int16 is undefined): redo
+            # just those rows in float64 on the old clipped path
+            vb = vecs[bad].astype(np.float64)
+            sb = np.abs(vb).max(axis=1)
+            sb = np.where(sb > 0.0, sb, 1.0)[:, None]
+            out[bad] = np.clip(
+                np.rint(vb * (32704.0 / sb)), -32704, 32704
+            ).astype(np.int16)
+        return out
     if wire == "int8":
         row_max = np.abs(vecs).max(axis=1)
         scale = np.where(row_max > 0.0, row_max, 1.0)[:, None]

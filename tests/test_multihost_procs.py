@@ -31,7 +31,9 @@ def _free_port() -> int:
     return port
 
 
-@pytest.mark.parametrize("mode", ["exact", "i4", "ivf", "ivf8", "engine"])
+@pytest.mark.parametrize(
+    "mode", ["exact", "i4", "ivf", "ivf8", "engine", "engine_i8"]
+)
 def test_two_process_sharded_query(tmp_path, mode):
     """exact: the f32 merge. i4: the packed-nibble int4 STORAGE lane.
     ivf: ShardedIVF build + search + an INCREMENTAL update() epoch.
@@ -39,7 +41,8 @@ def test_two_process_sharded_query(tmp_path, mode):
     epoch — all across 2 real OS processes (VERDICT r3 item 5).
     engine: a full PicoVectorDB per process — shard-local load, queries,
     mutations, batched getters, distributed save + reload (VERDICT r4
-    item 4)."""
+    item 4). engine_i8: int8 DEVICE storage across processes — the
+    distributed save must write dequantized f32 shards (r5 review)."""
     base = str(tmp_path / "mhstore")
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((N, DIM)).astype(np.float32)
