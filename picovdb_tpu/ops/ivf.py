@@ -44,7 +44,7 @@ from ..utils import next_pow2, round_up, scatter_floor
 from .pallas_scan import (
     DEFAULT_QT,
     KEY_MIN,
-    NEG_INF,
+    SCORE_SENTINEL,
     SEG,
     _from_sortable,
     _to_sortable,
@@ -86,12 +86,13 @@ def _ivf_i8_enabled(dim: int) -> bool:
     tests/test_ivf.py; hardware A/B in bench/results/ivf2m_r3b.json when
     present); PICOVDB_IVF_I8=0 opts out (e.g. to save cap_ivf*dim bytes
     of HBM), =1 forces it at any dim."""
-    env = os.getenv("PICOVDB_IVF_I8", "auto")
-    if env in ("0", "false", "False"):
-        return False
+    env = os.getenv("PICOVDB_IVF_I8", "auto").strip().lower()
     if env in ("auto", ""):
         return dim >= IVF_I8_MIN_DIM
-    return True
+    # only explicit truthy values force-enable below the dim floor —
+    # 'off'/'no'/typos must not read as opt-in (same parser contract as
+    # `_ivf_i8_mirror`; the low-dim regime has measured top-1 misses)
+    return env in ("1", "true", "on", "yes")
 
 
 def _ivf_guard(is_i8: bool, dim: int) -> int:
@@ -1043,7 +1044,7 @@ def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
 
     @pl.when(b == 0)
     def _init():
-        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        vals_ref[...] = jnp.full(vals_ref.shape, SCORE_SENTINEL, dtype=jnp.float32)
         idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
 
     @pl.when(b < nhot_ref[0])
@@ -1075,7 +1076,7 @@ def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
             m = jnp.max(keys, axis=1, keepdims=True)
             amx = m & low_mask
             approx = pltpu.bitcast(_from_sortable(m & ~low_mask), jnp.float32)
-            approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+            approx = jnp.where(m == jnp.int32(KEY_MIN), SCORE_SENTINEL, approx)
             here = col_k == j
             tvals = jnp.where(here, approx, tvals)
             tidx = jnp.where(here, amx, tidx)
@@ -1084,7 +1085,7 @@ def _ivf_kernel(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref, idx_ref,
 
         init = (
             keys,
-            jnp.full((qt, k), NEG_INF, jnp.float32),
+            jnp.full((qt, k), SCORE_SENTINEL, jnp.float32),
             jnp.zeros((qt, k), jnp.int32),
         )
         _, tile_vals, tile_idx = jax.lax.fori_loop(
@@ -1111,7 +1112,7 @@ def _ivf_kernel_i8c(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref,
 
     @pl.when(b == 0)
     def _init():
-        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        vals_ref[...] = jnp.full(vals_ref.shape, SCORE_SENTINEL, dtype=jnp.float32)
         idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
 
     @pl.when(b < nhot_ref[0])
@@ -1137,7 +1138,7 @@ def _ivf_kernel_i8c(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref,
             m = jnp.max(keys, axis=1, keepdims=True)
             amx = m & low_mask
             approx = (m & ~low_mask).astype(jnp.float32)
-            approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+            approx = jnp.where(m == jnp.int32(KEY_MIN), SCORE_SENTINEL, approx)
             here = col_k == j
             tvals = jnp.where(here, approx, tvals)
             tidx = jnp.where(here, amx, tidx)
@@ -1146,7 +1147,7 @@ def _ivf_kernel_i8c(hot_ref, nhot_ref, q_ref, v_ref, m_ref, vals_ref,
 
         init = (
             keys,
-            jnp.full((qt, k), NEG_INF, jnp.float32),
+            jnp.full((qt, k), SCORE_SENTINEL, jnp.float32),
             jnp.zeros((qt, k), jnp.int32),
         )
         _, tile_vals, tile_idx = jax.lax.fori_loop(
@@ -1245,7 +1246,7 @@ def probe_scan_local(q, centroids, vectors, slots, seg_starts, active,
         interpret=interpret,
     )(hot, n_hot.reshape(1), q_scan, v_scan, mask2d)
 
-    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)
     if rescore_by_slot:
         return _rescore_by_slot(q, vectors, slots, vals, idxs, k,
                                 corpus_scale=rescore_scale,

@@ -40,7 +40,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float(np.finfo(np.float32).min)  # in-kernel score sentinel
+# In-kernel masked-score sentinel: the FINITE float32 minimum (true -inf
+# breaks the packed-key int bitcast trick). NOT the same constant as
+# ops/exact.py's NEG_INF (a true -inf) — every kernel/fallback exit must
+# convert `vals <= SCORE_SENTINEL` to -inf before returning, because
+# callers pin underfilled slots with jnp.isneginf (a finite sentinel
+# slips past and resurrects masked rows in the rescore).
+SCORE_SENTINEL = float(np.finfo(np.float32).min)
 KEY_MIN = -(2**31)  # packed-key sentinel (below any real key); plain int so
 # importing this module never touches a JAX backend.
 
@@ -79,12 +85,12 @@ def _small_merge(run_vals, run_idx, new_vals, new_idx, k):
         here = col_k == j
         ovals = jnp.where(here, mx[:, None], ovals)
         oidx = jnp.where(here, sel[:, None], oidx)
-        work = jnp.where(at, NEG_INF, work)
+        work = jnp.where(at, SCORE_SENTINEL, work)
         return work, ovals, oidx
 
     init = (
         vals,
-        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.full((qt, k), SCORE_SENTINEL, jnp.float32),
         jnp.zeros((qt, k), jnp.int32),
     )
     _, ovals, oidx = jax.lax.fori_loop(0, k, body, init,
@@ -99,7 +105,7 @@ def _scan_kernel(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int, bn: int,
 
     @pl.when(b == 0)
     def _init():
-        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        vals_ref[...] = jnp.full(vals_ref.shape, SCORE_SENTINEL, dtype=jnp.float32)
         idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
 
     q = q_ref[...]
@@ -132,9 +138,9 @@ def _scan_kernel(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int, bn: int,
         amx = m & low_mask
         approx = pltpu.bitcast(_from_sortable(m & ~low_mask), jnp.float32)
         # Rounds past the number of unmasked candidates select the KEY_MIN
-        # sentinel, whose bit pattern unpacks to NaN — pin those to NEG_INF
+        # sentinel, whose bit pattern unpacks to NaN — pin those to SCORE_SENTINEL
         # so the running merge stays NaN-free.
-        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+        approx = jnp.where(m == jnp.int32(KEY_MIN), SCORE_SENTINEL, approx)
         here = col_k == j
         tvals = jnp.where(here, approx, tvals)
         tidx = jnp.where(here, amx, tidx)
@@ -143,7 +149,7 @@ def _scan_kernel(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int, bn: int,
 
     init = (
         keys,
-        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.full((qt, k), SCORE_SENTINEL, jnp.float32),
         jnp.zeros((qt, k), jnp.int32),
     )
     _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
@@ -250,7 +256,7 @@ def fused_topk(queries, vectors, mask, k: int, compute_dtype=None,
         interpret=interpret,
     )(queries, vectors, mask2d)
 
-    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)
     return vals, idxs
 
 
@@ -469,7 +475,7 @@ def segmax_scan(queries, vectors, mask, compute_dtype=None,
         _from_sortable(keys & ~jnp.int32(SEG - 1)), jnp.float32
     )
     vals = jnp.where(keys == jnp.int32(KEY_MIN), -jnp.inf, vals)
-    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)
     idx = base + (keys & jnp.int32(SEG - 1))
     return vals, idx
 
@@ -622,13 +628,17 @@ def _make_segmax_topk_cached(k: int, compute_dtype_name: str | None = None,
             # compacted-view mode: exact-select over the view, translate
             # to global slots, rescore exactly against the full corpus
             kv = min(k, scan_vectors.shape[0])
-            _, idx_v = exact_topk(queries, scan_vectors, mask, kv,
-                                  compute_dtype)
+            vals_v, idx_v = exact_topk(queries, scan_vectors, mask, kv,
+                                       compute_dtype)
             gidx_v = jnp.take(slots, idx_v)
             gath = jnp.take(rescore_vectors, gidx_v, axis=0)
             ex = jnp.einsum("qd,qkd->qk", queries,
                             gath.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
+            # underfilled view slots arrived as -inf with arbitrary
+            # masked indices — pin them BEFORE the rescore re-ranks
+            # them by their true (filtered-out) similarity
+            ex = jnp.where(jnp.isneginf(vals_v), -jnp.inf, ex)
             orderv = jnp.argsort(-ex, axis=1)
             return (jnp.take_along_axis(ex, orderv, axis=1),
                     jnp.take_along_axis(gidx_v, orderv,
@@ -765,7 +775,7 @@ def _scan_kernel_i8(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
 
     @pl.when(b == 0)
     def _init():
-        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        vals_ref[...] = jnp.full(vals_ref.shape, SCORE_SENTINEL, dtype=jnp.float32)
         idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
 
     s_i32 = jax.lax.dot_general(
@@ -791,7 +801,7 @@ def _scan_kernel_i8(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
         m = jnp.max(keys, axis=1, keepdims=True)
         amx = m & low_mask
         approx = pltpu.bitcast(_from_sortable(m & ~low_mask), jnp.float32)
-        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+        approx = jnp.where(m == jnp.int32(KEY_MIN), SCORE_SENTINEL, approx)
         here = col_k == j
         tvals = jnp.where(here, approx, tvals)
         tidx = jnp.where(here, amx, tidx)
@@ -800,7 +810,7 @@ def _scan_kernel_i8(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
 
     init = (
         keys,
-        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.full((qt, k), SCORE_SENTINEL, jnp.float32),
         jnp.zeros((qt, k), jnp.int32),
     )
     _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
@@ -840,8 +850,11 @@ def fused_topk_i8(q_i8, v_i8, vscale, mask, k: int,
             q_i8.astype(jnp.float32), v_i8.T.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         ) * vscale[None, :].astype(jnp.float32)
-        scores = jnp.where(mask[None, :], scores, NEG_INF)
+        scores = jnp.where(mask[None, :], scores, SCORE_SENTINEL)
         vals, idx = jax.lax.top_k(scores, min(k, cap))
+        # finite sentinel -> true -inf, like the kernel path: callers pin
+        # underfill via isneginf before the rescore
+        vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)
         return vals, idx.astype(jnp.int32)
     assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
     lane_bits = max(1, int(bn - 1).bit_length())
@@ -880,7 +893,7 @@ def fused_topk_i8(q_i8, v_i8, vscale, mask, k: int,
         interpret=interpret,
     )(q_i8, v_i8, vs2d, mask2d)
 
-    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)
     return vals, idxs
 
 
@@ -1187,7 +1200,7 @@ def _scan_kernel_i4(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
 
     @pl.when(b == 0)
     def _init():
-        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        vals_ref[...] = jnp.full(vals_ref.shape, SCORE_SENTINEL, dtype=jnp.float32)
         idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
 
     q = q_ref[...]  # (QT, dim) int8
@@ -1234,7 +1247,7 @@ def _scan_kernel_i4(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
         m = jnp.max(keys, axis=1, keepdims=True)
         amx = m & low_mask
         approx = pltpu.bitcast(_from_sortable(m & ~low_mask), jnp.float32)
-        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+        approx = jnp.where(m == jnp.int32(KEY_MIN), SCORE_SENTINEL, approx)
         here = col_k == j
         tvals = jnp.where(here, approx, tvals)
         tidx = jnp.where(here, amx, tidx)
@@ -1243,7 +1256,7 @@ def _scan_kernel_i4(q_ref, v_ref, vs_ref, m_ref, vals_ref, idx_ref, *,
 
     init = (
         keys,
-        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.full((qt, k), SCORE_SENTINEL, jnp.float32),
         jnp.zeros((qt, k), jnp.int32),
     )
     _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
@@ -1289,8 +1302,9 @@ def fused_topk_i4(q_i8, v_i4, vscale, mask, k: int,
             q_i8.astype(jnp.float32), v.T,
             preferred_element_type=jnp.float32,
         ) * vscale[None, :].astype(jnp.float32)
-        scores = jnp.where(mask[None, :], scores, NEG_INF)
+        scores = jnp.where(mask[None, :], scores, SCORE_SENTINEL)
         vals, idx = jax.lax.top_k(scores, min(k, cap))
+        vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)  # see i8 above
         return vals, idx.astype(jnp.int32)
     assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
     lane_bits = max(1, int(bn - 1).bit_length())
@@ -1328,6 +1342,11 @@ def fused_topk_i4(q_i8, v_i4, vscale, mask, k: int,
         ),
         interpret=interpret,
     )(q_i8, v_i4, vs2d, mask2d)
+    # finite SCORE_SENTINEL sentinel -> true -inf, like every sibling kernel:
+    # rescore_exact_i4r and the engine's underfill retry pin via
+    # isneginf, which the finite sentinel (with its arbitrary b*bn row
+    # index) would slip past — returning masked/pad rows as live hits
+    vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)
     return vals, idxs
 
 
@@ -1606,7 +1625,7 @@ def _scan_kernel_i8c(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int,
 
     @pl.when(b == 0)
     def _init():
-        vals_ref[...] = jnp.full(vals_ref.shape, NEG_INF, dtype=jnp.float32)
+        vals_ref[...] = jnp.full(vals_ref.shape, SCORE_SENTINEL, dtype=jnp.float32)
         idx_ref[...] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
 
     s_i32 = jax.lax.dot_general(
@@ -1630,7 +1649,7 @@ def _scan_kernel_i8c(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int,
         m = jnp.max(keys, axis=1, keepdims=True)
         amx = m & low_mask
         approx = (m & ~low_mask).astype(jnp.float32)
-        approx = jnp.where(m == jnp.int32(KEY_MIN), NEG_INF, approx)
+        approx = jnp.where(m == jnp.int32(KEY_MIN), SCORE_SENTINEL, approx)
         here = col_k == j
         tvals = jnp.where(here, approx, tvals)
         tidx = jnp.where(here, amx, tidx)
@@ -1639,7 +1658,7 @@ def _scan_kernel_i8c(q_ref, v_ref, m_ref, vals_ref, idx_ref, *, k: int,
 
     init = (
         keys,
-        jnp.full((qt, k), NEG_INF, jnp.float32),
+        jnp.full((qt, k), SCORE_SENTINEL, jnp.float32),
         jnp.zeros((qt, k), jnp.int32),
     )
     _, tile_vals, tile_idx = jax.lax.fori_loop(0, k, body, init,
@@ -1670,8 +1689,9 @@ def fused_topk_i8c(q_i8, v_i8, mask, k: int, qt: int = DEFAULT_QT,
             q_i8.astype(jnp.float32), v_i8.T.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
-        scores = jnp.where(mask[None, :], scores, NEG_INF)
+        scores = jnp.where(mask[None, :], scores, SCORE_SENTINEL)
         vals, idx = jax.lax.top_k(scores, min(k, cap))
+        vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)  # see i8 above
         return vals, idx.astype(jnp.int32)
     assert cap % bn == 0 and num_q % qt == 0, (cap, bn, num_q, qt)
     # int32 score keys must stay above KEY_MIN; the f32 carry is exact for
@@ -1711,7 +1731,7 @@ def fused_topk_i8c(q_i8, v_i8, mask, k: int, qt: int = DEFAULT_QT,
         interpret=interpret,
     )(q_i8, v_i8, mask2d)
 
-    vals = jnp.where(vals <= NEG_INF, -jnp.inf, vals)
+    vals = jnp.where(vals <= SCORE_SENTINEL, -jnp.inf, vals)
     return vals, idxs
 
 

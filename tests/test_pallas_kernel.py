@@ -777,3 +777,45 @@ def test_separated_data_does_not_trigger_crowding(db_path, rng):
     assert db._last_topk_strategy == "i8_fused_smallq"
     db.query(V[:64], top_k=3)
     assert db._last_topk_strategy.startswith("segmax")
+
+
+def test_fused_topk_i4_underfilled_and_all_masked(rng):
+    """r5 review: fused_topk_i4 returned the FINITE float32-min sentinel
+    for underfilled slots (every sibling converts to -inf), so the
+    dequantizing rescore's isneginf pinning missed them and masked rows
+    came back as live hits."""
+    from picovdb_tpu.ops.pallas_scan import (
+        make_fused_topk_i4, quantize_rows_i4,
+    )
+
+    cap, dim, k = 1024, 128, 8
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    v4, vs = quantize_rows_i4(V)
+    mask = np.zeros(cap, dtype=bool)
+    mask[:3] = True
+    fn = make_fused_topk_i4(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v4, vs, mask))
+    assert np.isneginf(vals[:, 3:]).all()  # was: finite sentinel scores
+    assert set(np.unique(idx[:, :3])) <= {0, 1, 2}
+    vals2, _ = map(np.asarray, fn(Q, v4, vs, np.zeros(cap, dtype=bool)))
+    assert np.isneginf(vals2).all()
+
+
+def test_fused_topk_i8_dense_fallback_underfill(rng):
+    """r5 review: the k>bn dense XLA fallbacks of the int8/int8c/int4
+    kernels skipped the sentinel->-inf conversion too."""
+    from picovdb_tpu.ops.pallas_scan import (
+        make_fused_topk_i8, quantize_rows_i8,
+    )
+
+    cap, dim, k = 1024, 128, 640  # k+guard > any VMEM block -> dense
+    V = normalize_batch(rng.normal(size=(cap, dim)).astype(np.float32))
+    Q = normalize_batch(rng.normal(size=(2, dim)).astype(np.float32))
+    v8, vs = quantize_rows_i8(V)
+    mask = np.zeros(cap, dtype=bool)
+    mask[:5] = True
+    fn = make_fused_topk_i8(k, interpret=True)
+    vals, idx = map(np.asarray, fn(Q, v8, vs, V, mask))
+    assert np.isneginf(vals[:, 5:]).all()
+    assert set(np.unique(idx[:, :5])) <= set(range(5))
