@@ -590,7 +590,10 @@ class PicoVectorDB:
                 self._path, self.dim, self._dev.mesh,
                 shard_axis=self._dev.shard_axis,
             )
-            if v_glob.shape[0] != count:
+            # load_host_shard may pad rows up to device alignment (odd
+            # counts aren't row-shardable otherwise); the pad rows are
+            # zeros and the active mask marks them False below
+            if v_glob.shape[0] < count:
                 raise ValueError(
                     f"shard files hold {v_glob.shape[0]} rows but the ids "
                     f"file has {count} slots"
@@ -833,7 +836,10 @@ class PicoVectorDB:
                 f"({nproc}); got shards={shards}"
             )
         n = len(self._ids)
-        per = -(-n // nproc) if n else 0
+        # device-aligned split (persistence.shard_split_rows): non-last
+        # shards must divide evenly across a loading process's local
+        # devices so the loader can tail-pad only the LAST block
+        per = persistence.shard_split_rows(n, nproc)
         rep = NamedSharding(self._dev.mesh, P())
         sdt = self._dev.storage_dtype
         scales = self._dev.vstore_scale
@@ -841,6 +847,14 @@ class PicoVectorDB:
         for f in range(nproc):
             start, stop = f * per, min(n, (f + 1) * per)
             if stop <= start:
+                # the aligned split can leave tail shards empty; still
+                # write a (0, dim) file — the loader requires one file
+                # per process
+                if pid == f:
+                    persistence.save_shard_atomic(
+                        self._path, f, nproc,
+                        np.zeros((0, self.dim), dtype=np.float32),
+                    )
                 continue  # identical on every process: no jit skew
             if quantized:
                 # the resident plane holds quantization CODES (int8, or
@@ -3149,10 +3163,22 @@ class PicoVectorDB:
         if env not in ("1", "true", "on", "yes"):
             from .utils import SCATTER_FLOOR_MIN_ROWS
 
-            # same constant as the scatter floor (utils.scatter_floor):
-            # the floor's fixed per-epoch operand is only justified where
-            # this warm removed the per-size compile cost
-            if int(self._active_indices.size) < SCATTER_FLOOR_MIN_ROWS:
+            # Same constant as the scatter floor (utils.scatter_floor),
+            # keyed on the same quantity the floor keys on — the DEVICE
+            # PLANE row count (cap / postings rows set the scatter
+            # executables' operand shapes), not the active count. Gating
+            # on actives opened a window (actives just under 1M, padded
+            # plane just over) where every epoch shipped the 1024-row
+            # floor operand but the warm never ran. r5 review finding.
+            plane_rows = max(
+                int(self._active_indices.size),
+                int(self._dev.cap or 0),
+                # the IVF postings plane carries ~4% slack over actives,
+                # so it can cross the floor threshold first
+                int(self._ivf.active.shape[0]) if self._ivf is not None
+                else 0,
+            )
+            if plane_rows < SCATTER_FLOOR_MIN_ROWS:
                 return
         try:
             t0 = time.perf_counter()

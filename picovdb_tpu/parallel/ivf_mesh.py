@@ -326,7 +326,19 @@ class ShardedIVF:
 
         if i8_only:
             post_np = np.zeros((nshards * cap_shard, dim), dtype=np.int8)
-            cs_np = np.ones((nshards, dim), dtype=np.float32)
+            # Shards with zero built rows keep this default scale. It must
+            # be the quantizer's zero-column floor (1e-30/127), NOT 1.0: a
+            # later append routed to a never-built owner shard requantizes
+            # against these scales, and with 1.0 a unit-norm row rints to
+            # ~all-zero codes WITHOUT clipping — invisible to selection,
+            # yet the clip guard never trips. With the floor scale the
+            # append clips ~100% of components, the guard refuses, and the
+            # fallback full rebuild derives real scales (the same
+            # self-heal the classic layout gets from its ~1e-32 empty
+            # scales). r5 review finding.
+            cs_np = np.full(
+                (nshards, dim), np.float32(1e-30 / 127.0), dtype=np.float32
+            )
             vecs_np = None
         else:
             if storage_dtype in (None, "float32"):
@@ -825,18 +837,27 @@ class ShardedIVF:
                                 mode="edge")
             q_dev = jax.device_put(q_dev, NamedSharding(self.mesh, P()))
         interpret = jax.devices()[0].platform != "tpu"
-        # Per-shard hot-grid bound: a cluster's posting list on one shard
-        # spans ~n_tiles/nlist + 1 local tiles (same estimate as the
-        # single-device tier, per-shard tile counts). Bucketed to 64 so
-        # batch sizes share kernel specializations.
-        union_clusters = min(q_pad * nprobe + nprobe, self.nlist) + 1
+        # Per-shard hot-grid bound: the same birthday-bound union the
+        # single-device tier uses (ops/ivf.py IVFIndex.search_async —
+        # probed clusters overlap across queries, so the union grows as
+        # nlist*(1-(1-p)^Q), and expected hot tiles follow the same bound
+        # over per-shard tile spans), NOT the old linear q*nprobe
+        # estimate, which saturated to the full per-shard grid from Q~8
+        # and burned predicated no-op steps on every shard per dispatch.
+        # Bucketed to 64 so batch sizes share kernel specializations;
+        # truncation sheds highest-id probed tiles only (overflow tiles
+        # sort first and are never shed).
+        import math
+
+        p_cluster = min(1.0, nprobe / self.nlist)
+        uniq = self.nlist * (1.0 - (1.0 - p_cluster) ** q_pad) + 1
+        span = self.n_tiles / self.nlist + 1.0
+        e_hot = self.n_tiles * (
+            1.0 - math.exp(-uniq * span / self.n_tiles)
+        )
         g_tiles = min(
             self.n_tiles,
-            round_up(
-                int(1.25 * union_clusters * (self.n_tiles / self.nlist + 1))
-                + 16,
-                64,
-            ),
+            round_up(int(1.35 * e_hot) + 16, 64),
         )
         use_i8 = self.vectors_i8c is not None
         i8_only = self.vectors is None

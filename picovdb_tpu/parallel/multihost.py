@@ -25,23 +25,39 @@ from typing import Optional
 import numpy as np
 
 from .. import persistence
+from ..utils import round_up
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
     """Initialize the JAX distributed runtime (no-op if already up)."""
+    import os
+
     import jax
 
+    if coordinator_address is None and not os.getenv(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        # single-process (no coordinator anywhere): initialize() would
+        # raise 'coordinator_address should be defined' — a no-op here
+        # keeps the documented contract for non-distributed callers
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # already initialized (or single-process) — fine either way
-        pass
+    except RuntimeError as e:
+        # Swallow ONLY the already-initialized case. A connect failure
+        # (wrong/unreachable coordinator) must surface here — masked, the
+        # process would run with process_count()==1 and fail later with a
+        # misleading shard-count error instead of the real cause.
+        msg = str(e).lower()
+        if ("only be called once" not in msg
+                and "already initialized" not in msg):
+            raise
 
 
 def pod_mesh(dp: int = 1, shard_axis: str = "shard", dp_axis: str = "dp"):
@@ -70,7 +86,10 @@ def load_host_shard(base: str, dim: int, mesh, shard_axis: str = "shard"):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    paths = persistence.find_shards(base)
+    # one complete generation, numerically ordered (a mixed-generation
+    # directory would silently hand this process the WRONG file — the
+    # corruption persistence.validated_shards exists to catch)
+    paths = persistence.validated_shards(base)
     if not paths:
         raise FileNotFoundError(f"no shard files for {base}")
     pid = jax.process_index()
@@ -78,8 +97,53 @@ def load_host_shard(base: str, dim: int, mesh, shard_axis: str = "shard"):
         raise ValueError(
             f"{len(paths)} shard files but {jax.process_count()} processes"
         )
-    local = np.load(paths[pid], mmap_mode="r")
-    if local.ndim != 2 or local.shape[1] != dim:
-        raise ValueError(f"shard {paths[pid]} has shape {local.shape}")
+    # Row counts not divisible by the process/device count need care on
+    # two fronts (r5 review): without an explicit global_shape,
+    # make_array_from_process_local_data INFERS the global rows from
+    # each process's local rows — inconsistent across processes when
+    # the ceil split's last shard is smaller — and jax row-sharding
+    # requires even divisibility by the shard-axis device count anyway.
+    # So every process pads its local block to the same device-aligned
+    # row count; the zero tail rows stay inactive (the engine's active
+    # mask is padded False by adopt_global).
+    shapes = [np.load(p, mmap_mode="r").shape for p in paths]  # header-only
+    for p, s in zip(paths, shapes):
+        if len(s) != 2 or s[1] != dim:
+            raise ValueError(f"shard {p} has shape {s}")
+    per = shapes[0][0]  # the aligned split: every shard but the last
+    if any(s[0] != per for s in shapes[:-1]) or shapes[-1][0] > per:
+        raise ValueError(
+            f"unexpected shard row layout {[s[0] for s in shapes]} for "
+            f"{base!r}; expected equal rows with a smaller/empty last "
+            "shard (persistence.shard_split_rows)"
+        )
+    nproc = jax.process_count()
+    nsh = mesh.shape[shard_axis]
+    if nsh % nproc:
+        raise ValueError(
+            f"shard axis has {nsh} devices over {nproc} processes; "
+            "devices must distribute evenly"
+        )
+    ldc = nsh // nproc
+    if nproc > 1 and per % ldc:
+        raise ValueError(
+            f"non-last shards hold {per} rows, not divisible by the "
+            f"{ldc} local devices on the shard axis; re-save with the "
+            "current writer (persistence.SHARD_ROW_ALIGN) or use a "
+            "host/device topology whose local device count divides "
+            f"{per}"
+        )
+    # tail-only padding: ONLY the last process's block may be padded
+    # (zero rows, marked inactive by the engine's mask) — padding any
+    # earlier block would shift the global slot <-> device row
+    # correspondence. Single-process: the one block IS the tail.
+    per_eff = per if nproc > 1 else round_up(max(per, 1), ldc)
+    local = np.asarray(np.load(paths[pid], mmap_mode="r"))
+    if local.shape[0] != per_eff:
+        padded = np.zeros((per_eff, dim), dtype=local.dtype)
+        padded[: local.shape[0]] = local
+        local = padded
     sharding = NamedSharding(mesh, P(shard_axis, None))
-    return jax.make_array_from_process_local_data(sharding, np.asarray(local))
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape=(per_eff * nproc, dim)
+    )

@@ -27,7 +27,7 @@ from typing import Optional
 import numpy as np
 
 from .constants import Float
-from .utils import ids_path, meta_path, vecs_path, to_c_f32
+from .utils import ids_path, meta_path, round_up, vecs_path, to_c_f32
 
 logger = logging.getLogger("picovdb_tpu")
 
@@ -420,15 +420,34 @@ def shard_path(base: str, i: int, n: int) -> str:
     return f"{base}.vecs.shard{i:03d}of{n:03d}.npy"
 
 
+# Non-last shards hold a multiple of this many rows (see shard_split_rows):
+# the multi-process loader tail-pads only the LAST process's block (any
+# other padding would shift the global slot <-> device row correspondence),
+# which requires every earlier shard's row count to divide evenly across
+# that process's local devices. 8 covers 1/2/4/8 chips per host.
+SHARD_ROW_ALIGN = 8
+
+
+def shard_split_rows(n: int, n_shards: int) -> int:
+    """Rows per non-last shard for an n-row corpus over n_shards files:
+    the ceil split rounded up to SHARD_ROW_ALIGN (the last shard takes
+    the remainder, possibly zero rows)."""
+    if not n:
+        return 0
+    return round_up(-(-n // n_shards), SHARD_ROW_ALIGN)
+
+
 def save_vectors_sharded(base: str, vectors: np.ndarray, n_shards: int) -> list:
     """Write the matrix as n_shards row-contiguous npy files (atomic each).
 
     Multi-host layout (SURVEY.md §7.6): shard i holds rows
-    [i*ceil(N/n) : (i+1)*ceil(N/n)), matching a row-sharded Mesh so each
-    host of a pod can load only its own shard. Returns the final paths.
+    [i*per : (i+1)*per) with per = `shard_split_rows`, matching a
+    row-sharded Mesh so each host of a pod can load only its own shard
+    (empty tail shards are written as (0, dim) files so the loader's
+    one-file-per-process contract holds). Returns the final paths.
     """
     n = vectors.shape[0]
-    per = -(-n // n_shards) if n else 0
+    per = shard_split_rows(n, n_shards)
     paths = []
     for i in range(n_shards):
         final = shard_path(base, i, n_shards)
@@ -453,17 +472,21 @@ def find_shards(base: str) -> list:
     return [os.path.join(d, f) for f in names]
 
 
-def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
-    """Concatenate shard files into one (N, dim) matrix; None when absent.
+def validated_shards(base: str) -> list:
+    """Shard files for `base` as ONE complete generation, ordered by
+    numeric shard index; [] when none; raises on a mixed/partial set.
 
-    The shard set must be one complete generation (indices 0..n-1, all the
-    same `ofNNN` count): stores written before stale-shard cleanup existed
-    (save_atomic) may hold two interleaved generations, which would
-    silently pair ids/docs with wrong vectors if concatenated.
+    The shard set must be one complete generation (indices 0..n-1, all
+    the same `ofNNN` count): stores written before stale-shard cleanup
+    existed (save_atomic) may hold two interleaved generations, which
+    would silently pair ids/docs with wrong vectors if concatenated —
+    or, on the multi-process load path, hand a process the wrong file.
+    Numeric ordering also shields >999-shard sets from lexicographic
+    interleaving (shard1000 sorts before shard999 as strings).
     """
     paths = find_shards(base)
     if not paths:
-        return None
+        return []
     seen = []
     for p in paths:
         m = re.search(r"\.vecs\.shard(\d+)of(\d+)\.npy$", p)
@@ -496,9 +519,19 @@ def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
             "expected one complete shardNNNofMMM generation; delete the "
             f"stale generation's files and reload{hint}"
         )
-    paths = [p for _, p in sorted(
+    return [p for _, p in sorted(
         zip((i for i, _ in seen), paths), key=lambda t: t[0]
     )]
+
+
+def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
+    """Concatenate shard files into one (N, dim) matrix; None when absent.
+
+    See `validated_shards` for the one-complete-generation requirement.
+    """
+    paths = validated_shards(base)
+    if not paths:
+        return None
     parts = [np.load(p) for p in paths]
     for p, arr in zip(paths, parts):
         if arr.ndim != 2 or arr.shape[1] != dim:

@@ -327,7 +327,7 @@ def main() -> int:
     assert jax.process_count() == nprocs, jax.process_count()
     mesh = pod_mesh(dp=1)
 
-    if mode == "engine":
+    if mode in ("engine", "engine_odd"):
         full = np.concatenate(
             [np.load(p) for p in persistence.find_shards(base)]
         )

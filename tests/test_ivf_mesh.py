@@ -624,3 +624,46 @@ def test_engine_mesh_i8only_clip_guard_device_born(db_path, rng, monkeypatch):
     assert res[0][K_ID] == "hot"
     # pre-drift rows still served
     assert db.query(vectors[7], top_k=1)[0][K_ID] == "7"
+
+
+def test_engine_mesh_i8only_empty_shard_append_self_heals(
+    db_path, rng, monkeypatch
+):
+    """r5 review: owner shards with ZERO built rows kept the default
+    column scale. With 1.0 defaults, an append routed to such a shard
+    quantized a unit-norm row to ~all-zero codes WITHOUT clipping — the
+    clip guard never tripped, update() claimed success, and the row was
+    invisible to selection until the next full rebuild. The default is
+    now the quantizer's floor scale, so the append clips ~100%, the
+    guard refuses, and the fallback rebuild derives real scales."""
+    monkeypatch.setenv("PICOVDB_IVF_I8", "1")
+    mesh = make_mesh()
+    nshards = mesh.shape["shard"]
+    dim, k = 32, 4
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=db_path, mesh=mesh, index="ivf",
+        storage_dtype="int8", ivf_nlist=8,
+    )
+    seed, _ = clustered_data(rng, 64, dim)
+    db.upsert([{K_ID: f"s{i}", K_VECTOR: seed[i]} for i in range(64)])
+    db.rebuild_index()
+    assert db._ivf is not None and db._ivf.vectors is None  # i8-only
+    shard_rows = int(db._dev.cap) // nshards
+
+    # fill the whole of corpus shard 0 so the NEXT free slot lands on
+    # shard 1, which has zero built rows
+    if shard_rows > 64:
+        more, _ = clustered_data(rng, shard_rows - 64, dim)
+        db.upsert([
+            {K_ID: f"m{i}", K_VECTOR: more[i]}
+            for i in range(shard_rows - 64)
+        ])
+    db.rebuild_index()  # shard 0 full, shards 1+ built empty
+
+    newv = rng.normal(size=dim).astype(np.float32)
+    newv /= np.linalg.norm(newv)
+    db.upsert([{K_ID: "fresh", K_VECTOR: newv}])  # slot == shard_rows
+    res = db.query(newv, top_k=k, ef_search=10**6)
+    assert res[0][K_ID] == "fresh"  # pre-fix: invisible to selection
+    # guard must have refused the in-place path on the floor-scale shard
+    assert db._last_ann_rebuild_mode == "full"

@@ -32,7 +32,8 @@ def _free_port() -> int:
 
 
 @pytest.mark.parametrize(
-    "mode", ["exact", "i4", "ivf", "ivf8", "engine", "engine_i8"]
+    "mode",
+    ["exact", "i4", "ivf", "ivf8", "engine", "engine_i8", "engine_odd"],
 )
 def test_two_process_sharded_query(tmp_path, mode):
     """exact: the f32 merge. i4: the packed-nibble int4 STORAGE lane.
@@ -45,9 +46,14 @@ def test_two_process_sharded_query(tmp_path, mode):
     distributed save must write dequantized f32 shards (r5 review)."""
     base = str(tmp_path / "mhstore")
     rng = np.random.default_rng(0)
-    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    # engine_odd: a row count NOT divisible by the process count — the
+    # ceil split writes a smaller last shard, and the distributed load
+    # must pass an explicit global_shape (r5 review: without it each
+    # process inferred a different global row count)
+    n_build = N + 1 if mode == "engine_odd" else N
+    vecs = rng.standard_normal((n_build, DIM)).astype(np.float32)
     db = PicoVectorDB(embedding_dim=DIM, storage_file=base)
-    db.upsert([{K_ID: f"r{i}", K_VECTOR: vecs[i]} for i in range(N)])
+    db.upsert([{K_ID: f"r{i}", K_VECTOR: vecs[i]} for i in range(n_build)])
     db.save(shards=NPROCS)
 
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
