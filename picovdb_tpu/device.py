@@ -32,6 +32,9 @@ from .utils import next_pow2, round_up, scatter_bucket
 from .ops.exact import make_exact_topk
 
 
+_FVIEW_MISS = object()  # distinguishes 'not cached' from a cached refusal
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(vectors, idx, rows):
     return vectors.at[idx].set(rows)
@@ -216,7 +219,6 @@ class DeviceIndex:
         # the halved sweep at large qt), so batch stays on the bf16 mirror;
         # PICOVDB_SEGMAX_I8=1 opts the segmax tier into int8 for
         # re-measurement on other hardware.
-        import os as _os
 
         if int8_tier is None:
             env = _os.getenv("PICOVDB_INT8_TIER")
@@ -280,7 +282,8 @@ class DeviceIndex:
         self._strategy_tls = threading.local()
         self._strategy_global: Optional[str] = None
         # Introspection: how the last device synchronization was applied
-        # ("scatter" | "full" | None) — analog of the reference's
+        # ("scatter" | "full" | "grow" | None; "grow" = capacity-bucket
+        # crossing d2d pad) — analog of the reference's
         # `_last_faiss_rebuild_mode` ("incremental" | "full").
         self.last_sync_mode: Optional[str] = None
         # Device-resident filter-mask cache: serving workloads repeat the
@@ -384,19 +387,16 @@ class DeviceIndex:
         (filter spec + mutation epoch) beside _mask_cache; cleared with it
         on any mirror mutation.
         """
-        v = self._fview_cache.get(mask_key)
-        if v is not None:
-            return v
+        v = self._fview_cache.get(mask_key, _FVIEW_MISS)
+        if v is not _FVIEW_MISS:
+            return v  # may be a cached REFUSAL (None): see below
         n_f = int(filter_mask.sum())
-        if n_f < self.SEGMAX_MIN_CAP:
-            return None
-        try:
-            budget_gb = float(
-                _os.getenv("PICOVDB_FVIEW_BUDGET_GB", "4") or 4
-            )
-        except ValueError:
-            budget_gb = 4.0
-        if n_f * self.dim * 2.0 > budget_gb * 2**30:
+        if n_f < self.SEGMAX_MIN_CAP or not self._fview_budget_ok(n_f):
+            # cache the refusal too: every chunk of a filtered batch
+            # re-asks, and the O(cap) mask sum per chunk adds up on
+            # multi-million-row stores (r5 review finding)
+            if mask_key is not None:
+                self._fview_cache[mask_key] = None
             return None
         rows = np.nonzero(filter_mask)[0].astype(np.int32)
         capf = round_up(n_f, ROW_PAD)
@@ -404,14 +404,32 @@ class DeviceIndex:
         view, act = _gather_view(self.vectors_lp, slots_dev, n_f)
         out = (slots_dev, view, act)
         while len(self._fview_cache) >= self.FVIEW_CACHE_MAX:
-            # same concurrent-eviction caveat as _mask_cache
+            # same concurrent-eviction caveat as _mask_cache; evict
+            # cached refusals (None) before real views — a rotating
+            # refused filter must not thrash the 2-slot view cache
             try:
-                self._fview_cache.pop(next(iter(self._fview_cache)), None)
+                snap = list(self._fview_cache.items())
+                victim = next(
+                    (k for k, cached in snap if cached is None),
+                    snap[0][0] if snap else None,
+                )
+                if victim is None and not snap:
+                    break
+                self._fview_cache.pop(victim, None)
             except (StopIteration, RuntimeError):
                 break
         if mask_key is not None:
             self._fview_cache[mask_key] = out
         return out
+
+    def _fview_budget_ok(self, n_f: int) -> bool:
+        try:
+            budget_gb = float(
+                _os.getenv("PICOVDB_FVIEW_BUDGET_GB", "4") or 4
+            )
+        except ValueError:
+            budget_gb = 4.0
+        return n_f * self.dim * 2.0 <= budget_gb * 2**30
 
     # -- synchronization -------------------------------------------------------
 
@@ -508,6 +526,8 @@ class DeviceIndex:
                 self.vectors_lp = None
                 self.vectors_i8 = None
                 self.vscale = None
+                self.vectors_i8c = None  # a stale corpus-sized plane
+                self.cscale = None       # would pin HBM mid-recovery
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
             logging.getLogger("picovdb_tpu").warning(
@@ -543,13 +563,19 @@ class DeviceIndex:
             self.vscale = None
             if "RESOURCE_EXHAUSTED" not in str(e):
                 raise
-        # i8c mirror stays lazy (corpus-global column scales)
+        # i8c mirror stays lazy (corpus-global column scales); its HBM
+        # budget gate re-evaluates at the NEW capacity, or
+        # ensure_i8c_mirror could build an over-budget mirror and OOM a
+        # later dispatch (r5 review finding)
         self.vectors_i8c = None
         self.cscale = None
+        if self.i8c_tier:
+            budget, bpe = self._mirror_budget()
+            self._i8c_budget_ok = self.cap * self.dim * bpe <= budget
         self._mask_cache.clear()
         self._fview_cache.clear()
-        self.last_sync_mode = "grow"
-        return True
+        self.last_sync_mode = "grow"  # introspection: capacity-bucket
+        return True                   # crossing d2d pad (not a sync)
 
     def full_upload(self, host_vectors: np.ndarray, active_np: np.ndarray) -> None:
         """Upload the whole corpus, growing padded capacity as needed."""
@@ -574,8 +600,12 @@ class DeviceIndex:
             )
             f_dev = jax.device_put(vecs, self._row_sharding())
             # no donation: the f32 input cannot alias the narrower
-            # quantized outputs, so donating would only warn
+            # quantized outputs, so donating would only warn — but DROP
+            # the reference immediately after dispatch so the staging
+            # plane frees when the quant completes (donation's other
+            # effect), not at the end of the method
             q8, qs = jax.jit(quant)(f_dev)
+            del f_dev
             self.vectors = jax.device_put(q8, self._row_sharding())
             self.vstore_scale = jax.device_put(qs, self._mask_sharding())
             self.active = jax.device_put(mask, self._mask_sharding())
@@ -633,7 +663,10 @@ class DeviceIndex:
             chunk = self.STREAM_CHUNK_ROWS
             for start in range(0, n, chunk):
                 rows = np.ascontiguousarray(
-                    np.asarray(host_vectors[start : start + chunk]).astype(sdt)
+                    # dtype= copies only on mismatch; .astype would copy
+                    # a full chunk even when the store is already f32
+                    np.asarray(host_vectors[start : start + chunk],
+                               dtype=sdt)
                 )
                 idx = np.arange(start, start + rows.shape[0], dtype=np.int32)
                 buf = _scatter_rows(
@@ -644,7 +677,12 @@ class DeviceIndex:
             self.vectors = buf
         else:
             vecs = _pad_rows(
-                np.ascontiguousarray(np.asarray(host_vectors).astype(sdt)), cap
+                # dtype= copies only on mismatch (the .astype form copied
+                # the whole corpus even when already f32 — ~32 GB of
+                # avoidable host transient at 8M x 1024 on mesh stores,
+                # which never stream)
+                np.ascontiguousarray(np.asarray(host_vectors, dtype=sdt)),
+                cap,
             )
             self.vectors = jax.device_put(vecs, self._row_sharding())
         self.active = jax.device_put(mask, self._mask_sharding())
@@ -662,8 +700,10 @@ class DeviceIndex:
         on-TPU BERT encoder, models/bert_encoder.py) become the corpus
         without ever visiting the host — no host mirror copy, no PCIe/relay
         round trip. One jitted program normalizes (optional), casts to the
-        storage dtype, and pads to the aligned capacity; the input buffer is
-        donated so peak HBM is input + padded output.
+        storage dtype, and pads to the aligned capacity; the input buffer
+        is donated where it can actually alias (pad == 0, matching dtype)
+        and otherwise released as soon as the consuming program is
+        dispatched, so peak HBM stays ~input + padded output.
 
         `want_shadow=True` additionally fetches the normalized f32 rows to
         host BEFORE the storage-dtype cast and returns them (engine
@@ -876,23 +916,11 @@ class DeviceIndex:
     # skipped so big corpora keep their headroom (v5e has 16 GB HBM).
     MIXED_HBM_BUDGET = 12 * 2**30
 
-    def _refresh_lp_mirror(self) -> None:
-        """(Re)build the low-precision scan mirrors from the committed corpus.
+    def _mirror_budget(self) -> tuple:
+        """(HBM budget bytes, bytes/element across resident planes) for
+        the mirror-tier gating — one home for the math used by
+        `_refresh_lp_mirror` and `grow`."""
 
-        bf16 (selection for the batch segmax tier) and int8 + per-row scales
-        (the tiny-Q latency tier) are derived on device — no host traffic.
-        """
-        import os as _os
-
-        if self.storage_dtype in ("int8", "int4"):
-            # the corpus IS the quantized tier; no mirrors
-            self.vectors_lp = None
-            self.vectors_i8 = None
-            self.vscale = None
-            self.vectors_i8c = None
-            self.cscale = None
-            self._i8c_budget_ok = False
-            return
         budget = int(
             float(_os.getenv("PICOVDB_MIXED_BUDGET_GB", "0") or 0) * 2**30
         ) or self.MIXED_HBM_BUDGET
@@ -903,6 +931,25 @@ class DeviceIndex:
             bpe += 1  # + 4/dim for scales, negligible
         if self.i8c_tier:
             bpe += 1
+        return budget, bpe
+
+    def _refresh_lp_mirror(self) -> None:
+        """(Re)build the low-precision scan mirrors from the committed corpus.
+
+        bf16 (selection for the batch segmax tier) and int8 + per-row scales
+        (the tiny-Q latency tier) are derived on device — no host traffic.
+        """
+
+        if self.storage_dtype in ("int8", "int4"):
+            # the corpus IS the quantized tier; no mirrors
+            self.vectors_lp = None
+            self.vectors_i8 = None
+            self.vscale = None
+            self.vectors_i8c = None
+            self.cscale = None
+            self._i8c_budget_ok = False
+            return
+        budget, bpe = self._mirror_budget()
         if not self.mixed_precision or self.vectors is None:
             self.vectors_lp = None
         elif self.cap * self.dim * bpe > budget:
@@ -1321,6 +1368,24 @@ class DeviceIndex:
 
                 fn8 = make_exact_topk_i8r(k_eff)
                 vals, idxs = fn8(q_dev, vectors, vscale, active)
+        elif (self.mesh is None
+                and getattr(self._device, "platform", "cpu") == "tpu"
+                and k_eff + 4 <= 1024
+                and vectors.shape[0] % 256 == 0):
+            # f32/bf16 snapshot on a single TPU: stream via the fused
+            # Pallas scan like the int8/int4 branches above — the XLA
+            # exact fallback materializes a (Q, cap) f32 score matrix,
+            # which OOMs at capacity tiers (a 2048-query retry chunk
+            # over 1.5M rows is ~12.9 GB next to the resident corpus),
+            # crashing the very query the underfill retry exists to
+            # save (r5 review finding).
+            from .ops.pallas_scan import make_fused_topk
+
+            if num_q > 256 and num_q % 256:
+                pad = -(-num_q // 256) * 256 - num_q
+                q_dev = jnp.pad(q_dev, ((0, pad), (0, 0)))
+            fnf = make_fused_topk(k_eff, self.compute_dtype)
+            vals, idxs = fnf(q_dev, vectors, active)
         else:
             fn = make_exact_topk(k_eff, self.compute_dtype)
             vals, idxs = fn(q_dev, vectors, active)
@@ -1348,7 +1413,9 @@ class DeviceIndex:
         vals, idxs, num_q, k_eff = self.query_async(
             qnorm, k, filter_mask, force_exact=force_exact, mask_key=mask_key
         )
-        if _os.getenv("PICOVDB_PACK_FETCH", "1") not in ("0", "false"):
+        from .utils import pack_fetch_enabled
+
+        if pack_fetch_enabled():
             # One host fetch instead of two: the relay charges a fixed
             # per-transfer cost, which dominates at single-query sizes.
             buf = np.asarray(_pack_vi(vals, idxs))

@@ -34,6 +34,7 @@ Known deviations from the reference (documented intentionally):
 from __future__ import annotations
 
 import contextlib
+import itertools
 import logging
 import os
 import time
@@ -222,7 +223,11 @@ class PicoVectorDB:
         # token is monotonic so evicted entries can never alias a device
         # cache slot. Invalidation: `_filter_epoch` is part of the key.
         self._ids_mask_cache: list[dict] = []
-        self._ids_mask_next_token: int = 0
+        # itertools.count: next() is atomic under the GIL — a plain
+        # read-then-increment let two concurrent readers mint the SAME
+        # token, and the device mask cache (keyed on epoch+token) would
+        # serve one ids list's mask for the other's queries (r5 review)
+        self._ids_mask_token_counter = itertools.count()
 
         # knob resolution: kwarg -> env -> constant ---------------------------
         ab_env = os.getenv(ENV_ADAPTIVE_BUFFER)
@@ -1502,6 +1507,10 @@ class PicoVectorDB:
         with self._rwlock.write_lock():
             if not self._free:
                 return
+            # compaction REMAPS slots: every cached filter mask (device
+            # mask cache and the identity-keyed ids-mask cache) indexes
+            # the old positions — bump the epoch so they all miss
+            self._filter_epoch += 1
             self._ensure_host_vectors()
             active = np.sort(self._active_indices).tolist()
             n = len(active)
@@ -1584,6 +1593,13 @@ class PicoVectorDB:
                 # the mirror already IS the authoritative corpus.)
                 self._dev.full_upload(self._host_vectors, self._active_mask)
                 self._last_sync_mode = "full"
+            elif self._dirty:
+                # Lazy store with pending mutations: the overlay rows /
+                # deletes have NOT reached the device mirror yet. Apply
+                # them through the normal sync before the clears below —
+                # clearing unapplied pending sets would silently lose
+                # deletes and row updates on device (r5 review finding).
+                self._sync_device_locked()
             self._pending_add.clear()
             self._pending_remove.clear()
             self._pending_full = False
@@ -1680,6 +1696,17 @@ class PicoVectorDB:
                     mask_key=self._mask_key(where, ids),
                 )
             self._last_rescore = "host" if rescore else None
+            if num_q * k_eff <= 4096:
+                # Small result sets (the single-query serving path)
+                # assemble INSIDE the read lock against the live docs
+                # list: snapshotting it costs O(corpus) pointer copies
+                # per call (~tens of ms at 25M slots) to read at most
+                # Q*k entries, and readers coexist so the brief hold
+                # only delays writers (r5 review finding).
+                results_batch = self._assemble(
+                    vals, idxs, self._docs, top_k, better_than, where
+                )
+                return results_batch[0] if is_single else results_batch
             docs_ref = list(self._docs)
 
         # Assembly outside the lock on snapshots (reference:
@@ -1839,7 +1866,7 @@ class PicoVectorDB:
         # Compact upload wire (engine kwarg `query_wire`): large host
         # batches ship half the bytes; consumers widen on device and
         # normalize fused, so the ranking contract is unchanged.
-        vecs = self._wire_encode(vecs, num_q)
+        vecs = self._wire_encode(vecs, num_q, rescore=wire_rescore)
 
         with contextlib.ExitStack() as stack:
             stack.enter_context(self._synced_read())
@@ -2468,7 +2495,7 @@ class PicoVectorDB:
         except TypeError:
             return None
 
-    def _wire_encode(self, vecs, num_q: int):
+    def _wire_encode(self, vecs, num_q: int, rescore: bool = False):
         """Compact upload dtype for a host query batch (constants.py
         rationale: the f32 wire dominates the batch e2e wall on
         bandwidth-limited host links). Device arrays and non-f32 inputs
@@ -2487,12 +2514,18 @@ class PicoVectorDB:
             mode = "int16"
         elif mode == "int8_rescore":
             # adaptive like "auto": tiny batches ship untouched f32. The
-            # 1 B plane is only safe with the host re-rank; when that
-            # can't run (lazy / lossy host rows) fall back to the
-            # recall-1.0 int16 wire instead of shipping raw int8.
+            # 1 B plane is only safe with the host re-rank; when the
+            # CALLER has no rescore lane (query_columnar — the re-rank
+            # exists only in query_batched; r5 review finding) or the
+            # rescore can't run (lazy / lossy host rows), fall back to
+            # the recall-1.0 int16 wire instead of shipping raw int8.
             if num_q < QUERY_WIRE_MIN_Q:
                 return vecs
-            mode = "int8" if self._wire_rescore_applies(num_q) else "int16"
+            mode = (
+                "int8"
+                if rescore and self._wire_rescore_applies(num_q)
+                else "int16"
+            )
         from .utils import encode_query_wire
 
         return encode_query_wire(vecs, mode)
@@ -2530,9 +2563,8 @@ class PicoVectorDB:
             "obj": ids,
             "epoch": self._filter_epoch,
             "mask": mask,
-            "token": self._ids_mask_next_token,
+            "token": next(self._ids_mask_token_counter),  # atomic mint
         }
-        self._ids_mask_next_token += 1
         cache = [
             e for e in self._ids_mask_cache
             if e["obj"] is not ids or e["epoch"] != ent["epoch"]
@@ -3438,11 +3470,10 @@ def _start_host_copies(pending) -> None:
 
 
 def _pack_fetch_enabled() -> bool:
-    """One fetched buffer per chunk instead of two (PICOVDB_PACK_FETCH=0
-    disables). The dev-harness relay charges a fixed cost per transfer on
-    top of bandwidth, so halving the transfer count trims the serving wall
-    with identical bytes; scores travel bitcast inside the int32 buffer."""
-    return os.getenv("PICOVDB_PACK_FETCH", "1") not in ("0", "false")
+    """See utils.pack_fetch_enabled (single home of the env contract)."""
+    from .utils import pack_fetch_enabled
+
+    return pack_fetch_enabled()
 
 
 def _unpack_fetch(buf: np.ndarray, nq: int, ke: int):

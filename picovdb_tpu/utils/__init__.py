@@ -312,3 +312,16 @@ def encode_query_wire(vecs: np.ndarray, wire: str) -> np.ndarray:
         return vecs.astype(np.float16)
     scale = np.where(row_max > 0.0, row_max, 1.0)[:, None]
     return (vecs / scale).astype(np.float16)
+
+
+def pack_fetch_enabled() -> bool:
+    """One fetched buffer per result chunk instead of two
+    (PICOVDB_PACK_FETCH=0 disables). The dev-harness relay charges a
+    fixed cost per transfer on top of bandwidth, so halving the transfer
+    count trims the serving wall with identical bytes; scores travel
+    bitcast inside the int32 buffer. Single home of the env contract —
+    the engine chunk lanes and DeviceIndex.query both consume it.
+    """
+    import os
+
+    return os.getenv("PICOVDB_PACK_FETCH", "1") not in ("0", "false")

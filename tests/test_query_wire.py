@@ -291,9 +291,12 @@ def test_int8_rescore_small_batch_falls_back_to_int16(db_path, rng):
         rng.normal(size=(8, 48)).astype(np.float32), 8
     )
     assert small.dtype == np.float32  # below the auto threshold: untouched
+    # the 1 B plane requires the caller to declare its rescore lane
+    # (query_batched passes rescore=True; query_columnar has no lane and
+    # gets int16 — r5 review finding)
     big = db._wire_encode(
         rng.normal(size=(QUERY_WIRE_MIN_Q, 48)).astype(np.float32),
-        QUERY_WIRE_MIN_Q,
+        QUERY_WIRE_MIN_Q, rescore=True,
     )
     assert big.dtype == np.int8
 
@@ -302,7 +305,7 @@ def test_int8_rescore_small_batch_falls_back_to_int16(db_path, rng):
     db._host_lazy = True
     lazy = db._wire_encode(
         rng.normal(size=(QUERY_WIRE_MIN_Q, 48)).astype(np.float32),
-        QUERY_WIRE_MIN_Q,
+        QUERY_WIRE_MIN_Q, rescore=True,
     )
     assert lazy.dtype == np.int16
     db._host_lazy = False

@@ -200,3 +200,67 @@ def test_scatter_floor_matches_warm_gate():
     assert scatter_floor(1_000_000) == 1024
     assert scatter_bucket(1, 1_000_000) == 1024
     assert scatter_bucket(3000, 1_000_000) == 4096
+
+
+# 7 ---------------------------------------------------------------------
+
+
+def test_vacuum_invalidates_cached_ids_masks(db_path, rng):
+    """vacuum() remaps slots; a cached ids-filter mask from before the
+    compaction must not be reused (it marks the OLD slot positions)."""
+    dim, n = 16, 96
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    data = _vecs(rng, n, dim)
+    db.upsert([{K_ID: f"r{i}", K_VECTOR: data[i]} for i in range(n)])
+    allow = [f"r{i}" for i in range(32, 96)]  # 64 entries -> cached
+    q = data[70]
+    first = db.query(q, top_k=3, ids=allow)
+    assert first[0][K_ID] == "r70"
+    assert db._ids_mask_lookup(allow) is not None  # mask really cached
+    db.delete([f"r{i}" for i in range(0, 30)])  # slots 0-29 freed
+    db.vacuum()  # actives compact to the front: slots remapped
+    again = db.query(q, top_k=3, ids=allow)  # SAME list object
+    assert again[0][K_ID] == "r70"
+    assert all(h[K_ID] in set(allow) for h in again)
+
+
+# 8 ---------------------------------------------------------------------
+
+
+def test_rebuild_index_applies_pending_deletes_on_lazy_store(db_path, rng):
+    """rebuild_index() on a device-born store must flush pending
+    mutations to the mirror before clearing them — it used to drop
+    deletes silently (the deleted row kept serving from device)."""
+    jnp = pytest.importorskip("jax.numpy")
+    dim, n = 16, 64
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path)
+    data = _vecs(rng, n, dim)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    db.ingest_device(jnp.asarray(data), ids=[f"r{i}" for i in range(n)],
+                     normalize=False)
+    assert db._host_lazy
+    db.delete(["r7"])
+    db.rebuild_index()
+    res = db.query(data[7], top_k=5)
+    assert all(h[K_ID] != "r7" for h in res)
+
+
+# 9 ---------------------------------------------------------------------
+
+
+def test_columnar_wire_never_ships_raw_int8_without_rescore(db_path, rng):
+    """query_columnar has no host-rescore lane for the wire, so
+    query_wire='int8_rescore' must encode its uploads as int16 there
+    (raw int8 is ~0.98 recall and only safe with the re-rank)."""
+    from picovdb_tpu.constants import QUERY_WIRE_MIN_Q
+
+    dim = 16
+    db = PicoVectorDB(embedding_dim=dim, storage_file=db_path,
+                      query_wire="int8_rescore")
+    db.upsert([{K_ID: f"r{i}", K_VECTOR: v}
+               for i, v in enumerate(_vecs(rng, 32, dim))])
+    q = _vecs(rng, QUERY_WIRE_MIN_Q, dim)
+    assert db._wire_encode(q, q.shape[0]).dtype == np.int16  # no lane
+    assert db._wire_encode(q, q.shape[0], rescore=True).dtype == np.int8
+    res = db.query_columnar(q, top_k=3)
+    assert len(res[0]) == q.shape[0]
