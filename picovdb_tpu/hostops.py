@@ -30,21 +30,33 @@ def _cache_dir() -> Path:
 
 
 def _build(src: Path, out: Path) -> bool:
+    # Compile to a per-process tmp name, then os.replace: compiling
+    # straight to the cache path let a killed or concurrent build leave
+    # a corrupt .so whose mtime beats the source — cached forever,
+    # silently pinning the slow Python fallback (r5 review finding).
     cxx = os.environ.get("CXX", "g++")
     include = sysconfig.get_path("include")
+    tmp = out.with_name(f"{out.name}.{os.getpid()}.tmp")
     cmd = [
         cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
-        f"-I{include}", str(src), "-o", str(out),
+        f"-I{include}", str(src), "-o", str(tmp),
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            logger.debug("hostops build failed:\n%s", proc.stderr[-2000:])
+            return False
+        os.replace(tmp, out)  # atomic: concurrent builders race benignly
+        return True
     except (OSError, subprocess.TimeoutExpired) as e:
         logger.debug("hostops build failed to launch: %s", e)
         return False
-    if proc.returncode != 0:
-        logger.debug("hostops build failed:\n%s", proc.stderr[-2000:])
-        return False
-    return True
+    finally:
+        if tmp.exists():
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
 
 
 def get() -> object | None:

@@ -38,6 +38,7 @@ class RWLock:
         self._cond = threading.Condition(self._lock)
         self._readers = 0
         self._writer = False
+        self._writer_owner: int | None = None  # thread id holding write
         self._waiting_writers = 0
         self._writer_priority = bool(writer_priority)
         self._local = threading.local()
@@ -62,6 +63,15 @@ class RWLock:
             self.release_write()
 
     def acquire_read(self) -> None:
+        # The converse of acquire_write's guard: a thread holding the
+        # WRITE lock that requests a read would wait on a condition only
+        # its own release_write can satisfy — raise instead of hanging
+        # (r5 review: the detection used to be asymmetric).
+        if self._writer_owner == threading.get_ident():
+            raise RuntimeError(
+                "deadlock: read lock requested while this thread holds "
+                "the write lock"
+            )
         # A thread re-entering the read lock must not queue behind a waiting
         # writer: it already holds a read, so the writer cannot proceed until
         # it releases — gating the nested acquire would deadlock both.
@@ -92,13 +102,21 @@ class RWLock:
             try:
                 while self._writer or self._readers > 0:
                     self._cond.wait()
-            finally:
+            except BaseException:
+                # an interrupted wait (e.g. KeyboardInterrupt) opens the
+                # writer-priority gate: wake the readers it was holding
+                # back, or they sleep until unrelated lock traffic
                 self._waiting_writers -= 1
+                self._cond.notify_all()
+                raise
+            self._waiting_writers -= 1
             self._writer = True
+            self._writer_owner = threading.get_ident()
 
     def release_write(self) -> None:
         with self._cond:
             self._writer = False
+            self._writer_owner = None
             self._cond.notify_all()
 
 

@@ -110,12 +110,28 @@ def load_host_shard(base: str, dim: int, mesh, shard_axis: str = "shard"):
     for p, s in zip(paths, shapes):
         if len(s) != 2 or s[1] != dim:
             raise ValueError(f"shard {p} has shape {s}")
-    per = shapes[0][0]  # the aligned split: every shard but the last
-    if any(s[0] != per for s in shapes[:-1]) or shapes[-1][0] > per:
+    # The writer's split is FIXED-PER (persistence.shard_split_rows):
+    # shard i holds rows [i*per, min(n, (i+1)*per)). Valid layouts are
+    # therefore `per` rows for every shard up to a cut, at most one
+    # short shard at the cut, and empty shards after it (small corpora
+    # leave the remainder BEFORE trailing empties, e.g. n=100 over 8
+    # shards at align 8 -> [16,16,16,16,16,16,4,0]). Because shard i's
+    # rows always sit at global positions i*per + j, padding short or
+    # empty blocks up to `per` never shifts the slot <-> row
+    # correspondence.
+    per = shapes[0][0]
+    rows_seq = [s[0] for s in shapes]
+    cut = next((i for i, r in enumerate(rows_seq) if r != per),
+               len(rows_seq))
+    ok = (per > 0
+          and all(r == per for r in rows_seq[:cut])
+          and (cut >= len(rows_seq) or rows_seq[cut] < per)
+          and all(r == 0 for r in rows_seq[cut + 1:]))
+    if not ok:
         raise ValueError(
-            f"unexpected shard row layout {[s[0] for s in shapes]} for "
-            f"{base!r}; expected equal rows with a smaller/empty last "
-            "shard (persistence.shard_split_rows)"
+            f"unexpected shard row layout {rows_seq} for {base!r}; "
+            "expected the fixed-per split (persistence.shard_split_rows:"
+            " equal rows, at most one short shard, empties after)"
         )
     nproc = jax.process_count()
     nsh = mesh.shape[shard_axis]
@@ -133,10 +149,9 @@ def load_host_shard(base: str, dim: int, mesh, shard_axis: str = "shard"):
             "host/device topology whose local device count divides "
             f"{per}"
         )
-    # tail-only padding: ONLY the last process's block may be padded
-    # (zero rows, marked inactive by the engine's mask) — padding any
-    # earlier block would shift the global slot <-> device row
-    # correspondence. Single-process: the one block IS the tail.
+    # pad every short/empty block up to per (safe under the fixed-per
+    # split, see above); single-process may round the lone block up to
+    # its device count
     per_eff = per if nproc > 1 else round_up(max(per, 1), ldc)
     local = np.asarray(np.load(paths[pid], mmap_mode="r"))
     if local.shape[0] != per_eff:

@@ -27,7 +27,9 @@ from typing import Optional
 import numpy as np
 
 from .constants import Float
-from .utils import ids_path, meta_path, round_up, vecs_path, to_c_f32
+from .utils import (
+    ann_path, ids_path, meta_path, round_up, vecs_path, to_c_f32,
+)
 
 logger = logging.getLogger("picovdb_tpu")
 
@@ -83,6 +85,11 @@ def load_vectors(base: str, count: int, dim: int, use_memmap: bool) -> np.ndarra
         sharded = load_vectors_sharded(base, dim)
         if sharded is not None:
             return sharded
+        raise FileNotFoundError(
+            f"store {base!r} has an ids file but no vector data "
+            f"({vpath} missing, no complete shard set, and no usable "
+            "quantized plane) — the checkpoint is incomplete"
+        )
     if not use_memmap:
         return to_c_f32(np.load(vpath))
     # Memmap path: prefer npy-aware memmap; fall back to raw (headerless)
@@ -128,7 +135,7 @@ def save_atomic(
     tmp_vecs_base = f"{base}.vecs.tmp"  # np.save appends .npy
     tmp_vecs = f"{tmp_vecs_base}.npy"
     tmp_meta = f"{mfile}.tmp"
-    ann_file = f"{vfile}.ivf.npz"
+    ann_file = ann_path(base)
     tmp_ann = f"{ann_file}.tmp"
     vectors_is_memmap = isinstance(vectors, np.memmap)
     try:
@@ -254,7 +261,7 @@ def save_quantized_atomic(
     ids_file, mfile = ids_path(base), meta_path(base)
     qfile, sfile, ifile = qvecs_path(base), qscale_path(base), qinfo_path(base)
     ofile = overlay_path(base)
-    ann_file = f"{vecs_path(base)}.ivf.npz"
+    ann_file = ann_path(base)
     tmp = {
         "ids": f"{ids_file}.tmp", "meta": f"{mfile}.tmp",
         "q": f"{qfile}.tmp.npy", "s": f"{sfile}.tmp.npy",
@@ -346,7 +353,7 @@ def save_ids_meta_atomic(
     multi-process saver writes vector shards per process and has the
     coordinator call this for the shared metadata."""
     ids_file, mfile = ids_path(base), meta_path(base)
-    ann_file = f"{vecs_path(base)}.ivf.npz"
+    ann_file = ann_path(base)
     tmp_ids, tmp_meta, tmp_ann = (
         f"{ids_file}.tmp", f"{mfile}.tmp", f"{ann_file}.tmp"
     )
@@ -379,8 +386,15 @@ def save_shard_atomic(base: str, i: int, n: int, rows: np.ndarray) -> str:
     process persists its own slice of the corpus)."""
     final = shard_path(base, i, n)
     tmp_base = f"{final[:-4]}.tmp"
-    np.save(tmp_base, np.ascontiguousarray(rows, dtype=Float))
-    os.replace(f"{tmp_base}.npy", final)
+    try:
+        np.save(tmp_base, np.ascontiguousarray(rows, dtype=Float))
+        os.replace(f"{tmp_base}.npy", final)
+    finally:
+        if os.path.exists(f"{tmp_base}.npy"):
+            try:
+                os.remove(f"{tmp_base}.npy")
+            except OSError:
+                pass
     return final
 
 
@@ -449,23 +463,43 @@ def save_vectors_sharded(base: str, vectors: np.ndarray, n_shards: int) -> list:
     n = vectors.shape[0]
     per = shard_split_rows(n, n_shards)
     paths = []
-    for i in range(n_shards):
-        final = shard_path(base, i, n_shards)
-        tmp_base = f"{final[:-4]}.tmp"
-        np.save(tmp_base, np.ascontiguousarray(vectors[i * per : (i + 1) * per]))
-        os.replace(f"{tmp_base}.npy", final)
-        paths.append(final)
+    tmp_file = None
+    try:
+        for i in range(n_shards):
+            final = shard_path(base, i, n_shards)
+            tmp_base = f"{final[:-4]}.tmp"
+            tmp_file = f"{tmp_base}.npy"
+            np.save(tmp_base,
+                    np.ascontiguousarray(vectors[i * per : (i + 1) * per]))
+            os.replace(tmp_file, final)
+            tmp_file = None
+            paths.append(final)
+    finally:
+        if tmp_file and os.path.exists(tmp_file):
+            try:
+                os.remove(tmp_file)
+            except OSError:
+                pass
     return paths
 
 
+_SHARD_RE = re.compile(r"\.vecs\.shard(\d+)of(\d+)\.npy$")
+
+
 def find_shards(base: str) -> list:
-    """Existing shard files for `base`, in order; [] when none."""
+    """Existing shard files for `base`, in order; [] when none.
+
+    Strict shardNNNofMMM.npy match: a crash between np.save and
+    os.replace leaves `<shard>.tmp.npy`, which a loose
+    startswith/endswith filter would pick up — and validated_shards
+    would then reject the whole (otherwise valid) generation.
+    """
     d = os.path.dirname(base) or "."
     prefix = os.path.basename(base) + ".vecs.shard"
     try:
         names = sorted(
             f for f in os.listdir(d)
-            if f.startswith(prefix) and f.endswith(".npy")
+            if f.startswith(prefix) and _SHARD_RE.search(f)
         )
     except OSError:
         return []
@@ -489,7 +523,7 @@ def validated_shards(base: str) -> list:
         return []
     seen = []
     for p in paths:
-        m = re.search(r"\.vecs\.shard(\d+)of(\d+)\.npy$", p)
+        m = _SHARD_RE.search(p)
         if m:
             seen.append((int(m.group(1)), int(m.group(2))))
     counts = {n for _, n in seen}
@@ -542,7 +576,7 @@ def load_vectors_sharded(base: str, dim: int) -> Optional[np.ndarray]:
 
 
 def load_ann(base: str) -> Optional[dict]:
-    path = f"{vecs_path(base)}.ivf.npz"
+    path = ann_path(base)
     if not os.path.exists(path):
         return None
     try:
@@ -557,7 +591,7 @@ def file_sizes(base: str) -> dict[str, int]:
     """On-disk size per store file (reference: picovdb/pico_vdb.py:804-819)."""
     out: dict[str, int] = {}
     paths = [ids_path(base), meta_path(base), vecs_path(base),
-             f"{vecs_path(base)}.ivf.npz", qvecs_path(base),
+             ann_path(base), qvecs_path(base),
              qscale_path(base), overlay_path(base)]
     for p in paths:
         try:

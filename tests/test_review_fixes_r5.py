@@ -264,3 +264,53 @@ def test_columnar_wire_never_ships_raw_int8_without_rescore(db_path, rng):
     assert db._wire_encode(q, q.shape[0], rescore=True).dtype == np.int8
     res = db.query_columnar(q, top_k=3)
     assert len(res[0]) == q.shape[0]
+
+
+# 10 --------------------------------------------------------------------
+
+
+def test_sharded_writer_layout_and_tmp_leftovers(tmp_path, rng):
+    """The fixed-per split leaves the remainder BEFORE trailing empties
+    on small corpora ([16x6, 4, 0] at n=100 over 8 shards) — the loader
+    accepts exactly that shape family — and a crash-leftover
+    `<shard>.tmp.npy` must not make validated_shards reject the store."""
+    from picovdb_tpu import persistence
+
+    base = str(tmp_path / "s")
+    mat = rng.normal(size=(100, 8)).astype(np.float32)
+    persistence.save_vectors_sharded(base, mat, 8)
+    paths = persistence.validated_shards(base)
+    assert len(paths) == 8
+    rows = [np.load(p, mmap_mode="r").shape[0] for p in paths]
+    assert rows == [16, 16, 16, 16, 16, 16, 4, 0], rows
+    back = persistence.load_vectors_sharded(base, 8)
+    np.testing.assert_array_equal(back, mat)
+
+    # plant a crash leftover: strict matching must ignore it
+    leftover = paths[0][:-4] + ".tmp.npy"
+    with open(leftover, "wb") as f:
+        f.write(b"garbage")
+    assert len(persistence.validated_shards(base)) == 8
+    back2 = persistence.load_vectors_sharded(base, 8)
+    np.testing.assert_array_equal(back2, mat)
+
+
+# 11 --------------------------------------------------------------------
+
+
+def test_rwlock_detects_write_then_read_self_deadlock():
+    from picovdb_tpu.locking import RWLock
+
+    lk = RWLock()
+    with lk.write_lock():
+        with pytest.raises(RuntimeError, match="read lock requested"):
+            lk.acquire_read()
+    # and the converse still raises
+    with lk.read_lock():
+        with pytest.raises(RuntimeError, match="write lock requested"):
+            lk.acquire_write()
+    # lock still usable afterward
+    with lk.write_lock():
+        pass
+    with lk.read_lock():
+        pass
