@@ -69,7 +69,6 @@ from ..ops.ivf import (
     _assign,
     _i8_clip_max,
     _ivf_guard,
-    _ivf_i8_enabled,
     _ivf_i8_mirror,
     _kmeans,
     default_nlist,
